@@ -1,0 +1,384 @@
+"""§2-D Aggregations.
+
+All group-bys here are plain hash aggregations: Spark plans them as
+partial (map-side) + final aggregate, so the shuffle carries one row per
+(partition, group), not per input row — the 100-TB-safe shape. Group
+cardinalities are tiny-to-moderate (6 … |customers|), so no skew handling
+is needed; AQE coalesces post-shuffle partitions at small SF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..catalog import load_table as t
+from ..catalog import register_views
+from ..functions.parity import bi, r2, r4, r6
+from ..registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                          AS sum_qty,
+      round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+      round(avg(l_quantity), 6)                                          AS avg_qty,
+      round(avg(l_extendedprice), 6)                                     AS avg_price,
+      round(avg(l_discount), 6)                                          AS avg_disc,
+      count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1-shaped) pricing summary: scan → filter → hash agg.
+
+    Scale: the only shuffle carries ≤ 6 groups × n_partitions partial rows;
+    the scan is the whole cost and prunes to 7 of 11 columns.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(charge)).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT
+      count(*)                              AS n_rows,
+      round(sum(l_extendedprice), 2)        AS sum_price,
+      round(min(l_extendedprice), 6)        AS min_price,
+      round(max(l_extendedprice), 6)        AS max_price,
+      round(avg(l_extendedprice), 6)        AS avg_price,
+      round(sum(l_quantity), 4)             AS sum_qty,
+      count(DISTINCT l_returnflag)          AS n_flags
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped global aggregate: partial-agg per partition → single final
+    row; no wide shuffle of data rows at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+        r6(F.min("l_extendedprice")).alias("min_price"),
+        r6(F.max("l_extendedprice")).alias("max_price"),
+        r6(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+      l_suppkey,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(*)                  AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group. Spark expands distinct aggregates into a
+    two-phase plan (dedup on (suppkey, partkey), then count) — scales as a
+    pair of hash shuffles keyed by the group column."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT
+      o_custkey,
+      count(*)                     AS n_orders,
+      round(sum(o_totalprice), 2)  AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_revenue,
+      round(avg(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END), 6)      AS big_order_ratio
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted conditional aggregation — sum(CASE WHEN …) flags."""
+    o = t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.groupBy("o_orderpriority").agg(
+        bi(F.sum(F.when(st == "F", 1).otherwise(0))).alias("n_f"),
+        bi(F.sum(F.when(st == "O", 1).otherwise(0))).alias("n_o"),
+        bi(F.sum(F.when(st == "P", 1).otherwise(0))).alias("n_p"),
+        r2(F.sum(F.when(st == "F", F.col("o_totalprice")).otherwise(F.lit(0.0)))).alias("f_revenue"),
+        r6(F.avg(F.when(F.col("o_totalprice") > 100000, F.lit(1.0)).otherwise(F.lit(0.0)))).alias(
+            "big_order_ratio"
+        ),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(stddev_samp(l_quantity), 6)             AS sd_qty,
+      round(var_samp(l_quantity), 6)                AS var_qty,
+      round(corr(l_quantity, l_extendedprice), 6)   AS corr_qty_price,
+      round(avg(l_discount), 6)                     AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, correlation)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.var_samp("l_quantity")).alias("var_qty"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r6(F.avg("l_discount")).alias("avg_disc"),
+    )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      count(*)                                   AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolating, Spark `percentile` ≡ DuckDB
+    `quantile_cont`). Exact percentile requires per-group sort — at 100 TB
+    switch to `agg_quantile_approx` (sketch-based, single pass)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_quantile_approx")  # rows-only: sketch contents are engine-specific
+def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's QuantileSummaries sketch
+    (Greenwald–Khanna): one pass, mergeable partials — the 100-TB
+    replacement for exact percentile."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.percentile_approx("o_totalprice", 0.5, 10000)).alias("approx_median"),
+        r4(F.percentile_approx("o_totalprice", 0.9, 10000)).alias("approx_p90"),
+    )
+
+
+@query("agg_countd_approx")  # rows-only: HLL estimates are engine-specific
+def agg_countd_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) via HyperLogLog++: mergeable fixed-size
+    sketches instead of a dedup shuffle — the 100-TB distinct-count path."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT
+      r_name,
+      n_name,
+      round(sum(o_totalprice), 2)            AS revenue,
+      count(*)                               AS n_orders,
+      CAST(GROUPING(r_name) AS BIGINT)       AS g_region,
+      CAST(GROUPING(n_name) AS BIGINT)       AS g_nation
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping flags. The dimension joins broadcast (nation /
+    region / customer are small); the rollup is a single expand + hash agg."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        r2(F.sum("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        bi(F.grouping("r_name")).alias("g_region"),
+        bi(F.grouping("n_name")).alias("g_nation"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 4)          AS sum_qty,
+      count(*)                           AS n,
+      CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        bi(F.grouping("l_returnflag")).alias("g_flag"),
+        bi(F.grouping("l_linestatus")).alias("g_status"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  c_mktsegment,
+  n_name,
+  round(sum(c_acctbal), 2) AS acctbal,
+  count(*)                 AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — runs through spark.sql over the registered
+    views (SQL-surface parity, SURVEY.md §3.2); identical text runs on the
+    DuckDB oracle."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT
+      o_custkey,
+      array_to_string(list_sort(list(year(o_orderdate))), ',') AS order_years_csv,
+      count(*)                                                 AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with deterministic ordering. collect_list order is
+    nondeterministic under parallelism, so the list is array_sort-ed; the
+    output is canonicalized to CSV because array cells are not reliably
+    comparable across engines in a value-hash (SURVEY.md §5.3)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(bi(F.year("o_orderdate"))))).alias(
+            "order_years_csv"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _geomean_udaf(v: pd.Series) -> float:
+    """Grouped-agg pandas UDAF: geometric mean (Arrow-batched, one call per
+    group — the vectorized slow-path escape hatch, §2-L)."""
+    return float(np.exp(np.log(v.astype("float64")).mean()))
+
+
+@query(
+    "agg_udaf_geomean",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      round(exp(avg(ln(o_totalprice))), 4) AS geomean_price,
+      count(*)                             AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (geometric mean) as a pandas GROUPED_AGG UDF. Note the
+    SQL-native formulation exp(avg(ln(x))) is the JVM-side fast path; the
+    UDAF exists to exercise the custom-aggregate surface."""
+    o = t(spark, sf_dir, "orders")
+    # A group-agg pandas UDF cannot mix with JVM aggregates in one agg();
+    # the row count comes from a cheap second hash agg joined back.
+    gm = o.groupBy("o_orderpriority").agg(
+        r4(_geomean_udaf(F.col("o_totalprice"))).alias("geomean_price")
+    )
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    return gm.join(counts, "o_orderpriority")

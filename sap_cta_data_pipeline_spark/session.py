@@ -1,0 +1,65 @@
+"""SparkSession factory and runtime tuning.
+
+Design notes (SURVEY.md §4, §5.3):
+
+- UTC session timezone: the test data's timestamps are naive; DuckDB (the
+  correctness oracle) reads them naively, so Spark must interpret them as
+  UTC for value parity.
+- AQE on: runtime re-planning (partition coalescing, skew-join splitting,
+  broadcast conversion) is the 100-TB story for shuffle sizing — we size
+  ``spark.sql.shuffle.partitions`` generously and let AQE coalesce.
+- ``tune`` is applied inside every registered query because the *driver*
+  owns the SparkSession passed to ``queries()[k]``; all confs set here are
+  runtime-settable SQL confs, safe to apply on a live session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session we touch.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Exact ANSI NULL-on-error semantics diverge between engines; keep the
+    # permissive (non-ANSI) mode Spark classic behavior for parity with the
+    # guards we write explicitly (nullif etc.).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_shuffle_partitions() -> str:
+    return os.environ.get("SPARK_GRAFT_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune(spark: SparkSession, shuffle_partitions: str | int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (driver- or self-owned)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; never fail a query over tuning
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or default_shuffle_partitions()),
+    )
+    return spark
+
+
+def get_spark(app_name: str = "sap-cta-data-pipeline-spark", master: str | None = None) -> SparkSession:
+    """Create (or get) a tuned local session. Tests and bench use this; the
+    driver supplies its own session which ``tune`` upgrades in-place."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", default_shuffle_partitions())
+    )
+    return tune(builder.getOrCreate())

@@ -1,0 +1,86 @@
+"""Local replica of the driver's DuckDB differential oracle (SURVEY.md §5.2).
+
+Comparison model: sort columns by name, canonicalize rows, sort rows, then
+require EXACT value equality (floats included — the rounding discipline in
+the queries must make both engines produce bit-identical doubles; a
+tolerance here would hide failures the driver's value-hash would catch).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from sap_cta_data_pipeline_spark.catalog import TABLE_NAMES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if isinstance(v, np.ndarray):
+        return tuple(v.tolist())
+    if isinstance(v, list):
+        return tuple(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    return v
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sorted columns, normalized dtypes, rows sorted by stringified tuple."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            col = df[c]
+            if getattr(col.dt, "tz", None) is not None:
+                col = col.dt.tz_localize(None)
+            df[c] = col.astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(_canon_cell)
+    if len(df):
+        order = sorted(range(len(df)), key=lambda i: tuple(str(v) for v in df.iloc[i]))
+        df = df.iloc[order].reset_index(drop=True)
+    return df
+
+
+def frames_match(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
+    if a_cols != e_cols:
+        return [f"column mismatch: spark={a_cols} oracle={e_cols}"]
+    if len(actual) != len(expected):
+        problems.append(f"row count: spark={len(actual)} oracle={len(expected)}")
+    a, e = canonicalize(actual), canonicalize(expected)
+    n = min(len(a), len(e))
+    for c in a_cols:
+        av, ev = a[c].iloc[:n], e[c].iloc[:n]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(ev):
+            neq = ~(np.isclose(av, ev, rtol=0, atol=0, equal_nan=True))
+        else:
+            neq = ~((av == ev) | (av.isna() & ev.isna()))
+        bad = int(neq.sum())
+        if bad:
+            i = int(np.argmax(neq.to_numpy()))
+            problems.append(
+                f"col {c!r}: {bad}/{n} cells differ; first diff row {i}: "
+                f"spark={av.iloc[i]!r} oracle={ev.iloc[i]!r}"
+            )
+    return problems
+
+
+def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    actual = spark_df.toPandas()
+    expected = con.execute(sql).fetchdf()
+    return frames_match(actual, expected)
