@@ -1,6 +1,6 @@
 """Operator inventory (SURVEY.md §2). Importing this package populates the
 registry with every implemented query + oracle pair."""
 
-from . import aggregations  # noqa: F401
+from . import aggregations, filters, joins, setops, sorts  # noqa: F401
 
-__all__ = ["aggregations"]
+__all__ = ["aggregations", "filters", "joins", "setops", "sorts"]

@@ -1,0 +1,355 @@
+"""§2-C Joins.
+
+Scale strategy per join class (SURVEY.md §4):
+
+- dimension joins (nation/region/customer at this ratio) → broadcast hash
+  join, no shuffle of the fact side; Catalyst picks this automatically via
+  `autoBroadcastJoinThreshold`, `join_broadcast` pins it with a hint;
+- fact-fact equi-joins → shuffled hash / sort-merge on the key, AQE handles
+  skew splitting at runtime;
+- the interval self-join is bucket-bounded (equi-join on a coarse time
+  bucket + residual range predicate) so the per-key pair space stays O(rows
+  per bucket), not O(rows per user)² — the 100-TB-safe range-join shape;
+- as-of has no native Spark operator → union-tag + running last() window,
+  one shuffle by (user), no join blowup at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r2, r6
+from ..registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT
+      n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*)                                          AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped 5-way join. Catalyst reorders; the nation/region (and at
+    real scale even customer) sides fall under the broadcast threshold, so
+    only the lineitem⋈orders edge shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_mktsegment,
+      count(o_orderkey)                         AS n_orders,
+      round(sum(coalesce(o_totalprice, 0)), 2)  AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN keeping customers without orders (count(col) skips nulls)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            r2(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)))).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      count(c_custkey) AS n_with_customer,
+      count(*)         AS n_rows
+    FROM customer
+    RIGHT JOIN orders ON c_custkey = o_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .groupBy("o_orderstatus")
+        .agg(F.count("c_custkey").alias("n_with_customer"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT
+      coalesce(c.nationkey, s.nationkey) AS nationkey,
+      coalesce(n_customers, 0)           AS n_customers,
+      coalesce(n_suppliers, 0)           AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over per-nation customer/supplier rollups."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full").select(
+        F.coalesce(c.c_nk, s.s_nk).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: probe side streams, no duplication."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly broadcast-hinted dimension join (plan asserted in
+    tests/test_plans.py). Same answer as the unhinted planner choice."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), r2(F.sum("c_acctbal")).alias("acctbal"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (both sides tiny — 5 × 25)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      count(*)                                                                       AS n_late_ship,
+      round(avg(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0)), 6)       AS avg_gap_days
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    GROUP BY o_orderstatus
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + residual theta predicate: planned as a hash join on the
+    key with the range condition applied as a post-join filter — never a
+    cartesian product."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    gap_days = F.floor(
+        (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")) / F.lit(86400.0)
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_ship"),
+            r6(F.avg(gap_days)).alias("avg_gap_days"),
+        )
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT e1.user_id, count(*) AS n_pairs
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs within (0, 1h]. Spark has no range-join rule, so a naive
+    (user_id) self-join degenerates to O(per-user²) comparisons. We bound it
+    by bucketing time into 1-hour epochs and equi-joining on (user, bucket)
+    where the left side expands to its own and the next bucket — every
+    qualifying pair lands in exactly one of those two buckets, and the join
+    key carries time locality, which holds at any scale."""
+    e = t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    left = e.select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ts1"), (epoch / 3600).cast("long").alias("b")
+    ).withColumn("bucket", F.explode(F.array(F.col("b"), F.col("b") + 1)))
+    right = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts2"),
+        (epoch / 3600).cast("long").alias("bucket2"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("u") == F.col("u2"))
+        & (F.col("bucket") == F.col("bucket2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy(F.col("u").alias("user_id")).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT
+      p.event_id,
+      p.user_id,
+      p.ts AS purchase_ts,
+      (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts,
+      epoch_us(p.ts) - (SELECT epoch_us(max(c.ts)) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS gap_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward, inclusive) join: each purchase matched to the same
+    user's latest click at-or-before it. No native as-of in Spark SQL →
+    union-tag + running max over a (user)-partitioned window ordered by
+    (ts, tag, event_id): one shuffle, zero join amplification. This is also
+    the 100-TB shape — cost is a sort within user partitions."""
+    e = t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "tag", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    # clicks sort before purchases at equal ts → inclusive (<=) semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = tagged.withColumn(
+        "last_click_ts", F.max(F.when(F.col("tag") == 0, F.col("ts"))).over(w)
+    )
+    return with_click.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        # integer microseconds: unix_timestamp() floors to seconds and
+        # DuckDB's epoch() keeps fractions — both divergent (SURVEY.md §5.3)
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+    )

@@ -8,6 +8,8 @@ tolerance here would hide failures the driver's value-hash would catch).
 
 from __future__ import annotations
 
+import decimal
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -30,6 +32,8 @@ def _canon_cell(v):
         return tuple(v.tolist())
     if isinstance(v, list):
         return tuple(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     if isinstance(v, np.floating):
         return float(v)
     if isinstance(v, np.integer):
@@ -67,12 +71,14 @@ def frames_match(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
     for c in a_cols:
         av, ev = a[c].iloc[:n], e[c].iloc[:n]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(ev):
-            neq = ~(np.isclose(av, ev, rtol=0, atol=0, equal_nan=True))
+            neq = np.asarray(
+                ~np.isclose(av.to_numpy(), ev.to_numpy(), rtol=0, atol=0, equal_nan=True)
+            )
         else:
-            neq = ~((av == ev) | (av.isna() & ev.isna()))
+            neq = np.asarray(~((av == ev) | (av.isna() & ev.isna())))
         bad = int(neq.sum())
         if bad:
-            i = int(np.argmax(neq.to_numpy()))
+            i = int(np.argmax(neq))
             problems.append(
                 f"col {c!r}: {bad}/{n} cells differ; first diff row {i}: "
                 f"spark={av.iloc[i]!r} oracle={ev.iloc[i]!r}"
