@@ -1,0 +1,158 @@
+"""§2-I Array / map / JSON operators.
+
+Array math stays JVM-side via higher-order functions (transform/aggregate)
+— no Python boundary, no UDF. Array- and map-typed cells are never emitted
+in oracled outputs (not hash-comparable across engines): results are
+reduced to scalars, exploded to rows, or canonicalized to strings
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+
+
+@query(
+    "json_extract_typed",
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      count(*)                                                AS n,
+      round(avg(value), 6)                                    AS avg_value,
+      count(DISTINCT user_id)                                 AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction with typing, then a bucketed rollup. At
+    scale, prefer from_json with an explicit schema once per pipeline stage
+    (single parse) over repeated get_json_object calls."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k_bucket", F.floor(k / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("value")).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "arr_basics",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(len(embedding) AS BIGINT)                  AS dim,
+      CAST(embedding[1] AS DOUBLE)                    AS first_val,
+      CAST(embedding[32] AS DOUBLE)                   AS mid_val,
+      CAST(embedding[64] AS DOUBLE)                   AS last_val,
+      CAST(len(list_slice(embedding, 1, 8)) AS BIGINT) AS slice_len,
+      CAST(list_slice(embedding, 1, 8)[3] AS DOUBLE)  AS slice3
+    FROM embeddings
+    """,
+)
+def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element_at / slice on the vector column (1-based positions on
+    both engines). float32→double casts are exact, so no rounding needed."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sl = F.slice(emb, 1, 8)
+    return e.select(
+        "vec_id",
+        bi(F.size(emb)).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.element_at(emb, 32).cast("double").alias("mid_val"),
+        F.element_at(emb, 64).cast("double").alias("last_val"),
+        bi(F.size(sl)).alias("slice_len"),
+        F.element_at(sl, 3).cast("double").alias("slice3"),
+    )
+
+
+@query(
+    "arr_explode_pos",
+    oracle="""
+    SELECT
+      vec_id,
+      i                                  AS pos,
+      CAST(embedding[i + 1] AS DOUBLE)   AS val
+    FROM embeddings, range(0, 4) t(i)
+    """,
+)
+def arr_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-class posexplode (0-based pos), filtered to pos < 4. The filter
+    sits directly on the generator output so Catalyst prunes generated rows
+    before anything wide happens."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 4)
+        .select("vec_id", bi(F.col("pos")).alias("pos"), F.col("val").cast("double").alias("val"))
+    )
+
+
+@query(
+    "arr_hof_norm",
+    oracle="""
+    SELECT
+      vec_id,
+      round(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def arr_hof_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm via higher-order functions — transform + aggregate run
+    entirely in the JVM per row; this is the pattern all vector ops in §2-J
+    build on (no Python UDF in the hot path)."""
+    e = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", r6(F.sqrt(sq_sum)).alias("l2_norm"))
+
+
+@query(
+    "map_from_string",
+    oracle="""
+    WITH kv AS (
+      SELECT p_partkey,
+             concat('brand:', p_brand, ',size:', CAST(p_size AS VARCHAR)) AS kv_str
+      FROM part
+    )
+    SELECT
+      p_partkey,
+      kv_str,
+      'brand,size'                                              AS keys_csv,
+      split_part(split_part(kv_str, ',', 1), ':', 2)            AS brand_val,
+      CAST(split_part(split_part(kv_str, ',', 2), ':', 2) AS BIGINT) AS size_val
+    FROM kv
+    """,
+)
+def map_from_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map parse + key/value extraction. MapType itself is not
+    hash-comparable cross-engine, so the map is exercised through sorted
+    keys (CSV) and typed value lookups; the oracle reproduces the values
+    with pure string ops (DuckDB has no str_to_map)."""
+    p = t(spark, sf_dir, "part")
+    kv_str = F.concat(
+        F.lit("brand:"), F.col("p_brand"), F.lit(",size:"), F.col("p_size").cast("string")
+    )
+    m = F.str_to_map(kv_str, F.lit(","), F.lit(":"))
+    return p.select(
+        "p_partkey",
+        kv_str.alias("kv_str"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+        F.element_at(m, F.lit("size")).cast("long").alias("size_val"),
+    )
