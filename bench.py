@@ -1,0 +1,86 @@
+"""Benchmark runner (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<key>": sec, ...}, "sf": <sf>}
+
+Each query is fully materialized via a noop sink (executes the whole plan,
+no driver collect). Session startup is excluded; the session is warmed
+with a trivial action first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sap_cta_data_pipeline_spark.registry import QUERIES  # noqa: E402
+from sap_cta_data_pipeline_spark.session import get_spark  # noqa: E402
+import sap_cta_data_pipeline_spark.operators  # noqa: E402,F401
+
+#: Representative, perf-sensitive subset: scan, filter, agg, multiway join,
+#: as-of, window, rollup, JSON, text, dedup (exact + minhash), knn,
+#: centroid, sessionization, param sweep.
+HEADLINE = [
+    "scan_pushdown",
+    "filter_range",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "join_multiway",
+    "join_asof",
+    "win_topn_per_group",
+    "json_extract_typed",
+    "text_tfidf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_knn_cosine",
+    "emb_centroid_by_label",
+    "stream_session",
+    "pipe_param_sweep",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.abspath(sf_dir.rstrip("/"))))
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark("sap-cta-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _materialize(spark.range(1_000_000))  # warm JVM/codegen paths
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(QUERIES[key](spark, sf_dir))
+        timings[key] = round(time.perf_counter() - t0, 3)
+        print(f"{key}: {timings[key]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -5,10 +5,16 @@ from . import (  # noqa: F401
     aggregations,
     filters,
     joins,
+    pipeline,
     scalar_fns,
     semistructured,
     setops,
+    similarity,
     sorts,
+    sources,
+    streaming_batch,
+    text,
+    udfs,
     windows,
 )
 
@@ -16,9 +22,15 @@ __all__ = [
     "aggregations",
     "filters",
     "joins",
+    "pipeline",
     "scalar_fns",
     "semistructured",
     "setops",
+    "similarity",
     "sorts",
+    "sources",
+    "streaming_batch",
+    "text",
+    "udfs",
     "windows",
 ]

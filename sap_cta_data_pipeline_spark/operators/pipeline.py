@@ -1,0 +1,323 @@
+"""§2-M Reference-pipeline analogues (SURVEY.md §0.1, §2-M).
+
+The reference `jdhp-sap/sap-cta-data-pipeline` is a batch image-cleaning /
+feature-extraction / benchmarking pipeline for CTA telescope images
+(reconstruction in SURVEY.md §0.1 — its snapshot at /root/reference was
+empty, so no file:line citations are possible). Its core loop — clean each
+image with two-threshold ("tailcut") filtering, remove isolated pixels,
+extract Hillas-style moment features, score cleaned vs raw, sweep cleaning
+hyperparameters — is reproduced here 1:1 on the 1-D `embeddings` vectors
+(the corpus stand-in for images).
+
+Execution shape: every op explodes vectors to long-format cells
+(vec, pos, value, neighbors) and reduces with hash aggregations — per-image
+work the reference did in numpy one image at a time becomes one
+distributed pass; a hyperparameter sweep that re-ran the corpus per config
+becomes a single broadcast cross-join (configs × cells). No Python UDFs.
+
+Thresholds are sized to the data (values ≈ N(0, 0.125), FIXTURES.md):
+T_pic=0.2 keeps ≈5% of cells, T_bnd=0.1 ≈ 21%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+
+#: DuckDB fragment producing the long-format cell table (0-based pos, cell
+#: value x, zero-padded neighbors) — list index OOB yields NULL → coalesce.
+_CELLS_SQL = """
+  SELECT vec_id, label, i AS pos,
+         CAST(embedding[i + 1] AS DOUBLE)                 AS x,
+         coalesce(CAST(embedding[i] AS DOUBLE), 0.0)      AS left_x,
+         coalesce(CAST(embedding[i + 2] AS DOUBLE), 0.0)  AS right_x
+  FROM embeddings, range(0, 64) t(i)
+"""
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format cells: (vec_id, label, pos, x, left_x, right_x) with
+    out-of-range neighbors as 0.0 (matches the reference's zero padding at
+    image borders)."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", "label", F.col("embedding").alias("emb"),
+        F.posexplode("embedding").alias("pos", "x_raw"),
+    )
+    get_d = lambda idx: F.get(F.col("emb"), idx).cast("double")  # noqa: E731
+    return exploded.select(
+        "vec_id",
+        "label",
+        "pos",
+        F.col("x_raw").cast("double").alias("x"),
+        F.coalesce(get_d(F.col("pos") - 1), F.lit(0.0)).alias("left_x"),
+        F.coalesce(get_d(F.col("pos") + 1), F.lit(0.0)).alias("right_x"),
+    )
+
+
+def _tailcut_keep(t_pic: Column, t_bnd: Column) -> Column:
+    """Two-threshold tailcut: keep a cell at or above the picture
+    threshold, or at or above the boundary threshold when adjacent to a
+    picture-level neighbor (denoising/tailcut semantics of the reference)."""
+    return (F.col("x") >= t_pic) | (
+        (F.col("x") >= t_bnd)
+        & ((F.col("left_x") >= t_pic) | (F.col("right_x") >= t_pic))
+    )
+
+
+_TAILCUT_KEEP_SQL = (
+    "(x >= {p} OR (x >= {b} AND (left_x >= {p} OR right_x >= {p})))"
+)
+
+
+@query(
+    "pipe_clean_threshold",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL})
+    SELECT
+      vec_id,
+      label,
+      sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p=0.2, b=0.1)} THEN 1 ELSE 0 END) AS n_kept,
+      round(sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p=0.2, b=0.1)} THEN x ELSE 0.0 END), 6) AS kept_energy
+    FROM cells
+    GROUP BY vec_id, label
+    """,
+)
+def pipe_clean_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tailcut cleaning (T_pic=0.2, T_bnd=0.1): per-vector surviving-cell
+    count and kept energy."""
+    keep = _tailcut_keep(F.lit(0.2), F.lit(0.1))
+    return (
+        _cells(spark, sf_dir)
+        .groupBy("vec_id", "label")
+        .agg(
+            bi(F.sum(keep.cast("int"))).alias("n_kept"),
+            r6(F.sum(F.when(keep, F.col("x")).otherwise(0.0))).alias("kept_energy"),
+        )
+    )
+
+
+@query(
+    "pipe_feature_moments",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    agg AS (
+      SELECT vec_id, label,
+             sum(greatest(x, 0.0))       AS size_,
+             sum(pos * greatest(x, 0.0)) AS swx,
+             sum(pos * pos * greatest(x, 0.0)) AS swx2
+      FROM cells GROUP BY vec_id, label
+    )
+    SELECT vec_id, label,
+           round(size_, 6)                                    AS size,
+           round(swx / nullif(size_, 0.0), 6)                 AS centroid,
+           round(sqrt(greatest(
+             swx2 / nullif(size_, 0.0)
+               - (swx / nullif(size_, 0.0)) * (swx / nullif(size_, 0.0)),
+             0.0)), 6)                                        AS width
+    FROM agg
+    """,
+)
+def pipe_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillas-analogue 1-D moments per vector over clipped-positive
+    amplitude w=max(x,0): size Σw, centroid Σi·w/Σw, width (2nd central
+    moment)^0.5 — the feature-extraction stage of the reference."""
+    w = F.greatest(F.col("x"), F.lit(0.0))
+    agg = (
+        _cells(spark, sf_dir)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(w).alias("size_"),
+            F.sum(F.col("pos") * w).alias("swx"),
+            F.sum(F.col("pos") * F.col("pos") * w).alias("swx2"),
+        )
+    )
+    size_nz = F.nullif(F.col("size_"), F.lit(0.0))
+    centroid = F.col("swx") / size_nz
+    return agg.select(
+        "vec_id",
+        "label",
+        r6(F.col("size_")).alias("size"),
+        r6(centroid).alias("centroid"),
+        r6(F.sqrt(F.greatest(F.col("swx2") / size_nz - centroid * centroid, F.lit(0.0)))).alias(
+            "width"
+        ),
+    )
+
+
+@query(
+    "pipe_score_mse",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL})
+    SELECT
+      vec_id, label,
+      round(avg(CASE WHEN x >= 0.15 THEN 0.0 ELSE x * x END), 6) AS mse,
+      round(sqrt(avg(CASE WHEN x >= 0.15 THEN 0.0 ELSE x * x END))
+            / nullif(max(x) - min(x), 0.0), 6)                   AS nrmse
+    FROM cells
+    GROUP BY vec_id, label
+    """,
+)
+def pipe_score_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assessment-stage analogue: MSE / range-normalized RMSE between the
+    raw vector and its simple-threshold cleaning (x kept iff x ≥ 0.15, so
+    the residual is x on suppressed cells)."""
+    sq_err = F.when(F.col("x") >= 0.15, F.lit(0.0)).otherwise(F.col("x") * F.col("x"))
+    return (
+        _cells(spark, sf_dir)
+        .groupBy("vec_id", "label")
+        .agg(
+            r6(F.avg(sq_err)).alias("mse"),
+            r6(
+                F.sqrt(F.avg(sq_err)) / F.nullif(F.max("x") - F.min("x"), F.lit(0.0))
+            ).alias("nrmse"),
+        )
+    )
+
+
+_SWEEP_GRID = [(0.15, 0.05), (0.2, 0.05), (0.2, 0.1), (0.25, 0.1), (0.3, 0.15)]
+_SWEEP_VALUES_SQL = ", ".join(f"({p}, {b})" for p, b in _SWEEP_GRID)
+
+
+@query(
+    "pipe_param_sweep",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    grid AS (
+      SELECT CAST(t_pic AS DOUBLE) AS t_pic, CAST(t_bnd AS DOUBLE) AS t_bnd
+      FROM (VALUES {_SWEEP_VALUES_SQL}) v(t_pic, t_bnd)
+    ),
+    per_vec AS (
+      SELECT t_pic, t_bnd, vec_id,
+             sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p="t_pic", b="t_bnd")} THEN x ELSE 0.0 END) AS kept_energy,
+             sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p="t_pic", b="t_bnd")} THEN 1.0 ELSE 0.0 END) AS n_kept
+      FROM cells CROSS JOIN grid
+      GROUP BY t_pic, t_bnd, vec_id
+    )
+    SELECT t_pic, t_bnd,
+           round(avg(kept_energy), 6) AS avg_kept_energy,
+           round(avg(n_kept), 6)      AS avg_n_kept,
+           count(*)                   AS n_vectors
+    FROM per_vec
+    GROUP BY t_pic, t_bnd
+    """,
+)
+def pipe_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter sweep (optimization-stage analogue): the threshold
+    grid broadcast-cross-joins the cell table, so the whole grid costs ONE
+    corpus pass — the reference re-ran the full pipeline per grid point.
+    A driver-side optimizer (e.g. differential evolution) would iterate
+    exactly this op on successive small grids."""
+    grid = spark.createDataFrame(_SWEEP_GRID, "t_pic double, t_bnd double")
+    keep = _tailcut_keep(F.col("t_pic"), F.col("t_bnd"))
+    per_vec = (
+        _cells(spark, sf_dir)
+        .crossJoin(F.broadcast(grid))
+        .groupBy("t_pic", "t_bnd", "vec_id")
+        .agg(
+            F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias("kept_energy"),
+            F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias("n_kept"),
+        )
+    )
+    return per_vec.groupBy("t_pic", "t_bnd").agg(
+        r6(F.avg("kept_energy")).alias("avg_kept_energy"),
+        r6(F.avg("n_kept")).alias("avg_n_kept"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@query(
+    "pipe_kill_isolated",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL})
+    SELECT
+      vec_id, label,
+      sum(CASE WHEN x >= 0.15 THEN 1 ELSE 0 END) AS n_mask,
+      sum(CASE WHEN x >= 0.15 AND left_x < 0.15 AND right_x < 0.15 THEN 1 ELSE 0 END) AS n_killed,
+      round(sum(CASE WHEN x >= 0.15 AND NOT (left_x < 0.15 AND right_x < 0.15)
+                     THEN x ELSE 0.0 END), 6) AS surviving_energy
+    FROM cells
+    GROUP BY vec_id, label
+    """,
+)
+def pipe_kill_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated-cell removal (kill_isolated_pixels analogue, 1-D): a
+    masked cell (x ≥ 0.15) dies when both neighbors are below mask level;
+    reports mask size, kills, and surviving energy per vector."""
+    m = F.col("x") >= 0.15
+    isolated = m & (F.col("left_x") < 0.15) & (F.col("right_x") < 0.15)
+    return (
+        _cells(spark, sf_dir)
+        .groupBy("vec_id", "label")
+        .agg(
+            bi(F.sum(m.cast("int"))).alias("n_mask"),
+            bi(F.sum(isolated.cast("int"))).alias("n_killed"),
+            r6(F.sum(F.when(m & ~isolated, F.col("x")).otherwise(0.0))).alias(
+                "surviving_energy"
+            ),
+        )
+    )
+
+
+_ALGO_GRID = [
+    ("null", -999.0, -999.0),
+    ("simple_0.15", 0.15, 0.15),
+    ("tailcut_loose", 0.15, 0.05),
+    ("tailcut_tight", 0.25, 0.1),
+]
+_ALGO_VALUES_SQL = ", ".join(f"('{a}', {p}, {b})" for a, p, b in _ALGO_GRID)
+
+
+@query(
+    "pipe_benchmark_report",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    algos AS (
+      SELECT algo, CAST(t_pic AS DOUBLE) AS t_pic, CAST(t_bnd AS DOUBLE) AS t_bnd
+      FROM (VALUES {_ALGO_VALUES_SQL}) v(algo, t_pic, t_bnd)
+    ),
+    per_vec AS (
+      SELECT algo, t_pic, t_bnd, vec_id,
+             sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p="t_pic", b="t_bnd")} THEN x ELSE 0.0 END) AS kept_energy,
+             sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p="t_pic", b="t_bnd")} THEN 1.0 ELSE 0.0 END) AS n_kept,
+             avg(CASE WHEN {_TAILCUT_KEEP_SQL.format(p="t_pic", b="t_bnd")} THEN 0.0 ELSE x * x END) AS mse
+      FROM cells CROSS JOIN algos
+      GROUP BY algo, t_pic, t_bnd, vec_id
+    )
+    SELECT algo, t_pic, t_bnd,
+           round(avg(kept_energy), 6) AS avg_kept_energy,
+           round(avg(n_kept), 6)      AS avg_n_kept,
+           round(avg(mse), 6)         AS avg_mse,
+           count(*)                   AS n_vectors
+    FROM per_vec
+    GROUP BY algo, t_pic, t_bnd
+    """,
+)
+def pipe_benchmark_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-report analogue (AbstractCleaningAlgorithm.run): one score
+    row per cleaning algorithm config — kept energy, surviving cells, and
+    cleaning MSE averaged over the corpus. The reference accumulated this
+    as JSON per image file; here it is one declarative plan (and can be
+    written with df.write.json — sinks are covered in §2-A)."""
+    algos = spark.createDataFrame(_ALGO_GRID, "algo string, t_pic double, t_bnd double")
+    keep = _tailcut_keep(F.col("t_pic"), F.col("t_bnd"))
+    per_vec = (
+        _cells(spark, sf_dir)
+        .crossJoin(F.broadcast(algos))
+        .groupBy("algo", "t_pic", "t_bnd", "vec_id")
+        .agg(
+            F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias("kept_energy"),
+            F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias("n_kept"),
+            F.avg(F.when(keep, F.lit(0.0)).otherwise(F.col("x") * F.col("x"))).alias("mse"),
+        )
+    )
+    return per_vec.groupBy("algo", "t_pic", "t_bnd").agg(
+        r6(F.avg("kept_energy")).alias("avg_kept_energy"),
+        r6(F.avg("n_kept")).alias("avg_n_kept"),
+        r6(F.avg("mse")).alias("avg_mse"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -1,0 +1,208 @@
+"""§2-J Similarity search + embedding analytics.
+
+All vector math runs JVM-side through higher-order functions
+(zip_with/transform/aggregate) — no Python UDF, no serialization boundary.
+
+Scale design: brute-force top-k broadcasts the (small) probe set and
+streams the corpus once — O(corpus × probes × dim) FLOPs with zero
+shuffle of the corpus. That is the right baseline even at 100 TB when the
+probe set is small. `sim_ann_lsh` is the sub-linear path: random
+hyperplane signatures bucket the corpus so only same-bucket candidates are
+scored (recall traded via number of planes / probe multi-lookup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+
+# 6 planes → 64 buckets: sized so buckets hold ~10–30 candidates at the
+# test SFs; at larger corpora raise planes (buckets grow 2^planes) and/or
+# multi-probe neighboring buckets to trade recall vs candidates scored.
+_N_PLANES = 6
+_DIM = 64
+
+
+def _as_double(col: str | Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _l2(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+@query(
+    "sim_knn_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ), pairs AS (
+      SELECT p.vec_id AS probe_id, q.vec_id AS cand_id,
+             round(list_sum(list_transform(range(1, 65), i -> p.e[i] * q.e[i]))
+                   / (p.nrm * q.nrm), 6) AS cos_sim
+      FROM n p JOIN n q ON q.vec_id != p.vec_id
+      WHERE p.vec_id < 10
+    )
+    SELECT probe_id, cand_id, cos_sim, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id ASC
+      ) AS BIGINT) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for probe set vec_id < 10: broadcast the
+    probes, one corpus scan computes every dot product in the JVM, then a
+    probe-partitioned window keeps the top-k. Ranking orders by the ROUNDED
+    score (+ cand_id) so tie order matches the oracle."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    withnorm = e.select("vec_id", "e", _l2(F.col("e")).alias("nrm"))
+    probes = withnorm.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+    )
+    pairs = (
+        withnorm.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            r6(_dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return pairs.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (xorshift64 → uniform in
+    [-1, 1]); fixed so signatures are reproducible across runs."""
+    planes, x = [], 2463534242
+    for _ in range(_N_PLANES):
+        row = []
+        for _ in range(_DIM):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append((x % 2_000_001) / 1_000_000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@query("sim_ann_lsh")  # rows-only: bucket assignment is implementation-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors via random-hyperplane LSH: sign bits form
+    a bucket id; probes (vec_id < 10) only score candidates in their own
+    bucket; exact cosine re-ranks the candidates. Sub-linear in corpus
+    size at the cost of recall — the scale path next to sim_knn_cosine."""
+    planes = _hyperplanes()
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = (_dot(F.col("e"), lit_plane) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << j)
+    sigs = e.select("vec_id", "e", _l2(F.col("e")).alias("nrm"), bucket.alias("bucket"))
+    probes = sigs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+        "bucket",
+    )
+    cands = (
+        sigs.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            r6(_dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return cands.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
+
+
+@query(
+    "emb_centroid_by_label",
+    oracle="""
+    SELECT
+      label,
+      i AS pos,
+      round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid_val,
+      count(*)                                        AS n_vectors
+    FROM embeddings, range(0, 64) t(i)
+    GROUP BY label, i
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label, emitted in long format
+    (label, pos, value) — array cells never appear in oracled output
+    (SURVEY.md §5.3). posexplode → (label, pos) hash agg: shuffle rows =
+    10 labels × 64 dims regardless of corpus size."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            r6(F.avg(F.col("val").cast("double"))).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("label", bi(F.col("pos")).alias("pos"), "centroid_val", "n_vectors")
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+      FROM embeddings
+    )
+    SELECT
+      lang,
+      count(*)                        AS n_docs,
+      round(avg(l2_norm), 6)          AS avg_norm,
+      round(corr(n_chars, l2_norm), 6) AS corr_chars_norm
+    FROM documents JOIN vecs ON doc_id = vec_id
+    GROUP BY lang
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modality join on doc_id = vec_id: documents row joined
+    to its embedding's L2 norm, then per-language char-count/norm
+    correlation — the canonical multimodal-feature pattern (typed metadata
+    + per-modality features in one row)."""
+    docs = t(spark, sf_dir, "documents")
+    vecs = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .select("vec_id", _l2(F.col("e")).alias("l2_norm"))
+    )
+    return (
+        docs.join(vecs, docs.doc_id == vecs.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg("l2_norm")).alias("avg_norm"),
+            r6(F.corr("n_chars", "l2_norm")).alias("corr_chars_norm"),
+        )
+    )

@@ -1,0 +1,158 @@
+"""§2-A Scans / sources / sinks.
+
+Round-trip ops write to a per-SF scratch dir under /tmp and read back with
+explicit schemas — schema-on-read is never inferred for typed sources
+(inference is nondeterministic at scale and breaks the catalog contract).
+
+Scale notes: all sinks write partition-parallel (one file per task);
+`sink_parquet_partitioned` demonstrates partitioned layout + partition
+pruning on read-back (dynamic pruning kicks in for joins at scale);
+`scan_union_dirs` is the multi-path scan shape used for
+directory-of-datasets ingestion (the reference iterated directories of
+FITS files; SURVEY.md §2-A).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table as t
+from ..functions.parity import r2
+from ..registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.abspath(sf_dir.rstrip("/")))
+    return os.path.join("/tmp", "sap_cta_scratch", tag, name)
+
+
+_EVENTS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan + count (count(*) is answered from parquet row-group
+    metadata — no column IO)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("l_orderkey").alias("n_orders")
+    )
+
+
+@query(
+    "scan_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown: ReadSchema carries 3 of 11 columns
+    and the date range lands in PushedFilters (plan asserted in
+    tests/test_plans.py) — at 100 TB this is row-group skipping."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header, microsecond ISO timestamps) → typed read-back;
+    must equal the parquet view byte-for-byte (doubles survive via
+    shortest-round-trip formatting, the JSON props column via CSV quoting)."""
+    path = _scratch(sf_dir, "events_csv")
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+    return (
+        spark.read.schema(_EVENTS_READ_SCHEMA)
+        .option("header", True)
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip through JSON lines (props nests as an escaped JSON
+    string inside the JSON document)."""
+    path = _scratch(sf_dir, "events_json")
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(path)
+    return (
+        spark.read.schema(_EVENTS_READ_SCHEMA).option("timestampFormat", _TS_FMT).json(path)
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT
+      CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      count(*)                          AS n_orders,
+      round(sum(o_totalprice), 2)       AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by order year, read the partitioned layout
+    back, aggregate per partition. Year-partitioned layout means time-range
+    queries prune whole directories (static + dynamic partition pruning)."""
+    path = _scratch(sf_dir, "orders_by_year")
+    o = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue")
+    )
+
+
+@query(
+    "scan_union_dirs",
+    oracle="SELECT DISTINCT r_regionkey, r_name FROM region",
+)
+def scan_union_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path scan: region across every sibling scale-factor dataset
+    in one reader, then distinct. (region content is identical per SF, so
+    the single-view oracle holds.)"""
+    parent = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    paths = sorted(glob.glob(os.path.join(parent, "*", "region.parquet")))
+    if not paths:  # fall back to the provided dir alone
+        paths = [os.path.join(os.path.abspath(sf_dir), "region.parquet")]
+    return spark.read.parquet(*paths).distinct()

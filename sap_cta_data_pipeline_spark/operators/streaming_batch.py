@@ -1,0 +1,212 @@
+"""§2-K Streaming semantics, batch-declared.
+
+The driver oracle is batch-only, so each op here is the BATCH definition
+of a streaming computation over `events`; the Structured Streaming twins
+(readStream + watermarks + session_window + applyInPandasWithState) live
+in `sap_cta_data_pipeline_spark.streaming.twins` and are asserted equal to
+these results in tests/test_streaming.py (SURVEY.md §2-K).
+
+Arrival order for watermark/dedup simulations is `event_id` order
+(FIXTURES.md: event_id ascends roughly with ts — genuinely late rows
+exist, which is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r2, r6
+from ..registry import query
+
+_10_MIN_US = 600 * 1_000_000
+_30_MIN_US = 1_800 * 1_000_000
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts)  AS window_start,
+      event_type,
+      count(*)                AS n,
+      round(sum(value), 2)    AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts + sums per event type. Streaming twin
+    adds withWatermark('ts', '10 minutes') — identical logic otherwise."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+      count(*)             AS n,
+      round(sum(value), 2) AS sum_value
+    FROM events, range(0, 4) t(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes — each event lands in 4
+    windows (the oracle materializes exactly those four starts per event)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM gaps
+    )
+    SELECT
+      user_id,
+      CAST(session_id AS BIGINT)            AS session_id,
+      min(ts)                               AS session_start,
+      max(ts)                               AS session_end,
+      count(*)                              AS n_events,
+      epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+      round(sum(value), 6)                  AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap via
+    gaps-and-islands (lag → new-session flag → running sum = session id).
+    Semantically identical to session_window(ts, '30 minutes') — the
+    streaming twin uses exactly that, and tests assert equality."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    with_flag = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > _30_MIN_US), 1).otherwise(0)
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_id = with_flag.withColumn("session_id", bi(F.sum("new_session").over(wrun)))
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        r6(F.sum("value")).alias("session_value"),
+    )
+
+
+@query(
+    "stream_late_drop",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, event_type, ts,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS high_watermark_us
+      FROM events
+    )
+    SELECT event_id, event_type, ts
+    FROM arr
+    WHERE epoch_us(ts) >= high_watermark_us - 600000000
+    """,
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-simulated: processing in arrival order
+    (event_id), an event is dropped when its event time lags the
+    per-type high watermark (running max event time) by > 10 minutes —
+    exactly what withWatermark('ts','10 minutes') drops in the twin."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hwm = F.max(F.unix_micros("ts")).over(w)
+    return (
+        e.withColumn("hwm_us", hwm)
+        .filter(F.unix_micros("ts") >= F.col("hwm_us") - _10_MIN_US)
+        .select("event_id", "event_type", "ts")
+    )
+
+
+@query(
+    "stream_dedup_keyed",
+    oracle="""
+    SELECT event_id, user_id, minute_start, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             date_trunc('minute', ts) AS minute_start,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('minute', ts) ORDER BY event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, minute) in arrival order — the batch
+    definition of streaming dropDuplicates within a watermark."""
+    e = t(spark, sf_dir, "events").withColumn("minute_start", F.date_trunc("minute", F.col("ts")))
+    w = Window.partitionBy("user_id", "minute_start").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "minute_start", "event_type")
+    )
+
+
+@query(
+    "stream_stateful_running",
+    oracle="""
+    SELECT
+      event_id, user_id,
+      CAST(count(*) OVER w AS BIGINT) AS running_n,
+      round(sum(value) OVER w, 6)     AS running_value
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count + running value sum in event-time
+    order — the batch shadow of a keyed stateful operator
+    (applyInPandasWithState twin keeps {n, sum} per user as state)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        bi(F.count(F.lit(1)).over(w)).alias("running_n"),
+        r6(F.sum("value").over(w)).alias("running_value"),
+    )

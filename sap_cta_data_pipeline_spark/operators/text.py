@@ -1,0 +1,320 @@
+"""§2-J Text analysis + deduplication (LLM-data-pipeline operators).
+
+Tokenization is whitespace split (the corpus is pre-normalized lowercase,
+FIXTURES.md) — all JVM-side: split/explode/higher-order functions, no
+Python in any hot path.
+
+Scale design:
+
+- wordcount / doc-stats / tf-idf: hash aggregations keyed by term or
+  (doc, term) — shuffle rows ∝ distinct keys, not corpus bytes.
+- exact dedup: hash-groupBy on a canonical fingerprint; at 100 TB group by
+  a 128-bit hash of the fingerprint instead of the string itself to keep
+  shuffle rows narrow.
+- near-dup: the exact token-Jaccard self-join is blocked by `lang` and
+  would additionally cap token document-frequency at real scale (drop
+  stop-tokens with df > threshold, which bounds the per-token join
+  fan-out); the 100-TB path is `dedup_minhash_lsh`, where cost is
+  O(corpus) signature computation + a bucket-join whose fan-out is
+  controlled by band width, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+
+#: MinHash parameters: 64 permutations in 16 bands of 4 rows — tuned for a
+#: high-recall 0.8-Jaccard threshold (collision prob at s=0.8: 1-(1-s^4)^16 ≈ 0.9997).
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+_N_HASHES = 64
+_N_BANDS = 16
+_BAND_ROWS = 4
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, term) with empty tokens dropped — one row per token
+    occurrence."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS cnt FROM tok WHERE term != '' GROUP BY term
+    )
+    SELECT term, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rnk
+    FROM counts
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term counts with deterministic ranking (count desc, term asc)."""
+    docs = t(spark, sf_dir, "documents")
+    counts = _tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return counts.select("term", "cnt", bi(F.row_number().over(w)).alias("rnk"))
+
+
+@query(
+    "text_doc_stats",
+    oracle="""
+    SELECT
+      lang,
+      count(*)                                                       AS n_docs,
+      round(avg(n_chars), 6)                                         AS avg_chars,
+      round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 6) AS avg_tokens,
+      count(DISTINCT source)                                         AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token counting stays in the JVM via
+    size∘filter∘split)."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        r6(F.avg(n_tokens)).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term != '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+      ) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf with smoothed idf ln((N+1)/(df+1))+1, top-5 terms per doc.
+    Ranking orders by the ROUNDED score (then term) so tie order is
+    identical across engines. The doc-frequency side is tiny (vocab-sized)
+    → broadcast join; N arrives via a broadcast single-row cross join."""
+    docs = t(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            r6(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x != ''))), ' ') AS fingerprint
+      FROM documents
+    )
+    SELECT
+      fingerprint,
+      count(*)                                          AS n_dups,
+      min(doc_id)                                       AS keep_doc_id,
+      array_to_string(list_sort(list(doc_id)), ',')     AS doc_ids_csv
+    FROM canon
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on a canonical fingerprint (sorted distinct
+    token set — raw texts in this corpus never collide verbatim, FIXTURES).
+    The keeper is min(doc_id); dropDuplicates on the fingerprint is the
+    one-liner variant of the same plan. Single hash-groupBy shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    return (
+        docs.select("doc_id", fingerprint.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))).alias("doc_ids_csv"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_terms FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.term = b.term AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+      doc_a, doc_b,
+      round(CAST(n_common AS DOUBLE) / (sa.n_terms + sb.n_terms - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_terms + sb.n_terms - n_common) >= 0.8
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.8, blocked by language: token-level
+    equi-join → per-pair intersection count → |∩|/(|A|+|B|−|∩|). Exact but
+    O(Σ df²) — the scalable twin is dedup_minhash_lsh."""
+    docs = t(spark, sf_dir, "documents")
+    tok = _tokens(docs).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "term"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "term"
+    )
+    inter = (
+        a.join(b, ["term"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+    )
+
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients — fixed linear
+    congruential generator, no runtime randomness."""
+    coeffs, x = [], 88172645463325252
+    for _ in range(_N_HASHES):
+        # xorshift64 steps; a must be non-zero mod p
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        a = (x % (_MINHASH_P - 1)) + 1
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        b = x % _MINHASH_P
+        coeffs.append((int(a), int(b)))
+    return coeffs
+
+
+@query("dedup_minhash_lsh")  # rows-only: minhash signatures are hash-impl-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup detection: MinHash signatures (64 explicit
+    (a·x+b) mod p permutations over xxhash64 token hashes) → LSH banding
+    (16 bands × 4 rows) → bucket self-join for candidates → exact Jaccard
+    verification ≥ 0.8.
+
+    100-TB path: signature cost is one pass over tokens (map-side agg);
+    the only shuffles are doc-keyed min-aggregation and the band-bucket
+    join, whose fan-out depends on collision rates, not corpus size².
+    Returns verified pairs (same shape as dedup_near_jaccard)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = _tokens(docs).distinct()
+    th = F.pmod(F.xxhash64("term"), F.lit(_MINHASH_P))
+    hashed = tok.select("doc_id", th.alias("th"))
+    sig_aggs = [
+        F.min(F.pmod(F.col("th") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs())
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
+
+    # banding: one row per (doc, band) keyed by the hash of 4 signature slots
+    band_rows = []
+    for band in range(_N_BANDS):
+        cols = [F.col(f"h{band * _BAND_ROWS + j}") for j in range(_BAND_ROWS)]
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionAll(extra)
+
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # exact verification of the candidate set only
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+    )

@@ -1,0 +1,86 @@
+"""§2-L UDF / UDTF surface.
+
+UDFs are the deliberate slow path (SURVEY.md §3.2): every op that CAN be
+built-in IS built-in elsewhere in this package. These two keys exercise the
+escape hatches and keep them honest:
+
+- scalar: Arrow-batched pandas UDF (the only acceptable Python scalar
+  path at scale — row-at-a-time @udf is 10-100× slower and exists only in
+  unit tests as an equivalence check);
+- UDTF-class: generator expressions stay JVM-side via
+  transform + posexplode; a true Spark-4 @udtf equivalence test lives in
+  tests/test_udfs.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..catalog import load_table as t
+from ..functions.parity import bi
+from ..registry import query
+
+
+@pandas_udf(DoubleType())
+def clip_5_100(v: pd.Series) -> pd.Series:
+    """Vectorized clip to [5, 100] — one Arrow batch per call."""
+    return v.clip(5.0, 100.0)
+
+
+@query(
+    "udf_scalar_clip",
+    oracle="""
+    SELECT
+      event_id,
+      value,
+      greatest(least(value, 100.0), 5.0) AS clipped
+    FROM events
+    """,
+)
+def udf_scalar_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF clip of `value` to [5, 100]; exact equality with the
+    SQL-native greatest∘least (clip moves values onto exact bounds — no
+    float arithmetic, so no rounding discipline needed). The row-at-a-time
+    @udf twin is asserted equal in tests/test_udfs.py."""
+    e = t(spark, sf_dir, "events")
+    return e.select("event_id", "value", clip_5_100(F.col("value")).alias("clipped"))
+
+
+@query(
+    "udtf_char_ngrams",
+    oracle="""
+    WITH tt AS (
+      SELECT doc_id, substr(text, 1, 20) AS t20
+      FROM documents
+      WHERE length(substr(text, 1, 20)) >= 3
+    ), pos AS (
+      SELECT doc_id, t20, unnest(generate_series(1, length(t20) - 2)) AS i
+      FROM tt
+    )
+    SELECT doc_id, i AS pos, substr(t20, CAST(i AS INTEGER), 3) AS ngram
+    FROM pos
+    """,
+)
+def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-grams of each document's first 20 chars, one output row
+    per gram (UDTF-class one-to-many). Implemented as JVM-side
+    transform(sequence) + posexplode — the generator never leaves the
+    executor; a Python @udtf producing identical rows is unit-tested."""
+    docs = t(spark, sf_dir, "documents")
+    t20 = F.substring("text", 1, 20)
+    # substring with a non-literal start needs the SQL form, so the
+    # generator is built with expr()
+    base = docs.filter(F.length(t20) >= 3).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(substr(text, 1, 20)) - 2),"
+            " i -> substr(substr(text, 1, 20), i, 3))"
+        ).alias("grams"),
+    )
+    return base.select("doc_id", F.posexplode("grams").alias("pos0", "ngram")).select(
+        "doc_id", bi(F.col("pos0") + 1).alias("pos"), "ngram"
+    )
