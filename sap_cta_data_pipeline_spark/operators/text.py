@@ -28,12 +28,16 @@ from ..catalog import load_table as t
 from ..functions.parity import bi, r6
 from ..registry import query
 
-#: MinHash parameters: 64 permutations in 16 bands of 4 rows — tuned for a
-#: high-recall 0.8-Jaccard threshold (collision prob at s=0.8: 1-(1-s^4)^16 ≈ 0.9997).
+#: MinHash parameters: 64 permutations in 8 bands of 8 rows. The LSH
+#: S-curve threshold (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77 sits just under the
+#: 0.8 target: collision prob ≈ 0.75 at s=0.8, ≈ 0.97 at s=0.9, but only
+#: ≈ 0.13 at s=0.6 — wider bands (e.g. 16×4, threshold ≈ 0.35) made 68%
+#: of ALL pairs candidates on this dense corpus (measured), destroying
+#: LSH's selectivity.
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
 _N_HASHES = 64
-_N_BANDS = 16
-_BAND_ROWS = 4
+_N_BANDS = 8
+_BAND_ROWS = 8
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -256,24 +260,63 @@ def _minhash_coeffs() -> list[tuple[int, int]]:
 
 @query("dedup_minhash_lsh")  # rows-only: minhash signatures are hash-impl-specific
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalable near-dup detection: MinHash signatures (64 explicit
-    (a·x+b) mod p permutations over xxhash64 token hashes) → LSH banding
-    (16 bands × 4 rows) → bucket self-join for candidates → exact Jaccard
-    verification ≥ 0.8.
+    """Scalable near-dup detection, two-stage:
 
-    100-TB path: signature cost is one pass over tokens (map-side agg);
-    the only shuffles are doc-keyed min-aggregation and the band-bucket
-    join, whose fan-out depends on collision rates, not corpus size².
-    Returns verified pairs (same shape as dedup_near_jaccard)."""
+    1. **Exact collapse**: docs group by their canonical token-set
+       fingerprint; one representative (min doc_id) survives per distinct
+       set. Identical texts are Jaccard-1 near-dups by definition and —
+       crucially — identical MinHash signatures collide in EVERY band, so
+       skipping this stage makes LSH bucket joins quadratic in duplicate
+       cluster size (measured: one 248-doc identical group at sf0.1
+       dominated the whole runtime).
+    2. **MinHash-LSH on representatives**: 64 explicit (a·x+b) mod p
+       permutations over xxhash64 token hashes → 8 bands × 8 rows →
+       bucket self-join for candidates → similarity estimated from the
+       fraction of matching signature slots (E[match] = Jaccard), kept at
+       est ≥ 0.75 for the 0.8 target.
+
+    Verification is signature-based on purpose: the signature table is
+    tiny (n_distinct × 64 longs) and broadcasts, so candidate scoring is
+    a map-side zip-compare with NO shuffle — unlike a token-level exact
+    verify join, which re-shuffles the corpus (measured 2× slower here
+    and unboundedly worse at scale). Exact Jaccard lives in
+    dedup_near_jaccard; this is the approximate lane.
+
+    100-TB path: stage 1 is one fingerprint hash-groupBy over the corpus;
+    stage 2's cost scales with DISTINCT content, and band width controls
+    bucket fan-out. Returns candidate representative pairs with estimated
+    similarity and member counts (pair expansion to raw doc ids is a join
+    against stage 1)."""
     docs = t(spark, sf_dir, "documents")
-    tok = _tokens(docs).distinct()
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    # groups and sigs fan out into multiple plan branches (bands ×2 join
+    # sides, broadcast signature lookups, member counts) — cache them or
+    # the whole signature pipeline recomputes per branch (measured 3×
+    # slowdown uncached). Both are tiny: one row per DISTINCT document.
+    groups = (
+        docs.select("doc_id", fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+        .cache()
+    )
+    members = groups.select("rep_id", "n_members")
+    tok = (
+        groups.select("rep_id", F.explode(F.split("fp", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumnRenamed("rep_id", "doc_id")
+    )
     th = F.pmod(F.xxhash64("term"), F.lit(_MINHASH_P))
     hashed = tok.select("doc_id", th.alias("th"))
     sig_aggs = [
         F.min(F.pmod(F.col("th") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(_minhash_coeffs())
     ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
+    sigs = hashed.groupBy("doc_id").agg(*sig_aggs).cache()
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)]).alias("sig")
+    )
 
     # banding: one row per (doc, band) keyed by the hash of 4 signature slots
     band_rows = []
@@ -299,22 +342,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification of the candidate set only
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "term")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "term")
-    inter = (
-        candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # signature-estimate scoring: broadcast the signature arrays to both
+    # sides; similarity = fraction of matching slots (shuffle-free)
+    siga = sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("n_members").alias("n_members_a"))
+    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("n_members").alias("n_members_b"))
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    est = n_match.cast("double") / F.lit(float(_N_HASHES))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+        candidates.join(F.broadcast(siga), "doc_a")
+        .join(F.broadcast(sigb), "doc_b")
+        .withColumn("est_jaccard", r6(est))
+        .filter(F.col("est_jaccard") >= 0.75)
+        .join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", "n_members_a", "n_members_b")
     )

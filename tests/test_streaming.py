@@ -1,0 +1,81 @@
+"""§2-K streaming twins vs their batch declarations (SURVEY.md §5.2).
+
+The sf0.001 events table is re-materialized (with the nanos→micros ts fix)
+as a file stream source; each twin runs with trigger(availableNow) into a
+memory sink and must frame-equal the batch-declared operator.
+
+Known semantic boundary (documented, not tested): stream_stateful_running
+equality holds per micro-batch — across batches, arrival order replaces
+global event-time order for late rows, which is inherent to streaming
+running state. The twin is therefore verified single-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import sap_cta_data_pipeline_spark.operators  # noqa: F401
+from sap_cta_data_pipeline_spark.catalog import load_table
+from sap_cta_data_pipeline_spark.registry import QUERIES
+from sap_cta_data_pipeline_spark.streaming import twins
+
+from .differential import frames_match
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, SF_SMALL, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_stream(spark, sdf, name: str, mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.mark.parametrize(
+    "twin_fn, batch_key, mode",
+    [
+        (twins.tumbling_counts, "stream_tumbling", "complete"),
+        (twins.sliding_counts, "stream_sliding", "complete"),
+        (twins.dedup_keyed, "stream_dedup_keyed", "append"),
+        (twins.stateful_running, "stream_stateful_running", "append"),
+    ],
+)
+def test_twin_equals_batch(spark, stream_source, twin_fn, batch_key, mode):
+    name = f"sink_{batch_key}"
+    streamed = _run_stream(spark, twin_fn(stream_source), name, mode).toPandas()
+    batch = QUERIES[batch_key](spark, SF_SMALL).toPandas()
+    problems = frames_match(streamed, batch)
+    assert not problems, f"{batch_key} twin: " + "; ".join(problems)
+
+
+def test_session_twin_equals_batch(spark, stream_source):
+    """session_window twin vs gaps-and-islands batch: compare on the
+    session grain (start/end/n/span/value per user) — the batch op's
+    session_id ordinal is an implementation detail the native operator
+    doesn't emit."""
+    streamed = _run_stream(
+        spark, twins.session_aggregates(stream_source), "sink_sessions", "complete"
+    ).toPandas()
+    batch = (
+        QUERIES["stream_session"](spark, SF_SMALL)
+        .drop("session_id")
+        .toPandas()
+    )
+    problems = frames_match(streamed, batch)
+    assert not problems, "session twin: " + "; ".join(problems)
