@@ -60,6 +60,10 @@ def main() -> int:
     spark = get_spark("sap-cta-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _materialize(spark.range(1_000_000))  # warm JVM/codegen paths
+    # NOTE: caching base tables was measured and REJECTED — InMemoryRelation
+    # columnar scans of array<float> are slower than the parquet vectorized
+    # reader for the higher-order-function-heavy vector ops (param sweep
+    # 3.1s → 10.5s cached). The OS page cache already serves the re-scans.
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

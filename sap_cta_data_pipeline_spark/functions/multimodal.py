@@ -1,0 +1,209 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing is real and tested: schemas, Arrow batch shape,
+mapInPandas stage signatures, partitioning. The codec layer is STUBBED —
+this container has no image/audio libraries — behind `_decode_payload`:
+real codecs (PIL/libsndfile/ffmpeg) would slot in there without touching
+any Spark plumbing; asking for a real codec raises NotImplementedError.
+
+The synthetic assets derive deterministically from the `embeddings` table:
+an asset's payload is the float32 byte-packing of its embedding (a fake
+"encoded" blob a decoder can actually parse), and media metadata follows
+from the label. This keeps every stage verifiable end-to-end.
+
+Scale design: payloads ride the DataFrame as binary cells → Arrow batches
+into Python with `spark.sql.execution.arrow.maxRecordsPerBatch` bounding
+batch memory (decoded media is much larger than encoded — size batches by
+decoded footprint). Stages are mapInPandas (no shuffle); only explicit
+repartition(asset_id) redistributes, e.g. to spread hot media partitions
+before an expensive decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("codec", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("crc32", T.LongType()),
+        T.StructField("sample_mean", T.DoubleType()),
+        T.StructField("sample_std", T.DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+_MEDIA_TYPES = ("image", "audio", "video")
+_STUB_CODECS = {"image": "raw-f32-8x8", "audio": "raw-f32-pcm", "video": "raw-f32-4f"}
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table from embeddings: payload = float32 bytes
+    of the embedding; media_type = label mod 3; metadata per type (image
+    8×8, audio 64 samples @8kHz, video 4 frames of 16 floats)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, emb, label in zip(pdf["vec_id"], pdf["embedding"], pdf["label"]):
+                mt = _MEDIA_TYPES[int(label) % 3]
+                payload = struct.pack("<64f", *[float(x) for x in emb])
+                rows.append(
+                    {
+                        "asset_id": int(vec_id),
+                        "media_type": mt,
+                        "payload": payload,
+                        "meta": {
+                            "codec": _STUB_CODECS[mt],
+                            "width": 8 if mt == "image" else 0,
+                            "height": 8 if mt == "image" else 0,
+                            "sample_rate": 8000 if mt == "audio" else 0,
+                            "n_frames": 4 if mt == "video" else 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def _decode_payload(payload: bytes, codec: str) -> np.ndarray:
+    """STUB decoder. Raw float32 stub codecs decode for real; anything
+    else (jpeg/png/flac/h264…) needs media libraries absent from this
+    environment."""
+    if codec.startswith("raw-f32"):
+        return np.frombuffer(payload, dtype="<f4").astype(np.float64)
+    raise NotImplementedError(
+        f"codec {codec!r}: real decoders (PIL/soundfile/ffmpeg) are stubbed "
+        "out in this environment; only raw-f32 stub codecs decode"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + featurize each asset (bytes, checksum, sample moments) —
+    one mapInPandas stage, no shuffle; Arrow batch size bounds peak
+    decoded memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "media_type", "n_bytes", "crc32",
+                                   "sample_mean", "sample_std")}
+            for aid, mt, payload, meta in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                samples = _decode_payload(payload, meta["codec"])
+                out["asset_id"].append(int(aid))
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(payload))
+                out["crc32"].append(zlib.crc32(payload))
+                out["sample_mean"].append(round(float(samples.mean()), 6))
+                out["sample_std"].append(round(float(samples.std()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize stub for image assets (nearest-neighbor index sampling on the
+    decoded grid — deterministic, no interpolation library); non-images
+    pass through untouched. Payload and meta are rewritten, schema kept."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mt, payload, meta in zip(pdf["media_type"], pdf["payload"], pdf["meta"]):
+                if mt != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                w, h = int(meta["width"]), int(meta["height"])
+                img = _decode_payload(payload, meta["codec"]).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[np.ix_(ys, xs)].astype("<f4")
+                payloads.append(resized.tobytes())
+                new_meta = dict(meta)
+                new_meta["width"], new_meta["height"] = out_w, out_h
+                metas.append(new_meta)
+            pdf = pdf.assign(payload=payloads, meta=metas)
+            yield pdf
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video assets: payload is n_frames equal-size
+    frames; emit every n-th frame as its own row (one-to-many mapInPandas,
+    the UDTF-shaped media stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_payload": []}
+            for aid, mt, payload, meta in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                if mt != "video":
+                    continue
+                n = int(meta["n_frames"]) or 1
+                frame_size = len(payload) // n
+                for i in range(0, n, every_n):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(
+                        payload[i * frame_size : (i + 1) * frame_size]
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_feature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: synthesize → decode/featurize →
+    per-media-type rollup (count, avg bytes, avg sample mean)."""
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.avg("n_bytes").alias("avg_bytes"),
+        F.round(F.avg("sample_mean"), 6).alias("avg_sample_mean"),
+        F.round(F.avg("sample_std"), 6).alias("avg_sample_std"),
+    )
