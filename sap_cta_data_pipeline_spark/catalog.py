@@ -138,7 +138,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP_NTZ like every other table (and like DuckDB's naive
+        # reading) — tz-aware outputs would diverge from the oracle's dtype
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 

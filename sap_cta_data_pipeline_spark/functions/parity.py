@@ -41,3 +41,11 @@ def bi(col: Column) -> Column:
     (row_number/rank/ntile/length/size/year are INT in Spark, BIGINT in
     DuckDB)."""
     return col.cast("long")
+
+
+def um(col: Column | str) -> Column:
+    """Exact epoch microseconds (≡ DuckDB epoch_us). unix_micros rejects
+    TIMESTAMP_NTZ, which all catalog timestamps are — the cast to session
+    TIMESTAMP is value-preserving because tune() pins the session to UTC."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r2, r6
+from ..functions.parity import bi, r2, r6, um
 from ..registry import query
 
 
@@ -351,5 +351,5 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_ts",
         # integer microseconds: unix_timestamp() floors to seconds and
         # DuckDB's epoch() keeps fractions — both divergent (SURVEY.md §5.3)
-        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        (um("ts") - um("last_click_ts")).alias("gap_us"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r6
+from ..functions.parity import bi, r6, um
 from ..registry import query
 
 
@@ -138,7 +138,7 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).cast("string").alias("eom"),
         # o_orderdate is TIMESTAMP_NTZ in the parquet; with the session
         # pinned to UTC the cast to TIMESTAMP is value-preserving
-        F.unix_micros(d.cast("timestamp")).alias("epoch_us"),
+        um(d).alias("epoch_us"),
     )
 
 

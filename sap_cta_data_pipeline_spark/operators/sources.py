@@ -36,7 +36,7 @@ def _scratch(sf_dir: str, name: str) -> str:
 _EVENTS_READ_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -88,16 +88,19 @@ def scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CSV (header, microsecond ISO timestamps) → typed read-back;
     must equal the parquet view byte-for-byte (doubles survive via
-    shortest-round-trip formatting, the JSON props column via CSV quoting)."""
+    shortest-round-trip formatting, the JSON props column via CSV quoting).
+    ts is TIMESTAMP_NTZ end-to-end → the NTZ-specific format option."""
     path = _scratch(sf_dir, "events_csv")
     e = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    e.write.mode("overwrite").option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+    e.write.mode("overwrite").option("header", True).option(
+        "timestampNTZFormat", _TS_FMT
+    ).csv(path)
     return (
         spark.read.schema(_EVENTS_READ_SCHEMA)
         .option("header", True)
-        .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
         .csv(path)
     )
 
@@ -113,9 +116,11 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    e.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(path)
+    e.write.mode("overwrite").option("timestampNTZFormat", _TS_FMT).json(path)
     return (
-        spark.read.schema(_EVENTS_READ_SCHEMA).option("timestampFormat", _TS_FMT).json(path)
+        spark.read.schema(_EVENTS_READ_SCHEMA)
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r2, r6
+from ..functions.parity import bi, r2, r6, um
 from ..registry import query
 
 _10_MIN_US = 600 * 1_000_000
@@ -105,7 +105,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin uses exactly that, and tests assert equality."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = um("ts") - um(F.lag("ts").over(w))
     with_flag = e.withColumn(
         "new_session", F.when(gap.isNull() | (gap > _30_MIN_US), 1).otherwise(0)
     )
@@ -115,7 +115,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        (um(F.max("ts")) - um(F.min("ts"))).alias("span_us"),
         r6(F.sum("value")).alias("session_value"),
     )
 
@@ -147,10 +147,10 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    hwm = F.max(F.unix_micros("ts")).over(w)
+    hwm = F.max(um("ts")).over(w)
     return (
         e.withColumn("hwm_us", hwm)
-        .filter(F.unix_micros("ts") >= F.col("hwm_us") - _10_MIN_US)
+        .filter(um("ts") >= F.col("hwm_us") - _10_MIN_US)
         .select("event_id", "event_type", "ts")
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r2, r6
+from ..functions.parity import bi, r2, r6, um
 from ..registry import query
 
 
@@ -116,7 +116,7 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(um("ts"))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return e.select("event_id", "user_id", "ts", r6(F.avg("value").over(w)).alias("mavg_1h"))
@@ -142,7 +142,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (um("ts") - um(F.lag("ts").over(w))).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
     )
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 import pandas as pd
+
+from ..functions.parity import um
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -28,24 +30,38 @@ from pyspark.sql.types import (
 )
 
 
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP; catalog timestamps are TIMESTAMP_NTZ.
+    The cast is value-preserving under the UTC session; outputs are cast
+    back to NTZ so twins frame-match their batch declarations."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _ntz(name: str):
+    return F.col(name).cast("timestamp_ntz").alias(name)
+
+
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """Twin of stream_tumbling: 1h tumbling count+sum per type with a
     10-minute watermark."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        _with_event_time(events)
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "n", "sum_value")
     )
 
 
 def sliding_counts(events: DataFrame) -> DataFrame:
     """Twin of stream_sliding: 1h windows sliding 15 minutes."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        _with_event_time(events)
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "sum_value")
     )
 
 
@@ -55,17 +71,19 @@ def session_aggregates(events: DataFrame) -> DataFrame:
     session_window's end is last_event + gap, so span is derived from
     min/max event times, mirroring the batch gaps-and-islands output."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        _with_event_time(events)
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+            (um(F.max("ts")) - um(F.min("ts"))).alias("span_us"),
             F.round(F.sum("value"), 6).alias("session_value"),
         )
         .select(
-            "user_id", "session_start", "session_end", "n_events", "span_us", "session_value"
+            "user_id", _ntz("session_start"), _ntz("session_end"),
+            "n_events", "span_us", "session_value"
         )
     )
 
@@ -75,11 +93,13 @@ def dedup_keyed(events: DataFrame) -> DataFrame:
     (user_id, minute) within the watermark. Which duplicate survives is
     arrival-order-dependent — with a single ordered source it is the first
     arrival, matching the batch row_number()=1 definition."""
-    with_min = events.withColumn("minute_start", F.date_trunc("minute", F.col("ts")))
+    with_min = _with_event_time(events).withColumn(
+        "minute_start", F.date_trunc("minute", F.col("ts"))
+    )
     return (
         with_min.withWatermark("minute_start", "10 minutes")
         .dropDuplicates(["user_id", "minute_start"])
-        .select("event_id", "user_id", "minute_start", "event_type")
+        .select("event_id", "user_id", _ntz("minute_start"), "event_type")
     )
 
 
