@@ -53,8 +53,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             df[c] = df[c].map(_canon_cell)
     if len(df):
-        order = sorted(range(len(df)), key=lambda i: tuple(str(v) for v in df.iloc[i]))
-        df = df.iloc[order].reset_index(drop=True)
+        # vectorized lexicographic row sort on stringified columns (per-row
+        # python tuples were minutes-slow on 600k-row frames)
+        key = df.astype(str)
+        order = key.sort_values(by=list(key.columns), kind="mergesort").index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 
