@@ -41,6 +41,8 @@ HEADLINE = [
     "text_tfidf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "text_lang_id",
+    "dedup_near_embedding",
     "sim_knn_cosine",
     "emb_centroid_by_label",
     "stream_session",

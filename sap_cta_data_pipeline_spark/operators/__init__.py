@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     sources,
     streaming_batch,
     text,
+    text_analysis,
     udfs,
     windows,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "sources",
     "streaming_batch",
     "text",
+    "text_analysis",
     "udfs",
     "windows",
 ]

@@ -1,0 +1,367 @@
+"""§2-J addendum (round 1): the remaining first-class
+training-data-pipeline text operators from the north-star mandate —
+language ID, quality scoring, BPE-ish regex tokenization, rolling-hash
+fingerprinting, SimHash near-dup, embedding-cosine near-dup.
+
+All JVM-side; the two hash-dependent ops (SimHash) ride the rows-only
+lane, everything else carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+from .text import _tokens
+
+_HASH_M = 2147483647  # 2^31-1, the rolling-hash modulus
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tok_f AS (
+      SELECT * FROM tok WHERE term != ''
+    ), cnt AS (
+      SELECT lang, term, count(*) AS c FROM tok_f GROUP BY lang, term
+    ), tot AS (
+      SELECT lang, count(*) AS n FROM tok_f GROUP BY lang
+    ), vocab AS (
+      SELECT count(DISTINCT term) AS v FROM tok_f
+    ), scored AS (
+      SELECT d.doc_id, l.lang AS cand_lang,
+             round(sum(ln((coalesce(c.c, 0) + 1.0) / (tot.n + vocab.v))), 6) AS score
+      FROM tok_f d
+      CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+      LEFT JOIN cnt c ON c.term = d.term AND c.lang = l.lang
+      JOIN tot ON tot.lang = l.lang
+      CROSS JOIN vocab
+      GROUP BY d.doc_id, l.lang
+    ), ranked AS (
+      SELECT doc_id, cand_lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scored
+    )
+    SELECT r.doc_id, r.cand_lang AS predicted_lang, r.score AS best_score,
+           d.lang AS actual_lang,
+           CAST(CASE WHEN r.cand_lang = d.lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via a corpus-fit Naive-Bayes unigram model
+    (Laplace smoothing): per-language token profiles → per-doc
+    log-likelihood → argmax (rounded score + lang tiebreak for
+    cross-engine-deterministic ranking). The profile tables are
+    vocab×langs-sized → broadcast; scoring is one shuffle keyed by
+    (doc, lang)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    cnt = tok.groupBy(
+        F.col("lang").alias("c_lang"), F.col("term").alias("c_term")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.groupBy(F.col("lang").alias("t_lang")).agg(F.count(F.lit(1)).alias("n"))
+    vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
+    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
+
+    scored = (
+        tok.select("doc_id", "term")
+        .crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(cnt),
+            (F.col("term") == F.col("c_term")) & (F.col("cand_lang") == F.col("c_lang")),
+            "left",
+        )
+        .join(F.broadcast(tot), F.col("cand_lang") == F.col("t_lang"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            r6(
+                F.sum(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v"))))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("cand_lang").alias("predicted_lang"),
+        F.col("score").alias("best_score"),
+        F.col("lang").alias("actual_lang"),
+        bi(F.when(F.col("cand_lang") == F.col("lang"), 1).otherwise(0)).alias("is_correct"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tok_f AS (
+      SELECT * FROM tok WHERE term != ''
+    ), stops AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+        FROM tok_f GROUP BY term
+      ) WHERE rn <= 5
+    ), per_doc AS (
+      SELECT t.doc_id,
+             count(*)                                    AS n_tokens,
+             count(DISTINCT t.term)                      AS n_distinct,
+             sum(CASE WHEN s.term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+             avg(length(t.term))                         AS avg_tok_len
+      FROM tok_f t LEFT JOIN stops s ON t.term = s.term
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6)          AS stop_ratio,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)      AS type_token_ratio,
+           round(avg_tok_len, 6)                                AS avg_tok_len,
+           round(0.4 * (1 - CAST(n_stop AS DOUBLE) / n_tokens)
+               + 0.3 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS quality
+    FROM per_doc
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio (stopwords = corpus
+    top-5 terms, computed in-query), type-token ratio, length saturation,
+    combined into one deterministic [0,1] score — the pre-training
+    corpus-filtering shape (length/stopword/diversity signals)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = _tokens(docs).select("doc_id", "term")
+    wtop = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    stops = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("term").alias("stop_term"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(stops), tok.term == stops.stop_term, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("n_distinct"),
+            bi(F.sum(F.when(F.col("stop_term").isNotNull(), 1).otherwise(0))).alias("n_stop"),
+            F.avg(F.length("term")).alias("avg_len_raw"),
+        )
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(ttr).alias("type_token_ratio"),
+        r6(F.col("avg_len_raw")).alias("avg_tok_len"),
+        r6(
+            0.4 * (1 - stop_ratio)
+            + 0.3 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.3 * ttr
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_token_bpe_regex",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+      CAST(list_max(list_transform(
+        regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'), x -> length(x))) AS BIGINT) AS max_piece_len
+    FROM documents
+    """,
+)
+def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish pretokenizer
+    regex (letter runs | digit runs | symbol runs — the RE2-safe core of
+    GPT-2-style pretokenization). On this punctuation-free corpus the
+    counts coincide, which the oracle verifies; the machinery is what
+    ships."""
+    docs = t(spark, sf_dir, "documents")
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    return docs.select(
+        "doc_id",
+        bi(F.size(F.filter(F.split("text", " "), lambda x: x != ""))).alias("n_ws_tokens"),
+        bi(F.size(pieces)).alias("n_bpe_tokens"),
+        bi(F.array_max(F.transform(pieces, F.length))).alias("max_piece_len"),
+    )
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+                                t -> CAST(length(t) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {_HASH_M}) AS fingerprint,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, fingerprint, n_tokens,
+           count(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+    FROM fp
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via an order-sensitive rolling hash
+    (Karp–Rabin fold acc·31+x mod 2³¹−1) over the token-length sequence —
+    engine-portable by construction (pure integer fold; both engines fold
+    left-to-right), unlike engine hash() functions (SURVEY.md §5.3). The
+    windowed count surfaces fingerprint collisions (structural dup
+    candidates)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    fp = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(_HASH_M).cast("long")),
+    )
+    out = docs.select(
+        "doc_id", fp.alias("fingerprint"), bi(F.size(toks)).alias("n_tokens")
+    )
+    w = Window.partitionBy("fingerprint")
+    return out.withColumn("n_same_fp", F.count(F.lit(1)).over(w))
+
+
+@query(
+    "dedup_near_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+          / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked by label (the semantic
+    analogue of lang-blocking in dedup_near_jaccard): label-keyed
+    self-join → JVM dot products → threshold. Blocking bounds the pair
+    space to Σ|block|²; the unblocked scale path is LSH bucketing
+    (sim_ann_lsh's signature machinery) feeding the same verifier."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    sq = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    n = e.select("vec_id", "label", "e", F.sqrt(sq).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("vec_a", "vec_b", "label", r6(F.col("cos_raw")).alias("cos_sim"))
+    )
+
+
+_SIMHASH_BITS = 32
+_SIM_BANDS = 4
+_SIM_BAND_BITS = 8
+
+
+@query("dedup_simhash")  # rows-only: simhash bits derive from engine xxhash64
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: per-document 32-bit signature from
+    tf-weighted token-hash bits → banded candidate join (4×8-bit bands,
+    any matching band) → Hamming distance ≤ 3 verification via
+    bit_count(xor). Like dedup_minhash_lsh, runs on exact-duplicate
+    representatives so identical documents can't flood the band buckets;
+    signature computation is one pass (32 aggregates), candidates are
+    bounded by band-bucket sizes."""
+    docs = t(spark, sf_dir, "documents")
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    groups = (
+        docs.select("doc_id", fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+        .cache()
+    )
+    tf = (
+        groups.select("rep_id", F.explode(F.split("fp", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("rep_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", F.xxhash64("term"))
+    )
+    bit_aggs = [
+        F.sum(
+            ((F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2) - 1) * F.col("tf")
+        ).alias(f"w{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    weights = tf.groupBy("rep_id").agg(*bit_aggs)
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    sigs = weights.select("rep_id", simhash.alias("simhash")).cache()
+
+    band_frames = [
+        sigs.select(
+            "rep_id",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * _SIM_BAND_BITS)
+            .bitwiseAND(F.lit(255))
+            .alias("bucket"),
+        )
+        for b in range(_SIM_BANDS)
+    ]
+    bands = band_frames[0]
+    for extra in band_frames[1:]:
+        bands = bands.unionAll(extra)
+    left = bands.select(F.col("rep_id").alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col("rep_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("rep_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        candidates.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("hamming", bi(hamming))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
