@@ -321,3 +321,52 @@ def pipe_benchmark_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("mse")).alias("avg_mse"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def _sweep_objective(spark: SparkSession, sf_dir: str, grid: list[tuple[float, float]]):
+    """Evaluate the cleaning objective for a threshold grid in ONE corpus
+    pass (the inner evaluation of the optimizer below). Objective: keep
+    energy, penalize kept-cell count — avg_kept_energy − 0.01·avg_n_kept."""
+    gdf = spark.createDataFrame(grid, "t_pic double, t_bnd double")
+    keep = _tailcut_keep(F.col("t_pic"), F.col("t_bnd"))
+    per_vec = (
+        _cells(spark, sf_dir)
+        .crossJoin(F.broadcast(gdf))
+        .groupBy("t_pic", "t_bnd", "vec_id")
+        .agg(
+            F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias("ke"),
+            F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias("nk"),
+        )
+    )
+    return per_vec.groupBy("t_pic", "t_bnd").agg(
+        r6(F.avg("ke") - 0.01 * F.avg("nk")).alias("objective")
+    )
+
+
+@query("pipe_optimize_threshold")  # rows-only: iterative, not SQL-expressible
+def pipe_optimize_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimization-driver analogue (the reference's third entry point: a
+    scipy brute/differential-evolution loop re-running the WHOLE per-image
+    pipeline per objective evaluation). Here: 3 deterministic grid-refine
+    iterations, each evaluating its entire candidate grid in one
+    broadcast-cross-join pass; the driver-side loop only shrinks the grid
+    around the incumbent — O(iterations) Spark jobs total, not
+    O(grid points × corpus passes). Returns the best point per iteration."""
+    center, step = (0.2, 0.1), 0.1
+    history = []
+    for it in range(3):
+        deltas = (-step, 0.0, step)
+        grid = sorted(
+            {
+                (round(max(center[0] + dp, 0.01), 4), round(max(center[1] + db, 0.005), 4))
+                for dp in deltas
+                for db in deltas
+            }
+        )
+        scored = _sweep_objective(spark, sf_dir, grid).collect()
+        best = max(scored, key=lambda r: (r.objective, -r.t_pic, -r.t_bnd))
+        history.append((it, float(best.t_pic), float(best.t_bnd), float(best.objective)))
+        center, step = (best.t_pic, best.t_bnd), step / 2
+    return spark.createDataFrame(
+        history, "iteration long, t_pic double, t_bnd double, objective double"
+    )
