@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r2, r6, um
+from ..functions.parity import r2, r6, um
 from ..registry import query
 
 

@@ -12,8 +12,6 @@ running state. The twin is therefore verified single-batch.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 import sap_cta_data_pipeline_spark.operators  # noqa: F401

@@ -3,7 +3,6 @@ fast paths they shadow."""
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
