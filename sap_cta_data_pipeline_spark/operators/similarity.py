@@ -139,6 +139,66 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
 
 
+@query("sim_ann_ivf")  # rows-only: cluster assignment is implementation-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate neighbors: coarse quantization by label
+    centroid (the inverted-file cell), probes scan only their nprobe=2
+    nearest cells. This is the sub-linear similarity path when LSH bucket
+    geometry doesn't fit the data: cells come from any coarse clustering
+    (here the label centroids, i.e. emb_centroid_by_label's machinery);
+    at 100 TB cells are k-means centroids and the corpus is stored
+    partitioned BY cell so a probe touches nprobe partitions only."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    # coarse centroids: element-wise mean per label, re-assembled into an
+    # array ordered by position
+    cents = (
+        t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p.cv).alias("ce"),
+        )
+        .cache()
+    )
+    dist2 = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+    ranked = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cell", dist2.alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assigned = ranked.withColumn("crn", F.row_number().over(w_assign))
+    corpus = assigned.filter(F.col("crn") == 1).select(
+        "vec_id", "e", "cell", _l2(F.col("e")).alias("nrm")
+    )
+    probes = (
+        assigned.filter((F.col("vec_id") < 10) & (F.col("crn") <= 2))  # nprobe = 2
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("e").alias("pe"),
+            _l2(F.col("e")).alias("pn"),
+            "cell",
+        )
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            r6(_dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return cands.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
+
+
 @query(
     "emb_centroid_by_label",
     oracle="""
