@@ -139,10 +139,10 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       count(*)                                                      AS n,
-      sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)     AS n_zero_disc,
-      sum(CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 1 ELSE 0 END) AS n_nonzero_disc,
-      sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 THEN 1 ELSE 0 END) AS n_disc_5pct,
-      sum(CASE WHEN (nullif(l_discount, 0.0) = 0.05) IS NULL THEN 1 ELSE 0 END)          AS n_unknown_cmp
+      CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)     AS n_zero_disc,
+      CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero_disc,
+      CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_5pct,
+      CAST(sum(CASE WHEN (nullif(l_discount, 0.0) = 0.05) IS NULL THEN 1 ELSE 0 END) AS BIGINT)          AS n_unknown_cmp
     FROM lineitem
     GROUP BY l_returnflag
     """,

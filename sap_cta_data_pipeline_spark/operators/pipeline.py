@@ -81,7 +81,7 @@ _TAILCUT_KEEP_SQL = (
     SELECT
       vec_id,
       label,
-      sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p=0.2, b=0.1)} THEN 1 ELSE 0 END) AS n_kept,
+      CAST(sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p=0.2, b=0.1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       round(sum(CASE WHEN {_TAILCUT_KEEP_SQL.format(p=0.2, b=0.1)} THEN x ELSE 0.0 END), 6) AS kept_energy
     FROM cells
     GROUP BY vec_id, label
@@ -236,8 +236,8 @@ def pipe_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cells AS ({_CELLS_SQL})
     SELECT
       vec_id, label,
-      sum(CASE WHEN x >= 0.15 THEN 1 ELSE 0 END) AS n_mask,
-      sum(CASE WHEN x >= 0.15 AND left_x < 0.15 AND right_x < 0.15 THEN 1 ELSE 0 END) AS n_killed,
+      CAST(sum(CASE WHEN x >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+      CAST(sum(CASE WHEN x >= 0.15 AND left_x < 0.15 AND right_x < 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_killed,
       round(sum(CASE WHEN x >= 0.15 AND NOT (left_x < 0.15 AND right_x < 0.15)
                      THEN x ELSE 0.0 END), 6) AS surviving_energy
     FROM cells

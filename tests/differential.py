@@ -73,6 +73,16 @@ def frames_match(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
     n = min(len(a), len(e))
     for c in a_cols:
         av, ev = a[c].iloc[:n], e[c].iloc[:n]
+        # dtype-kind strictness: an int64-vs-float64 split (e.g. DuckDB
+        # sum(INTEGER)→HUGEINT→float64 vs Spark BIGINT) would hash
+        # differently in any bytes-level comparison even when values match
+        if av.dtype.kind != ev.dtype.kind and not (
+            av.dtype.kind in "OU" and ev.dtype.kind in "OU"
+        ):
+            problems.append(
+                f"col {c!r}: dtype kind mismatch spark={av.dtype} oracle={ev.dtype}"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(ev):
             neq = np.asarray(
                 ~np.isclose(av.to_numpy(), ev.to_numpy(), rtol=0, atol=0, equal_nan=True)
