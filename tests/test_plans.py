@@ -71,6 +71,15 @@ def test_semi_anti_planned_as_joins(q):
     assert "LeftAnti" in plan_text(q("join_anti"), "simple")
 
 
+def test_runtime_tuning_applied(spark, q):
+    """tune() inside every registered query must leave the session with the
+    scale-critical confs set, even on a driver-owned session."""
+    q("agg_pricing_summary")  # any query applies tune()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_whole_stage_codegen_active(q):
     # the AQE pre-execution formatted plan hides codegen markers; the
     # codegen explain mode reports generated subtrees directly
