@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     filters,
     joins,
     pipeline,
+    reshape,
     scalar_fns,
     semistructured,
     setops,
@@ -24,6 +25,7 @@ __all__ = [
     "filters",
     "joins",
     "pipeline",
+    "reshape",
     "scalar_fns",
     "semistructured",
     "setops",
