@@ -18,6 +18,7 @@ from ..registry import query
 from .text import _tokens
 
 _HASH_M = 2147483647  # 2^31-1, the rolling-hash modulus
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / φ)
 
 
 @query(
@@ -237,6 +238,38 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("fingerprint")
     return out.withColumn("n_same_fp", F.count(F.lit(1)).over(w))
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ((doc_id * {_KNUTH}) % 4294967296) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by multiplicative
+    hash of the stable document id — the training-data-pipeline split
+    primitive. Engine-portable by construction (pure 64-bit integer
+    arithmetic, no engine hash()), so membership is reproducible across
+    engines, runs, and cluster topologies; new documents never reshuffle
+    existing assignments. Shuffle-free (a projection)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(4294967296)), F.lit(100))
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
 
 
 @query(
