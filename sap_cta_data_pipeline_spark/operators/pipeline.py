@@ -21,7 +21,7 @@ T_pic=0.2 keeps ≈5% of cells, T_bnd=0.1 ≈ 21%.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
@@ -98,6 +98,48 @@ def pipe_clean_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             bi(F.sum(keep.cast("int"))).alias("n_kept"),
             r6(F.sum(F.when(keep, F.col("x")).otherwise(0.0))).alias("kept_energy"),
         )
+    )
+
+
+@query(
+    "pipe_clean_lowpass",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    sm AS (
+      SELECT vec_id, label, pos, x,
+             avg(x) OVER (
+               PARTITION BY vec_id ORDER BY pos
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             ) AS smoothed
+      FROM cells
+    )
+    SELECT vec_id, label,
+           CAST(sum(CASE WHEN smoothed >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN smoothed >= 0.1 THEN x ELSE 0.0 END), 6)     AS kept_energy,
+           round(sum(smoothed), 6)                                          AS smoothed_energy
+    FROM sm
+    GROUP BY vec_id, label
+    """,
+)
+def pipe_clean_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-pass cleaning analogue (the reference's FFT/wavelet denoising
+    family next to tailcut): a ±2-cell moving-average smooths each vector,
+    cells are kept where the SMOOTHED signal clears the threshold —
+    suppressing isolated spikes that raw thresholding keeps. The smoothing
+    window partitions by vector, so the convolution is one windowed pass,
+    no self-join; frame truncation at vector edges matches on both
+    engines (ROWS frames)."""
+    w = (
+        Window.partitionBy("vec_id")
+        .orderBy("pos")
+        .rowsBetween(-2, 2)
+    )
+    sm = _cells(spark, sf_dir).withColumn("smoothed", F.avg("x").over(w))
+    keep = F.col("smoothed") >= 0.1
+    return sm.groupBy("vec_id", "label").agg(
+        bi(F.sum(keep.cast("int"))).alias("n_kept"),
+        r6(F.sum(F.when(keep, F.col("x")).otherwise(0.0))).alias("kept_energy"),
+        r6(F.sum("smoothed")).alias("smoothed_energy"),
     )
 
 
