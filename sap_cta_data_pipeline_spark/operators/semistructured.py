@@ -100,6 +100,41 @@ def arr_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "arr_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 7 = 0 THEN NULL
+                  ELSE list_slice(embedding, 1, 3) END AS arr
+      FROM embeddings
+    )
+    SELECT vec_id, i AS pos, CAST(arr[i + 1] AS DOUBLE) AS val
+    FROM src, range(0, 3) t(i)
+    WHERE arr IS NOT NULL
+    UNION ALL
+    SELECT vec_id, NULL AS pos, NULL AS val
+    FROM src
+    WHERE arr IS NULL
+    """,
+)
+def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generator (posexplode_outer): rows with a NULL
+    array survive with NULL pos/val instead of vanishing — the outer-join
+    semantics of explode, essential when the exploded side is optional
+    (every 7th vector's array is nulled to exercise it). The oracle
+    reproduces it as inner-generate UNION ALL null-rows."""
+    e = t(spark, sf_dir, "embeddings")
+    arr = F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+        F.slice("embedding", 1, 3)
+    )
+    return (
+        e.select("vec_id", arr.alias("arr"))
+        .select("vec_id", F.posexplode_outer("arr").alias("pos", "val"))
+        .select("vec_id", bi(F.col("pos")).alias("pos"), F.col("val").cast("double").alias("val"))
+    )
+
+
+@query(
     "arr_hof_norm",
     oracle="""
     SELECT
