@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
@@ -275,6 +275,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        fraction of matching signature slots (E[match] = Jaccard), kept at
        est ≥ 0.75 for the 0.8 target.
 
+    Shuffle contract (round 2): the ONLY corpus-scale shuffle is the
+    stage-1 fingerprint groupBy. Signatures are computed **in-row** from
+    the fingerprint's token array with higher-order functions (64
+    ``array_min∘transform`` permutations over one xxhash64 pass) — the
+    round-1 explode → corpus-token-row shuffle → 64-column min-agg
+    pipeline is gone. Banding is one ``posexplode`` of an 8-element
+    band-hash array (single projection, not an 8-branch union), so band
+    generation no longer depends on ``.cache()`` to stay cheap; the one
+    remaining cache is the tiny per-distinct-doc signature table that
+    feeds both join sides and both broadcast lookups.
+
     Verification is signature-based on purpose: the signature table is
     tiny (n_distinct × 64 longs) and broadcasts, so candidate scoring is
     a map-side zip-compare with NO shuffle — unlike a token-level exact
@@ -291,75 +302,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
     )
-    # groups and sigs fan out into multiple plan branches (bands ×2 join
-    # sides, broadcast signature lookups, member counts) — cache them or
-    # the whole signature pipeline recomputes per branch (measured 3×
-    # slowdown uncached). Both are tiny: one row per DISTINCT document.
     groups = (
         docs.select("doc_id", fingerprint.alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    # one xxhash64 per token, then 64 in-row permutation minima — no
+    # explode, no shuffle; empty-token docs (empty th array) drop out just
+    # as they produced no signature rows in the agg formulation
+    th_arr = F.transform(
+        F.filter(F.split("fp", " "), lambda x: x != ""),
+        lambda tk: F.pmod(F.xxhash64(tk), F.lit(_MINHASH_P)),
+    )
+    def _perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("th"), lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P)))
+        )
+
+    sig = F.array(*[_perm_min(a, b) for (a, b) in _minhash_coeffs()])
+    # sigs fans out into 4 plan branches (bands ×2 join sides + 2
+    # broadcast lookups) — cache it or the parquet scan + fingerprint
+    # groupBy re-runs per branch. Tiny: one row per DISTINCT document.
+    sigs = (
+        groups.select("rep_id", "n_members", th_arr.alias("th"))
+        .filter(F.size("th") > 0)
+        .select("rep_id", "n_members", sig.alias("sig"))
         .cache()
     )
-    members = groups.select("rep_id", "n_members")
-    tok = (
-        groups.select("rep_id", F.explode(F.split("fp", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .withColumnRenamed("rep_id", "doc_id")
-    )
-    th = F.pmod(F.xxhash64("term"), F.lit(_MINHASH_P))
-    hashed = tok.select("doc_id", th.alias("th"))
-    sig_aggs = [
-        F.min(F.pmod(F.col("th") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(_minhash_coeffs())
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_aggs).cache()
-    sig_arr = sigs.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)]).alias("sig")
-    )
 
-    # banding: one row per (doc, band) keyed by the hash of 4 signature slots
-    band_rows = []
-    for band in range(_N_BANDS):
-        cols = [F.col(f"h{band * _BAND_ROWS + j}") for j in range(_BAND_ROWS)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionAll(extra)
-
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    candidates = (
+    # banding: single posexplode of the 8 band hashes (band = pos)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(band), F.slice("sig", band * _BAND_ROWS + 1, _BAND_ROWS))
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select("rep_id", F.posexplode(band_hashes).alias("band", "bucket"))
+    left = bands.select(F.col("rep_id").alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col("rep_id").alias("doc_b"), "band", "bucket")
+    raw_pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
     # signature-estimate scoring: broadcast the signature arrays to both
-    # sides; similarity = fraction of matching slots (shuffle-free)
-    siga = sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sigb = sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("n_members").alias("n_members_a"))
-    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("n_members").alias("n_members_b"))
-    n_match = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # sides; similarity = fraction of matching slots (shuffle-free).
+    # Score BEFORE deduplicating candidates: scoring in the band-join
+    # stage keeps full parallelism and lets the sub-threshold pairs die
+    # before the distinct, whose input is then narrow scored rows — the
+    # distinct-first ordering shuffled narrow pairs, AQE coalesced them
+    # to a handful of partitions, and the array-materializing scoring
+    # stage then ran under-parallelized (measured 16.3s vs 6s at sf0.1).
+    siga = sigs.select(
+        F.col("rep_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("n_members").alias("n_members_a"),
     )
+    sigb = sigs.select(
+        F.col("rep_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("n_members").alias("n_members_b"),
+    )
+    # size∘filter∘zip_with beats an aggregate fold (~15% measured) and
+    # both beat 64 codegen'd element_at comparisons (~4× — the wide
+    # comparison expression defeats codegen, measured at sf0.1)
+    n_match = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     est = n_match.cast("double") / F.lit(float(_N_HASHES))
     return (
-        candidates.join(F.broadcast(siga), "doc_a")
+        raw_pairs.join(F.broadcast(siga), "doc_a")
         .join(F.broadcast(sigb), "doc_b")
         .withColumn("est_jaccard", r6(est))
         .filter(F.col("est_jaccard") >= 0.75)
-        .join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
         .select("doc_a", "doc_b", "est_jaccard", "n_members_a", "n_members_b")
+        .distinct()
     )

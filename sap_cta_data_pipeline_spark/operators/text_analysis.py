@@ -331,12 +331,20 @@ _SIM_BAND_BITS = 8
 @query("dedup_simhash")  # rows-only: simhash bits derive from engine xxhash64
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: per-document 32-bit signature from
-    tf-weighted token-hash bits → banded candidate join (4×8-bit bands,
-    any matching band) → Hamming distance ≤ 3 verification via
-    bit_count(xor). Like dedup_minhash_lsh, runs on exact-duplicate
-    representatives so identical documents can't flood the band buckets;
-    signature computation is one pass (32 aggregates), candidates are
-    bounded by band-bucket sizes."""
+    token-hash bits (tf ≡ 1 on the distinct-token fingerprint) → banded
+    candidate join (4×8-bit bands, any matching band) → Hamming distance
+    ≤ 3 verification via bit_count(xor). Like dedup_minhash_lsh, runs on
+    exact-duplicate representatives so identical documents can't flood
+    the band buckets.
+
+    Shuffle contract (round 2): the only corpus-scale shuffle is the
+    fingerprint groupBy. Bit weights are 32 in-row ``aggregate`` folds
+    over the fingerprint's hashed-token array (no explode, no
+    (rep, term) shuffle), and banding is one ``posexplode`` of a
+    4-element band array — a single projection whose cost no longer
+    depends on ``.cache()`` keeping 4 plan branches cheap. The one cache
+    is the tiny per-distinct-doc signature table feeding both join sides
+    and both broadcast lookups."""
     docs = t(spark, sf_dir, "documents")
     fingerprint = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
@@ -345,56 +353,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", fingerprint.alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
-        .cache()
     )
-    tf = (
-        groups.select("rep_id", F.explode(F.split("fp", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("rep_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("th", F.xxhash64("term"))
+    th_arr = F.transform(
+        F.filter(F.split("fp", " "), lambda x: x != ""), lambda tk: F.xxhash64(tk)
     )
-    bit_aggs = [
-        F.sum(
-            ((F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2) - 1) * F.col("tf")
-        ).alias(f"w{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    weights = tf.groupBy("rep_id").agg(*bit_aggs)
+
+    def _bit_weight(j: int):
+        return F.aggregate(
+            F.col("th"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
     simhash = None
     for j in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    sigs = weights.select("rep_id", simhash.alias("simhash")).cache()
-
-    band_frames = [
-        sigs.select(
-            "rep_id",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * _SIM_BAND_BITS)
-            .bitwiseAND(F.lit(255))
-            .alias("bucket"),
+        term = (
+            F.when(_bit_weight(j) > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-        for b in range(_SIM_BANDS)
-    ]
-    bands = band_frames[0]
-    for extra in band_frames[1:]:
-        bands = bands.unionAll(extra)
+        simhash = term if simhash is None else simhash + term
+    sigs = (
+        groups.select("rep_id", th_arr.alias("th"))
+        .filter(F.size("th") > 0)
+        .select("rep_id", simhash.alias("simhash"))
+        .cache()
+    )
+
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * _SIM_BAND_BITS).bitwiseAND(F.lit(255))
+            for b in range(_SIM_BANDS)
+        ]
+    )
+    bands = sigs.select("rep_id", F.posexplode(band_arr).alias("band", "bucket"))
     left = bands.select(F.col("rep_id").alias("doc_a"), "band", "bucket")
     right = bands.select(F.col("rep_id").alias("doc_b"), "band", "bucket")
-    candidates = (
+    raw_pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # score-then-distinct (same reasoning as dedup_minhash_lsh): Hamming
+    # verification runs map-side in the band-join stage at full
+    # parallelism; the distinct then deduplicates only surviving rows
     sa = sigs.select(F.col("rep_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        candidates.join(F.broadcast(sa), "doc_a")
+        raw_pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .withColumn("hamming", bi(hamming))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
