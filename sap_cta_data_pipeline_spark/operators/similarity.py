@@ -147,12 +147,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry doesn't fit the data: cells come from any coarse clustering
     (here the label centroids, i.e. emb_centroid_by_label's machinery);
     at 100 TB cells are k-means centroids and the corpus is stored
-    partitioned BY cell so a probe touches nprobe partitions only."""
+    partitioned BY cell so a probe touches nprobe partitions only.
+
+    Shuffle contract (round 2): cell assignment is **in-row** — the full
+    centroid set collapses to ONE broadcast row holding an
+    array<struct<cell, ce>>, each corpus vector computes every cell
+    distance with ``transform`` and takes the argmin via ``array_sort``
+    on struct(d2, cell) (lexicographic: distance, then cell — the same
+    deterministic tiebreak the old window used). The round-1 plan
+    materialized corpus×cells rows and shuffled them all by vec_id for a
+    row_number argmin — a 10× corpus-size exchange that existed only to
+    pick a minimum per row; the corpus branch now has NO Exchange before
+    the candidate join (asserted in tests/test_plans.py). nprobe probing
+    is the same trick: slice the first two of the sorted cell list."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
     # coarse centroids: element-wise mean per label, re-assembled into an
-    # array ordered by position
+    # array ordered by position, then collapsed to a single broadcast row
     cents = (
         t(spark, sf_dir, "embeddings")
         .select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -164,27 +176,34 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cell"),
             F.transform("pairs", lambda p: p.cv).alias("ce"),
         )
-        .cache()
     )
-    dist2 = F.aggregate(
-        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    cell_row = cents.agg(F.collect_list(F.struct("cell", "ce")).alias("cells"))
+
+    def _d2(c):  # squared L2 between the row's e and one centroid struct
+        return F.aggregate(
+            F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    ranked_cells = F.array_sort(
+        F.transform(F.col("cells"), lambda c: F.struct(_d2(c).alias("d2"), c["cell"].alias("cell")))
     )
-    ranked = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", "cell", dist2.alias("d2")
+    assigned = e.crossJoin(F.broadcast(cell_row)).select(
+        "vec_id", "e", ranked_cells.alias("rc")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    assigned = ranked.withColumn("crn", F.row_number().over(w_assign))
-    corpus = assigned.filter(F.col("crn") == 1).select(
-        "vec_id", "e", "cell", _l2(F.col("e")).alias("nrm")
+    corpus = assigned.select(
+        "vec_id", "e", F.element_at("rc", 1)["cell"].alias("cell"), _l2(F.col("e")).alias("nrm")
     )
     probes = (
-        assigned.filter((F.col("vec_id") < 10) & (F.col("crn") <= 2))  # nprobe = 2
+        assigned.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("e").alias("pe"),
             _l2(F.col("e")).alias("pn"),
-            "cell",
+            F.explode(F.slice("rc", 1, 2)).alias("pc"),  # nprobe = 2
         )
+        .select("probe_id", "pe", "pn", F.col("pc")["cell"].alias("cell"))
     )
     cands = (
         corpus.join(F.broadcast(probes), "cell")

@@ -84,3 +84,15 @@ def test_whole_stage_codegen_active(q):
     # the AQE pre-execution formatted plan hides codegen markers; the
     # codegen explain mode reports generated subtrees directly
     assert "WholeStageCodegen" in plan_text(q("agg_pricing_summary"), "codegen")
+
+
+def test_ivf_assignment_shuffle_free(q):
+    """Cell assignment must be in-row (broadcast centroids + array_sort
+    argmin): no window over vec_id and no corpus-keyed Exchange — the only
+    exchanges allowed are broadcasts, the tiny centroid build, and the
+    final probe-partitioned top-k window (VERDICT r1 item 1)."""
+    plan = plan_text(q("sim_ann_ivf"), "simple")
+    assert "hashpartitioning(vec_id" not in plan
+    # the only window spec left is the probe-partitioned top-k
+    assert "windowspecdefinition(vec_id" not in plan
+    assert plan.count("windowspecdefinition(probe_id") == 1
