@@ -62,11 +62,36 @@ def _tokens(docs: DataFrame) -> DataFrame:
     """,
 )
 def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term counts with deterministic ranking (count desc, term asc)."""
+    """Corpus term counts with deterministic ranking (count desc, term asc).
+
+    The rank is range-partitioned (round 2): an unpartitioned
+    ``Window.orderBy`` funnels the whole vocabulary — 10⁸–10⁹ rows at web
+    scale — through ONE partition. Instead the counts are
+    ``repartitionByRange`` on the sort key, each partition ranks locally,
+    and a broadcast of the (≤ n_partitions rows) per-partition offsets
+    turns local row_numbers into the identical global rank. The one
+    remaining global window runs over the partition-size table, which has
+    one row per partition by construction. The cache pins the range
+    boundaries: RangePartitioner samples per materialization, and the
+    offset branch and the rank branch must see the SAME partitioning."""
     docs = t(spark, sf_dir, "documents")
     counts = _tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
-    return counts.select("term", "cnt", bi(F.row_number().over(w)).alias("rnk"))
+    part = (
+        counts.repartitionByRange(32, F.col("cnt").desc(), F.col("term").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .select("term", "cnt", bi(F.row_number().over(w_local) + F.col("_off")).alias("rnk"))
+    )
 
 
 @query(

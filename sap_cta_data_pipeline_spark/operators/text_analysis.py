@@ -29,6 +29,8 @@ _KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / φ)
       FROM documents
     ), tok_f AS (
       SELECT * FROM tok WHERE term != ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok_f GROUP BY doc_id, term
     ), cnt AS (
       SELECT lang, term, count(*) AS c FROM tok_f GROUP BY lang, term
     ), tot AS (
@@ -36,14 +38,14 @@ _KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / φ)
     ), vocab AS (
       SELECT count(DISTINCT term) AS v FROM tok_f
     ), scored AS (
-      SELECT d.doc_id, l.lang AS cand_lang,
-             round(sum(ln((coalesce(c.c, 0) + 1.0) / (tot.n + vocab.v))), 6) AS score
-      FROM tok_f d
+      SELECT tf.doc_id, l.lang AS cand_lang,
+             round(sum(tf.tf * ln((coalesce(c.c, 0) + 1.0) / (tot.n + vocab.v))), 6) AS score
+      FROM tf
       CROSS JOIN (SELECT DISTINCT lang FROM documents) l
-      LEFT JOIN cnt c ON c.term = d.term AND c.lang = l.lang
+      LEFT JOIN cnt c ON c.term = tf.term AND c.lang = l.lang
       JOIN tot ON tot.lang = l.lang
       CROSS JOIN vocab
-      GROUP BY d.doc_id, l.lang
+      GROUP BY tf.doc_id, l.lang
     ), ranked AS (
       SELECT doc_id, cand_lang, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
@@ -60,32 +62,46 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via a corpus-fit Naive-Bayes unigram model
     (Laplace smoothing): per-language token profiles → per-doc
     log-likelihood → argmax (rounded score + lang tiebreak for
-    cross-engine-deterministic ranking). The profile tables are
-    vocab×langs-sized → broadcast; scoring is one shuffle keyed by
-    (doc, lang)."""
+    cross-engine-deterministic ranking).
+
+    Shuffle contract (round 2): per-doc term frequencies aggregate FIRST
+    (one corpus shuffle keyed (doc, term)), and each distinct (doc, term)
+    row contributes tf·log-prob — so the |langs|× expansion applies to
+    distinct-terms-per-doc, not token occurrences, and feeds a second
+    (doc, lang)-keyed aggregation. The round-1 plan crossJoined every
+    token OCCURRENCE with the language list — a |langs|× blow-up of the
+    corpus-sized token stream. The per-term profile map
+    (term → {lang: count}) is vocab-sized and broadcasts; above ~10M
+    distinct terms it would need a shuffle-join fallback."""
     docs = t(spark, sf_dir, "documents")
     tok = _tokens(docs)
-    cnt = tok.groupBy(
-        F.col("lang").alias("c_lang"), F.col("term").alias("c_term")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # per-term profile: one row per vocab term mapping lang → count
+    cnt = (
+        tok.groupBy("term", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("term")
+        .agg(F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap"))
+    )
     tot = tok.groupBy(F.col("lang").alias("t_lang")).agg(F.count(F.lit(1)).alias("n"))
     vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
     langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
 
     scored = (
-        tok.select("doc_id", "term")
+        tf.join(F.broadcast(cnt), "term")
         .crossJoin(F.broadcast(langs))
-        .join(
-            F.broadcast(cnt),
-            (F.col("term") == F.col("c_term")) & (F.col("cand_lang") == F.col("c_lang")),
-            "left",
-        )
         .join(F.broadcast(tot), F.col("cand_lang") == F.col("t_lang"))
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "cand_lang")
         .agg(
             r6(
-                F.sum(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v"))))
+                F.sum(
+                    F.col("tf")
+                    * F.log(
+                        (F.coalesce(F.element_at("cmap", F.col("cand_lang")), F.lit(0)) + 1.0)
+                        / (F.col("n") + F.col("v"))
+                    )
+                )
             ).alias("score")
         )
     )
@@ -138,12 +154,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-filtering shape (length/stopword/diversity signals)."""
     docs = t(spark, sf_dir, "documents")
     tok = _tokens(docs).select("doc_id", "term")
-    wtop = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    # top-5 via orderBy+limit = TakeOrderedAndProject (per-partition heaps
+    # + driver merge), not a vocab-wide single-partition rank window
     stops = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 5)
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(5)
         .select(F.col("term").alias("stop_term"))
     )
     per_doc = (
