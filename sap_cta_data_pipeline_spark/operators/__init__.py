@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregations,
     filters,
     joins,
+    multimodal_ops,
     pipeline,
     reshape,
     scalar_fns,
@@ -24,6 +25,7 @@ __all__ = [
     "aggregations",
     "filters",
     "joins",
+    "multimodal_ops",
     "pipeline",
     "reshape",
     "scalar_fns",

@@ -1,0 +1,59 @@
+"""§2-J multimodal binary-column lane, driver-visible (VERDICT r1 item 4).
+
+`functions/multimodal.py` holds the real plumbing — binary payload
+synthesis, the stubbed codec boundary, mapInPandas featurize/resize/
+frame-sample stages. This module registers the end-to-end pipeline as a
+driver-checkable query so the "multimodal columns" north-star bullet has
+a CORRECTNESS row.
+
+The oracle is possible because the synthetic payloads are deterministic:
+an asset's payload is the float32 byte-packing of its embedding, so
+DuckDB can recompute the decoded-sample moments straight from the
+`embeddings` table while Spark goes the long way round — pack to binary
+→ Arrow batch into Python → decode bytes → numpy moments. A value match
+therefore certifies the whole binary round-trip, not just the math.
+(crc32 is computed and pytest-covered but excluded here: no DuckDB twin.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import extract_features, synthesize_media
+from ..functions.parity import r6
+from ..registry import query
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT
+      vec_id                                   AS asset_id,
+      CASE CAST(label AS INTEGER) % 3
+        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+      END                                      AS media_type,
+      CAST(256 AS BIGINT)                      AS n_bytes,
+      round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64.0, 6) AS sample_mean,
+      round(sqrt(
+        list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 64.0
+        - (list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64.0) ^ 2
+      ), 6)                                    AS sample_std
+    FROM embeddings
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize binary media assets → decode (raw-f32 stub codec) →
+    featurize, all through the Arrow/mapInPandas lane; emit per-asset
+    decoded-sample statistics. Two mapInPandas stages, zero shuffle —
+    at 100 TB the only partitioning decision is Arrow batch sizing
+    (decoded-footprint-bounded) and an optional repartition before the
+    decode to spread hot media partitions."""
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        r6(F.col("sample_mean")).alias("sample_mean"),
+        r6(F.col("sample_std")).alias("sample_std"),
+    )
