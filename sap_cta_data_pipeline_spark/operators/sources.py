@@ -14,7 +14,6 @@ FITS files; SURVEY.md §2-A).
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,8 +28,11 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    # per-process scratch: concurrent runs against the same SF (pytest +
+    # bench/driver_sim in parallel) must not race each other's
+    # mode('overwrite') writes and read back partial data
     tag = os.path.basename(os.path.abspath(sf_dir.rstrip("/")))
-    return os.path.join("/tmp", "sap_cta_scratch", tag, name)
+    return os.path.join("/tmp", "sap_cta_scratch", f"pid{os.getpid()}", tag, name)
 
 
 _EVENTS_READ_SCHEMA = T.StructType(
@@ -153,11 +155,10 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT r_regionkey, r_name FROM region",
 )
 def scan_union_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-path scan: region across every sibling scale-factor dataset
-    in one reader, then distinct. (region content is identical per SF, so
-    the single-view oracle holds.)"""
-    parent = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
-    paths = sorted(glob.glob(os.path.join(parent, "*", "region.parquet")))
-    if not paths:  # fall back to the provided dir alone
-        paths = [os.path.join(os.path.abspath(sf_dir), "region.parquet")]
-    return spark.read.parquet(*paths).distinct()
+    """Multi-path scan: the same dataset listed twice in one reader call
+    (directory-of-datasets ingestion shape), then distinct. The paths
+    derive from sf_dir ONLY — an earlier version globbed sibling
+    scale-factor directories, which made the oracle depend on foreign /
+    partially-written siblings existing with identical region content."""
+    path = os.path.join(os.path.abspath(sf_dir), "region.parquet")
+    return spark.read.parquet(path, path).distinct()

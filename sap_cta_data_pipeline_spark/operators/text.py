@@ -150,7 +150,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking orders by the ROUNDED score (then term) so tie order is
     identical across engines. The doc-frequency side is tiny (vocab-sized)
     → broadcast join; N arrives via a broadcast single-row cross join."""
-    docs = t(spark, sf_dir, "documents")
+    return tfidf_topk_frame(t(spark, sf_dir, "documents"))
+
+
+def tfidf_topk_frame(docs: DataFrame) -> DataFrame:
+    """tf-idf over an arbitrary documents DataFrame — split out so tests
+    can run the identical plan over re-partitioned/filtered inputs
+    (partitioning-invariance property, tests/test_properties.py)."""
     tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -215,9 +221,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_near_jaccard",
     oracle="""
-    WITH tok AS (
+    WITH tok_raw AS (
       SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
       FROM documents
+    ), tok AS (
+      SELECT * FROM tok_raw WHERE term != ''
     ), sizes AS (
       SELECT doc_id, count(*) AS n_terms FROM tok GROUP BY doc_id
     ), inter AS (

@@ -67,18 +67,16 @@ def test_topk_deterministic_across_runs(spark, sf_dir):
 
 
 def test_tfidf_invariant_to_partitioning(spark, sf_dir):
-    """tf-idf scores must not depend on physical layout: recompute after a
-    random repartition of documents and compare the full result set."""
-    base = {tuple(r) for r in QUERIES["text_tfidf_topk"](spark, sf_dir).collect()}
-    docs = load_table(spark, sf_dir, "documents").repartition(13)
-    docs.createOrReplaceTempView("documents_repart")
-    # rebuild through the same op on a repartitioned temp copy
-    import sap_cta_data_pipeline_spark.operators.text as text_ops
+    """tf-idf scores must not depend on physical layout: run the SAME op
+    body over documents repartitioned to a prime partition count (and an
+    awkward 1-partition coalesce) and compare full result sets."""
+    from sap_cta_data_pipeline_spark.operators.text import tfidf_topk_frame
 
-    orig_tokens = text_ops._tokens
-    shuffled = {tuple(r) for r in QUERIES["text_tfidf_topk"](spark, sf_dir).collect()}
-    assert orig_tokens is text_ops._tokens  # no monkeypatch leaked
-    assert base == shuffled
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in tfidf_topk_frame(docs).collect()}
+    shuffled = {tuple(r) for r in tfidf_topk_frame(docs.repartition(13)).collect()}
+    single = {tuple(r) for r in tfidf_topk_frame(docs.coalesce(1)).collect()}
+    assert base == shuffled == single
 
 
 def test_dedup_exact_group_accounting(spark, sf_dir):

@@ -62,6 +62,37 @@ def test_twin_equals_batch(spark, stream_source, twin_fn, batch_key, mode):
     assert not problems, f"{batch_key} twin: " + "; ".join(problems)
 
 
+def test_session_twin_exact_gap_boundary(spark, tmp_path):
+    """Crafted events at exactly prev+30:00.000000 (ADVICE r1): the native
+    session_window must MERGE touching sessions exactly like the batch
+    gaps-and-islands (> splits, == merges), and +30:00.000001 must split —
+    pinned here instead of asserted by comment, and on both engines."""
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 10, 30, 0), 1, "view", 1.0, "{}"),  # == gap
+        (2, dt.datetime(2024, 1, 1, 11, 0, 0, 1), 1, "view", 1.0, "{}"),  # gap+1us
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    events.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    streamed = _run_stream(
+        spark, twins.session_aggregates(src), "sink_boundary_sessions", "complete"
+    ).toPandas()
+    batch = (
+        QUERIES["stream_session"](spark, str(tmp_path)).drop("session_id").toPandas()
+    )
+    assert sorted(streamed["n_events"]) == [1, 2] == sorted(batch["n_events"])
+    problems = frames_match(streamed, batch)
+    assert not problems, "boundary session twin: " + "; ".join(problems)
+
+
 def test_session_twin_equals_batch(spark, stream_source):
     """session_window twin vs gaps-and-islands batch: compare on the
     session grain (start/end/n/span/value per user) — the batch op's
