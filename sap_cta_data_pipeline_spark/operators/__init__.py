@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     scalar_fns,
     semistructured,
     setops,
+    sketches,
     similarity,
     sorts,
     sources,
@@ -31,6 +32,7 @@ __all__ = [
     "scalar_fns",
     "semistructured",
     "setops",
+    "sketches",
     "similarity",
     "sorts",
     "sources",

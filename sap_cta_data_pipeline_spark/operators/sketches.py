@@ -1,0 +1,134 @@
+"""§2-D addendum (round 2): mergeable-sketch aggregation lane.
+
+SCALE.md §D's 100-TB story for approximate aggregates is "persist
+per-partition sketches, re-aggregate by MERGING sketches, never re-scan
+raw data". Round 1 only *named* that swap; these operators execute it:
+
+- `agg_hll_mergeable` builds per-nation HyperLogLog sketches (Apache
+  DataSketches via `hll_sketch_agg`), round-trips them through a parquet
+  sink as binary cells, merges the persisted sketches with
+  `hll_union_agg`, and proves the merged estimate equals the one-shot
+  whole-table estimate. Rows-only lane: sketch bytes/estimates are
+  DataSketches-specific, no DuckDB twin.
+- `agg_quantile_mergeable` is the quantile analogue with a fully
+  ORACLED algebra: fixed-width histograms are mergeable by construction
+  (vector addition), so per-group histograms → merged global histogram →
+  quantile edges is reproducible in ANSI SQL exactly — the mergeability
+  demonstration carries a hard value check, not just a row count.
+
+tests/test_sketch_merge.py additionally pins merged == one-shot at the
+estimate level for HLL and merged == direct for the histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi
+from ..registry import query
+from .sources import _scratch
+
+#: l_quantity lives in [1, 50]; 25 fixed buckets of width 2 — the bucket
+#: spec must be a CONSTANT for histograms to be mergeable across
+#: partitions/days (data-dependent bounds would make vectors unalignable).
+_Q_BUCKETS = 25
+_Q_WIDTH = 2.0
+
+
+@query("agg_hll_mergeable")  # rows-only: DataSketches binary/estimate, no SQL twin
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-sketch re-aggregation: per-nation HLL sketches of
+    c_custkey → parquet (binary column) → read back → `hll_union_agg`
+    merge → estimate; alongside the one-shot whole-table estimate and the
+    exact distinct count. At 100 TB the per-partition sketch table is
+    what you store per day/partition; any rollup (per week, global,
+    per region) is a merge over kilobyte sketches with NO raw re-scan.
+    Output pins merged == one-shot (same sketch algebra ⇒ identical
+    estimate), which the driver sees as a 1-row stable-schema result."""
+    c = t(spark, sf_dir, "customer")
+    per_group = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    path = _scratch(sf_dir, "hll_sketches")
+    per_group.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    merged = persisted.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    oneshot = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("oneshot_estimate"),
+        F.countDistinct("c_custkey").alias("n_exact"),
+    )
+    return (
+        merged.crossJoin(oneshot)
+        .select(
+            "n_sketches",
+            "merged_estimate",
+            "oneshot_estimate",
+            "n_exact",
+            (F.col("merged_estimate") == F.col("oneshot_estimate")).alias(
+                "merged_equals_oneshot"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_quantile_mergeable",
+    oracle=f"""
+    WITH hist_g AS (
+      SELECT l_returnflag,
+             least(CAST(floor(l_quantity / {_Q_WIDTH}) AS BIGINT), {_Q_BUCKETS - 1}) AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), hist AS (
+      SELECT bucket, sum(n) AS n FROM hist_g GROUP BY bucket
+    ), cum AS (
+      SELECT bucket, n,
+             sum(n) OVER (ORDER BY bucket) AS cum_n,
+             sum(n) OVER () AS total_n
+      FROM hist
+    )
+    SELECT
+      min(CASE WHEN cum_n >= 0.5 * total_n THEN (bucket + 1) * {_Q_WIDTH} END) AS p50_edge,
+      min(CASE WHEN cum_n >= 0.9 * total_n THEN (bucket + 1) * {_Q_WIDTH} END) AS p90_edge,
+      min(CASE WHEN cum_n >= 0.99 * total_n THEN (bucket + 1) * {_Q_WIDTH} END) AS p99_edge,
+      CAST(max(total_n) AS BIGINT) AS n_total
+    FROM cum
+    """,
+)
+def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via fixed-width histograms: per-returnflag
+    histograms (the 'persisted per-partition sketch') merge by bucket-wise
+    addition into the global histogram, and quantile edges come off the
+    merged cumulative counts. Every stage is exact integer algebra →
+    full DuckDB oracle. Shuffle profile: corpus → (flag, bucket) partial
+    agg (≤ groups×25 rows), then a 25-row merge and a 25-row window —
+    re-aggregation cost is independent of corpus size, which is the whole
+    point of the sketch lane."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_quantity") / _Q_WIDTH).cast("long"), F.lit(_Q_BUCKETS - 1)
+    )
+    hist_g = li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = hist_g.groupBy("bucket").agg(F.sum("n").alias("n"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    edge = (F.col("bucket") + 1) * _Q_WIDTH
+    return cum.agg(
+        F.min(F.when(F.col("cum_n") >= 0.5 * F.col("total_n"), edge)).alias("p50_edge"),
+        F.min(F.when(F.col("cum_n") >= 0.9 * F.col("total_n"), edge)).alias("p90_edge"),
+        F.min(F.when(F.col("cum_n") >= 0.99 * F.col("total_n"), edge)).alias("p99_edge"),
+        bi(F.max("total_n")).alias("n_total"),
+    )
