@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
@@ -347,12 +347,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("fp", " "), lambda x: x != ""),
         lambda tk: F.pmod(F.xxhash64(tk), F.lit(_MINHASH_P)),
     )
-    def _perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("th"), lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P)))
-        )
-
-    sig = F.array(*[_perm_min(a, b) for (a, b) in _minhash_coeffs()])
+    # one nested transform over a literal coefficient array, not 64
+    # separate array_min expressions: same signatures, ~64× smaller
+    # expression tree (≈1s less one-time plan compile per session)
+    coeff_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _minhash_coeffs()]
+    )
+    sig = F.transform(
+        coeff_arr,
+        lambda c: F.array_min(
+            F.transform(F.col("th"), lambda h: F.pmod(h * c["a"] + c["b"], F.lit(_MINHASH_P)))
+        ),
+    )
     # sigs fans out into 4 plan branches (bands ×2 join sides + 2
     # broadcast lookups) — cache it or the parquet scan + fingerprint
     # groupBy re-runs per branch. Tiny: one row per DISTINCT document.
