@@ -285,3 +285,73 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.corr("n_chars", "l2_norm")).alias("corr_chars_norm"),
         )
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), rng AS (
+      SELECT vec_id, label, e,
+             list_min(e) AS lo, list_max(e) AS hi,
+             (list_max(e) - list_min(e)) / 255.0 AS s
+      FROM v
+    ), err AS (
+      SELECT vec_id, label, lo, hi, s,
+             list_transform(e, x -> abs(lo + floor((x - lo) / s + 0.5) * s - x)) AS errs
+      FROM rng
+    )
+    SELECT vec_id, label,
+           round(lo, 6)                 AS lo,
+           round(hi, 6)                 AS hi,
+           round(s, 6)                  AS scale,
+           round(list_sum(errs) / 64.0, 6) AS mae,
+           round(list_max(errs), 6)     AS max_err
+    FROM err
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard 4× embedding
+    compression before ANN indexing): per-vector [min,max] → 255-step
+    affine code, reported as reconstruction-error stats (mean/max absolute
+    error — the metric that decides whether quantized recall is
+    acceptable). Fully in-row JVM higher-order math: zero shuffle, scales
+    embarrassingly; the codes array itself stays internal (oracled outputs
+    never carry raw arrays — SURVEY §5.3) but is exactly
+    floor((x-lo)/scale + 0.5), i.e. what a writer would pack to int8.
+    floor(z+0.5) not round(): ties-away vs ties-to-even round() semantics
+    differ across engines; floor is unambiguous."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    rng = e.select(
+        "vec_id",
+        "label",
+        "e",
+        F.array_min("e").alias("lo"),
+        F.array_max("e").alias("hi"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("s"),
+    )
+    recon = lambda x: F.col("lo") + F.floor((x - F.col("lo")) / F.col("s") + 0.5) * F.col("s")
+    err = rng.select(
+        "vec_id",
+        "label",
+        "lo",
+        "hi",
+        "s",
+        F.transform("e", lambda x: F.abs(recon(x) - x)).alias("errs"),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        r6(F.col("lo")).alias("lo"),
+        r6(F.col("hi")).alias("hi"),
+        r6(F.col("s")).alias("scale"),
+        r6(
+            F.aggregate("errs", F.lit(0.0), lambda acc, x: acc + x) / F.lit(64.0)
+        ).alias("mae"),
+        r6(F.array_max("errs")).alias("max_err"),
+    )

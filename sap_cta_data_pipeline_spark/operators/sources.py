@@ -127,6 +127,26 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip through ORC — the second columnar format the Spark
+    reader stack supports natively (vectorized read, predicate pushdown,
+    column pruning — same scan contract as parquet). Binary format with a
+    real type system: TIMESTAMP_NTZ and doubles survive without the
+    text-format escaping concerns of CSV/JSON, so no format options are
+    needed; the explicit read schema still pins column types (never
+    inferred, per module contract)."""
+    path = _scratch(sf_dir, "events_orc")
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").orc(path)
+    return spark.read.schema(_EVENTS_READ_SCHEMA).orc(path)
+
+
+@query(
     "sink_parquet_partitioned",
     oracle="""
     SELECT

@@ -1,0 +1,149 @@
+"""§2 round-2 addendum — remaining ANSI aggregate/window surfaces.
+
+Completes the §2-D/E function surface with the forms users reach for that
+round 1 did not register: discrete percentiles, bivariate statistics
+(corr / covariance / linear-regression aggregates), a deterministic MODE,
+and per-partition COUNT(DISTINCT) at row grain.
+
+Scale notes:
+- percentile_disc / mode / regr_* are all single-shuffle grouped
+  aggregates with partial+final phases (regr_* and corr are algebraic:
+  their state is a handful of sums/moments, constant-size per group);
+- the deterministic mode is groupBy(key, value) + per-key rank — two
+  shuffles but both keyed and combiner-friendly, and it pins tie-breaks
+  (engine-native mode() is unspecified under ties → unusable for parity
+  or reproducible pipelines);
+- win_count_distinct keeps row grain with a per-partition exact distinct
+  via collect_set over the window — state is per-key distinct values,
+  bounded here by suppliers-per-order (≤7); for unbounded-cardinality keys
+  the scale path is a grouped countDistinct re-joined onto the fact, which
+  is the decorrelated form of the same query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r4, r6
+from ..registry import query
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (exact order statistics — an actual member of
+    the group, no interpolation; contrast agg_median_exact's continuous
+    median). Exact-but-distributed: per-group sort only, no global sort.
+    The approximate twin for 100 TB is agg_quantile_approx /
+    agg_quantile_mergeable (KLL-style mergeable sketches)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").alias("p75"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity ASC) AS rk
+      FROM counted
+    )
+    SELECT l_returnflag,
+           l_quantity AS mode_quantity,
+           cnt        AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE with a pinned tie-break (highest count, then smallest value).
+    Engine-native mode() leaves ties unspecified — across engines, runs,
+    and partitionings that is a reproducibility bug; a training-data
+    pipeline needs the same mode every run. Shape: counted groupBy
+    (combiner-friendly) then a per-key rank over group-count rows (tiny:
+    |distinct values per key|)."""
+    li = t(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)     AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics + linear-regression aggregates per group. All
+    algebraic aggregates (state = co-moment sums) → partial+final with
+    constant per-group state; at 100 TB this is a single shuffle of
+    5-doubles-per-group, nothing more."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+        r6(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        r4(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+        r6(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+    )
+
+
+@query(
+    "win_count_distinct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp_in_order,
+           count(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey) AS n_parts_in_order
+    FROM lineitem
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition exact COUNT(DISTINCT) at row grain. Spark's window
+    operator rejects DISTINCT aggregates, so the idiomatic form is
+    size(collect_set(..)) over the window — exact, one shuffle by the
+    partition key. Window state is the per-order distinct set (≤7 here);
+    for high-cardinality keys use groupBy(key).countDistinct + re-join
+    (same result, bounded state)."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        bi(F.size(F.collect_set("l_suppkey").over(w))).alias("n_supp_in_order"),
+        bi(F.size(F.collect_set("l_partkey").over(w))).alias("n_parts_in_order"),
+    )

@@ -210,3 +210,43 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.count(F.lit(1)).over(w)).alias("running_n"),
         r6(F.sum("value").over(w)).alias("running_value"),
     )
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             event_type,
+             count(*)               AS n,
+             round(sum(value), 2)   AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type ASC) AS rk
+      FROM counted
+    )
+    SELECT window_start, event_type, n, sum_value, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour (trending-items shape), with a
+    pinned tie-break (count desc, type asc). Windowed agg then a
+    per-window rank — the window key partitions the rank, so no global
+    sort. Streaming deployment: the windowed count is an incremental
+    watermarked agg; the per-window top-k runs in the foreachBatch sink
+    (or a downstream batch view) since rank-over-updates is not
+    incrementally expressible — the standard two-stage streaming top-k."""
+    e = t(spark, sf_dir, "events")
+    counted = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counted.withColumn("rk", bi(F.row_number().over(w)))
+        .filter(F.col("rk") <= 3)
+    )

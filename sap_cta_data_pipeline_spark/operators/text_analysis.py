@@ -424,3 +424,125 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS l
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-bigram frequency, top-50 with a pinned tie-break
+    (count desc, bigram asc — LIMIT is only deterministic under a total
+    order). Bigrams are built in-row from the token array (a JVM
+    higher-order transform over adjacent positions — no self-join of the
+    token stream on position, which would shuffle the corpus twice); the
+    only shuffle is the combiner-friendly groupBy on a vocab²-bounded key
+    space, and the top-50 is TakeOrderedAndProject (no global sort)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH bg AS (
+      SELECT DISTINCT doc_id, lang, bigram
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), x -> x != '') AS l
+              FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_bg FROM bg GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_id AS probe_id, c.doc_id AS cand_id, count(*) AS n_inter
+      FROM bg p
+      JOIN bg c ON p.lang = c.lang AND p.bigram = c.bigram
+                AND c.doc_id != p.doc_id
+      WHERE p.doc_id % 37 = 0
+      GROUP BY p.doc_id, c.doc_id
+    )
+    SELECT probe_id, cand_id,
+           round(CAST(n_inter AS DOUBLE) / (sp.n_bg + sc.n_bg - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sp ON sp.doc_id = probe_id
+    JOIN sizes sc ON sc.doc_id = cand_id
+    WHERE CAST(n_inter AS DOUBLE) / (sp.n_bg + sc.n_bg - n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word-bigram) Jaccard near-duplicates for a deterministic
+    probe subset (doc_id ≡ 0 mod 37) against the full corpus — the
+    order-sensitive complement to dedup_near_jaccard's bag-of-tokens
+    Jaccard (bigrams distinguish 'a b a' from 'b a b'; unigram sets do
+    not). Pair generation is an inverted-index join on shared (lang,
+    bigram) keys, so cost is Σ df_probe·df_corpus per bigram — linear in
+    corpus size for a fixed probe set, never all-pairs. The probe-subset
+    shape is the production one (dedup an incoming batch against the
+    corpus); full-corpus dedup at scale goes through dedup_minhash_lsh."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+        .distinct()
+    )
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bg"))
+    p = bg.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("probe_id"), "lang", "bigram"
+    )
+    c = bg.select(F.col("doc_id").alias("cand_id"), "lang", "bigram")
+    inter = (
+        p.join(c, ["lang", "bigram"])
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sp = sizes.select(F.col("doc_id").alias("probe_id"), F.col("n_bg").alias("n_p"))
+    sc = sizes.select(F.col("doc_id").alias("cand_id"), F.col("n_bg").alias("n_c"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_p") + F.col("n_c") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sp), "probe_id")
+        .join(F.broadcast(sc), "cand_id")
+        .filter(jac >= 0.5)
+        .select("probe_id", "cand_id", r6(jac).alias("jaccard"))
+    )

@@ -4,6 +4,7 @@ entry() smoke check, then every queries()[k] at sf0.01 compared against
 oracle_sql()[k] via DuckDB.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--tz America/New_York]
+       [--only substr1,substr2]   (run only keys containing a substring)
 """
 
 from __future__ import annotations
@@ -25,6 +26,9 @@ from tests.differential import frames_match  # noqa: E402
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
     tz = sys.argv[sys.argv.index("--tz") + 1] if "--tz" in sys.argv else None
+    only = (
+        sys.argv[sys.argv.index("--only") + 1].split(",") if "--only" in sys.argv else None
+    )
 
     # Plain session, as the driver would build it — no engine tuning applied.
     builder = SparkSession.builder.master("local[8]").appName("driver-sim")
@@ -45,6 +49,8 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if any(s in k for s in only)}
     print(f"== {len(qs)} queries at {sf_dir} ({len(oracles)} oracled) ==")
     failed = []
     for key in sorted(qs):
