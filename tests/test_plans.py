@@ -96,3 +96,45 @@ def test_ivf_assignment_shuffle_free(q):
     # the only window spec left is the probe-partitioned top-k
     assert "windowspecdefinition(vec_id" not in plan
     assert plan.count("windowspecdefinition(probe_id") == 1
+
+
+def test_subqueries_decorrelated_shapes(q):
+    """The subquery family must plan as joins, never nested per-row plans:
+    EXISTS/IN → LeftSemi, the uncorrelated scalar threshold → a broadcast
+    (1-row relation), the Q17 correlated aggregate → a window over the
+    correlation key (decorrelated — no re-aggregation join per outer row)."""
+    assert "LeftSemi" in plan_text(q("sub_exists"), "simple")
+    assert "LeftSemi" in plan_text(q("sub_in"), "simple")
+    assert "Broadcast" in plan_text(q("sub_scalar_global"), "simple")
+    plan = plan_text(q("sub_correlated_agg"), "simple")
+    assert "windowspecdefinition(l_partkey" in plan
+
+
+def test_salted_join_two_key(q):
+    """The salted join must actually join on (key, salt) — both columns in
+    the join keys — and keep a partial+final agg after it."""
+    plan = plan_text(q("join_salted_skew"), "simple")
+    join_line = next(l for l in plan.splitlines() if "Join" in l and "orderkey" in l)
+    assert "salt" in join_line
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_quantize_in_row_no_shuffle(q):
+    """emb_quantize_int8 is pure per-row math: the plan must contain no
+    Exchange at all (scan → project), the embarrassingly-parallel shape."""
+    plan = plan_text(q("emb_quantize_int8"), "simple")
+    assert "Exchange" not in plan
+
+
+def test_ngram_freq_take_ordered(q):
+    """Corpus bigram top-50 must be TakeOrderedAndProject (per-partition
+    heaps), not a global Sort of the vocab²-keyed aggregate."""
+    plan = plan_text(q("text_ngram_freq"), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_topk_rank_is_window_partitioned(q):
+    """The per-window rank must partition by window_start — no global
+    window over all (window, type) rows."""
+    plan = plan_text(q("stream_topk_windowed"), "simple")
+    assert "windowspecdefinition(window_start" in plan
