@@ -1,0 +1,126 @@
+"""§2 round-2 addendum — behavioral analytics over the event stream.
+
+The two canonical product-analytics shapes users run on an events table:
+
+- events_cohort_retention — classic cohort/retention triangle: each user
+  belongs to the cohort of their first-activity day; the matrix counts
+  distinct active users per (cohort day, age-in-days). One window keyed
+  on user_id computes first-activity without a join-back (the groupBy +
+  re-join formulation shuffles the fact table twice; the window shuffles
+  once), then a distinct + keyed count — every stage keyed, no global
+  state.
+- events_funnel_steps — ordered funnel (view → click → purchase) with
+  strict event-time ordering between steps. Each stage is a keyed
+  min-aggregate joined to the (shrinking) survivor set of the previous
+  stage — the fact table is scanned once per step but each scan is
+  filtered to one event type (predicate pushdown to the scan), and the
+  survivor sets are user-cardinality, not event-cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi
+from ..registry import query
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, age_days, count(*) AS n_users
+    FROM a GROUP BY cohort_day, age_days
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: cohort = first-activity day per user,
+    age = days since cohort, cell = distinct active users. The first-day
+    computation is a user-keyed window (single shuffle on user_id), the
+    cell count a keyed distinct+agg — no join-back of a per-user
+    aggregate onto the fact table."""
+    e = t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id")
+    active = e.select(
+        "user_id",
+        F.min(day).over(w).cast("string").alias("cohort_day"),
+        F.datediff(day, F.min(day).over(w)).alias("age_days"),
+    ).distinct()
+    return active.groupBy("cohort_day", bi(F.col("age_days")).alias("age_days")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT '2_click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT '3_purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users who viewed, then clicked after their
+    first view, then purchased after that first qualifying click. Step N
+    = user-keyed min-timestamp join against step N−1's survivors;
+    event-type filters push down to each scan. Counts are monotone
+    non-increasing by construction."""
+    e = t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("step"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click").alias("step"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return out.select("step", bi(F.col("n_users")).alias("n_users"))

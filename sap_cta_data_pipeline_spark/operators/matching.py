@@ -1,0 +1,242 @@
+"""§2 round-2 addendum — entity resolution: duplicate clustering and fuzzy
+matching.
+
+Pair-finding (dedup_exact / dedup_near_jaccard / dedup_minhash_lsh) emits
+EDGES; a production dedup pipeline needs the transitive closure — which
+documents form one duplicate CLUSTER, and which single representative
+survives. That closure is a connected-components computation:
+
+- dedup_cluster_cc — components over the near-duplicate graph via
+  iterative min-label propagation. The iteration count is the graph
+  diameter, not the corpus size: each round is one keyed join + one keyed
+  min-aggregate over the (reps-sized) label table, all Spark-distributed;
+  the only driver traffic is one convergence count per round (the same
+  iterative-algorithm lane as pipe_optimize_threshold — but unlike that
+  op, the fixpoint here is deterministic and SQL-expressible, so it
+  carries a full recursive-CTE value oracle). For web-scale graphs with
+  large diameters the drop-in replacement is the large-star/small-star
+  algorithm (O(log n) rounds); min-label propagation is the readable
+  exact form and converges in ≤ a handful of rounds on near-dup graphs,
+  whose components are dense by construction.
+- join_fuzzy_levenshtein — edit-distance fuzzy matching on a
+  dictionary-sized key domain, with the dedupe-before-quadratic pattern:
+  collapse the fact table to DISTINCT names first (2 000 parts → 64
+  names), pair the tiny dictionary (broadcast nested-loop is correct and
+  cheap at dictionary scale), prefilter by length difference BEFORE
+  computing the O(len²) edit distance. At larger dictionary sizes the
+  blocking becomes an equi-join key (length band × first character, or
+  q-gram inverted index) — the docstring contract names the swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi
+from ..registry import query
+
+_JACCARD_T = 0.8
+_MAX_CC_ROUNDS = 25
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint: ``nodes`` has one ``node``
+    column, ``edges`` is the SYMMETRIC (src, dst) relation; returns
+    (node, comp) with comp = min node id reachable. Rounds = component
+    diameter; each round is one keyed join + keyed min-agg, eagerly
+    localCheckpoint-ed so the per-round plan stays flat instead of
+    nesting R joins deep (the convergence count doubles as the
+    materialization action). One scalar count per round crosses the
+    driver — the iterative-algorithm lane."""
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_MAX_CC_ROUNDS):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nc"))
+        )
+        new_labels = (
+            labels.join(prop, labels.node == prop.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE canon AS (
+      SELECT doc_id, lang,
+             array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x != ''))), ' ') AS fp
+      FROM documents
+    ), groups AS (
+      SELECT fp, min(lang) AS lang, min(doc_id) AS rep, count(*) AS n_docs
+      FROM canon GROUP BY fp
+    ), tok AS (
+      SELECT DISTINCT rep AS doc_id, lang, unnest(string_split(fp, ' ')) AS term
+      FROM groups
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      FROM tok a JOIN tok b ON a.term = b.term AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges0 AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    ), edges AS (
+      SELECT da AS src, db AS dst FROM edges0
+      UNION ALL
+      SELECT db AS src, da AS dst FROM edges0
+    ), cc(node, lbl) AS (
+      SELECT rep, rep FROM groups
+      UNION
+      SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.node
+    ), comp AS (
+      SELECT node, min(lbl) AS comp_id FROM cc GROUP BY node
+    )
+    SELECT comp.comp_id,
+           count(*)                                       AS n_reps,
+           CAST(sum(g.n_docs) AS BIGINT)                  AS n_docs,
+           array_to_string(list_sort(list(comp.node)), ',') AS rep_ids_csv
+    FROM comp JOIN groups g ON g.rep = comp.node
+    GROUP BY comp.comp_id
+    HAVING sum(g.n_docs) > 1
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (not just pairs): exact-dup collapse →
+    lang-blocked Jaccard ≥ 0.8 edges between representatives → connected
+    components by min-label propagation → per-component roll-up (id = min
+    doc_id, member counts incl. exact dups, sorted rep list). Components
+    of size 1 with no exact dups are dropped (nothing to deduplicate).
+
+    Distribution contract: every per-round operation is keyed on the node
+    id (join + min-agg over the reps-sized label table, edges table
+    reused each round from cache); rounds = component diameter; one
+    scalar convergence count per round crosses the driver. The oracle is
+    the recursive-CTE min-reachable-label fixpoint — identical answer by
+    induction on path length."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.concat_ws(
+        " ",
+        F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))),
+    )
+    groups = (
+        docs.select("doc_id", "lang", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    tok = groups.select(
+        F.col("rep").alias("doc_id"), "lang", F.explode(F.split("fp", " ")).alias("term")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("da"), "lang", "term")
+    b = tok.select(F.col("doc_id").alias("db"), "lang", "term")
+    inter = (
+        a.join(b, ["lang", "term"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    edges0 = (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .filter(jac >= _JACCARD_T)
+        .select("da", "db")
+    )
+    edges = edges0.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionAll(
+        edges0.select(F.col("db").alias("src"), F.col("da").alias("dst"))
+    )
+    edges = edges.cache()
+
+    labels = connected_components(
+        groups.select(F.col("rep").alias("node")), edges
+    )
+
+    out = (
+        labels.join(groups.select(F.col("rep").alias("node"), "n_docs"), "node")
+        .groupBy(F.col("comp").alias("comp_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum("n_docs").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_list("node"))).alias("rep_ids_csv"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return out
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name  AS name_a,
+           b.p_name  AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_parts_a,
+           b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match on part names within edit distance 3 — the
+    entity-resolution primitive for typo-grade name variants. Scale shape:
+    collapse the fact table to its DISTINCT name dictionary first (one
+    combiner-friendly groupBy; 2 000 rows → 64 names here, and name
+    dictionaries stay ≪ fact cardinality at any scale), pair the
+    dictionary via broadcast nested-loop (correct at dictionary size),
+    and gate the O(len²) levenshtein behind the O(1) length-difference
+    prefilter (edit distance ≥ length gap, so no matches are lost). For
+    dictionaries past broadcast size, the pairing becomes an equi-join on
+    blocking keys (length band × prefix, or a q-gram inverted index —
+    dedup_ngram_jaccard's join shape) before the same verify."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 3)
+            & (dist <= 3),
+        )
+        .select("name_a", "name_b", bi(dist).alias("dist"), "n_parts_a", "n_parts_b")
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r6
+from ..functions.parity import bi, r2, r6
 from ..registry import query
 
 
@@ -190,4 +190,45 @@ def map_from_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
         F.element_at(m, F.lit("brand")).alias("brand_val"),
         F.element_at(m, F.lit("size")).cast("long").alias("size_val"),
+    )
+
+
+@query(
+    "map_hof_ops",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) * 2                 AS size2,
+             round(p_retailprice * 100, 0) * 2          AS cents2
+      FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN size2 >= 50 AND cents2 >= 50 THEN 'cents,size'
+                WHEN cents2 >= 50 THEN 'cents'
+                WHEN size2 >= 50 THEN 'size'
+                ELSE '' END                              AS keys_csv,
+           CASE WHEN size2 >= 50 THEN round(size2, 2) END  AS size_x2,
+           CASE WHEN cents2 >= 50 THEN round(cents2, 2) END AS cents_x2
+    FROM m
+    """,
+)
+def map_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end-to-end: build a typed map per row →
+    transform_values (double every value) → map_filter (keep values ≥ 50)
+    → emit through sorted keys + typed lookups (MapType never appears raw
+    in oracled output — SURVEY §5.3; the oracle reproduces the arithmetic
+    columnwise since DuckDB maps aren't hash-comparable either). All
+    in-row JVM expressions: zero shuffle, codegen-resident."""
+    p = t(spark, sf_dir, "part")
+    m0 = F.create_map(
+        F.lit("size"), F.col("p_size").cast("double"),
+        F.lit("cents"), F.round(F.col("p_retailprice") * 100, 0),
+    )
+    doubled = F.transform_values(m0, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= 50)
+    return p.select(
+        "p_partkey",
+        F.concat_ws(",", F.array_sort(F.map_keys(kept))).alias("keys_csv"),
+        r2(F.element_at(kept, F.lit("size"))).alias("size_x2"),
+        r2(F.element_at(kept, F.lit("cents"))).alias("cents_x2"),
     )

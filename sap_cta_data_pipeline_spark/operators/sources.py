@@ -182,3 +182,31 @@ def scan_union_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially-written siblings existing with identical region content."""
     path = os.path.join(os.path.abspath(sf_dir), "region.parquet")
     return spark.read.parquet(path, path).distinct()
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, length(r_name) AS name_len FROM region
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same table —
+    the original and one with an added column — read in a single
+    mergeSchema scan; old-generation rows surface NULL for the new
+    column. This is the append-only-ingest reality at 100 TB (producers
+    add columns mid-stream; readers must union schemas without rewriting
+    history). mergeSchema footer-merging costs a per-file footer read at
+    planning time — on a large lake the production form pins the merged
+    schema explicitly (as every other reader in this module does) and
+    leaves mergeSchema for discovery."""
+    r = t(spark, sf_dir, "region")
+    v1 = _scratch(sf_dir, "region_v1")
+    v2 = _scratch(sf_dir, "region_v2")
+    r.write.mode("overwrite").parquet(v1)
+    r.withColumn("name_len", F.length("r_name").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(v2)
+    return spark.read.option("mergeSchema", "true").parquet(v1, v2)

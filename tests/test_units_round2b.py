@@ -1,0 +1,114 @@
+"""Edge-semantics unit tests for the round-2 batch-B operators
+(SURVEY.md §5.2.3): crafted graphs for connected components, invariants
+for packing / normalization / funnel / profiling / fuzzy matching that
+the corpus-level oracle comparison can't pin by itself."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sap_cta_data_pipeline_spark.operators.matching import connected_components
+from sap_cta_data_pipeline_spark.registry import QUERIES
+
+
+def _sym(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    """A 5-node chain (diameter 4) must fully converge to the min label —
+    pins that propagation iterates to the fixpoint, not one round."""
+    nodes = spark.createDataFrame([(i,) for i in range(10, 15)], "node long")
+    edges = _sym(spark, [(10, 11), (11, 12), (12, 13), (13, 14)])
+    got = {r.node: r.comp for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 10 for i in range(10, 15)}
+
+
+def test_cc_multiple_components_and_isolates(spark):
+    """Two separate components + an isolated node keep distinct labels."""
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 99]], "node long")
+    edges = _sym(spark, [(2, 3), (1, 2), (7, 8)])
+    got = {r.node: r.comp for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 99: 99}
+
+
+def test_cluster_cc_consistent_with_exact_dedup(spark, sf_dir):
+    """Every exact-duplicate group (n_dups > 1) must appear inside some
+    cluster: cluster doc counts ≥ exact-dup counts, and each cluster's
+    comp_id is the minimum of its rep list."""
+    clusters = QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()
+    assert clusters, "pathological corpus must produce at least one cluster"
+    total_exact_dups = (
+        QUERIES["dedup_exact"](spark, sf_dir).agg(F.sum("n_dups")).collect()[0][0]
+    )
+    assert sum(r.n_docs for r in clusters) >= total_exact_dups
+    for r in clusters:
+        reps = [int(x) for x in r.rep_ids_csv.split(",")]
+        assert r.comp_id == min(reps)
+        assert r.n_reps == len(reps)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = QUERIES["pack_sequences_greedy"](spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.offset_in_bin < 512
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # bin ids are nondecreasing in layout order and start at 0
+        assert rs[0].bin_id == 0 and rs[0].offset_in_bin == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.bin_id >= a.bin_id
+        # reconstruct: each doc starts where the previous ended
+        cum = 0
+        for r in rs:
+            assert r.bin_id * 512 + r.offset_in_bin == cum
+            cum += r.n_tok
+
+
+def test_text_normalize_output_is_clean(spark, sf_dir):
+    rows = QUERIES["text_normalize"](spark, sf_dir).select("norm_text").collect()
+    for r in rows:
+        s = r.norm_text
+        assert re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)*", s), s
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    rows = {r.step: r.n_users for r in QUERIES["events_funnel_steps"](spark, sf_dir).collect()}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"] > 0
+
+
+def test_profile_invariants(spark, sf_dir):
+    rows = QUERIES["profile_table"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_rows = {r.n_rows for r in rows}
+    assert len(n_rows) == 1  # one scan, one row count
+    for r in rows:
+        assert 0 <= r.n_nulls <= r.n_rows
+        assert 0 < r.n_distinct <= r.n_rows
+        # typed lanes are exclusive
+        numeric = r.min_num is not None
+        stringy = r.min_str is not None
+        assert numeric != stringy
+
+
+def test_fuzzy_pairs_within_bounds(spark, sf_dir):
+    rows = QUERIES["join_fuzzy_levenshtein"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 1 <= r.dist <= 3
+        assert abs(len(r.name_a) - len(r.name_b)) <= r.dist
+
+
+def test_schema_evolution_null_lane(spark, sf_dir):
+    rows = QUERIES["scan_schema_evolution"](spark, sf_dir).collect()
+    nulls = [r for r in rows if r.name_len is None]
+    filled = [r for r in rows if r.name_len is not None]
+    assert len(nulls) == len(filled) == len(rows) // 2
+    for r in filled:
+        assert r.name_len == len(r.r_name)
