@@ -84,3 +84,51 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", F.posexplode("grams").alias("pos0", "ngram")).select(
         "doc_id", bi(F.col("pos0") + 1).alias("pos"), "ngram"
     )
+
+
+@query(
+    "udtf_token_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS l
+      FROM documents
+      WHERE doc_id % 101 = 0
+    )
+    SELECT d.doc_id,
+           CAST(s.s // 4 AS BIGINT)                          AS win_idx,
+           array_to_string(l[s.s + 1 : s.s + 8], ' ')        AS win_text,
+           CAST(least(8, len(l) - s.s) AS BIGINT)            AS n_tok
+    FROM d, LATERAL (SELECT unnest(range(0, len(d.l), 4)) AS s) s
+    """,
+)
+def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Spark-4 Python UDTF (class-based, registered, invoked through
+    LATERAL): sliding 8-token windows with stride 4 over each probe
+    document's token stream — the chunking shape a RAG/pretraining
+    pipeline uses before embedding. Python-side row generation is the
+    slow path by contract (SURVEY §3.2), so the key runs on a
+    deterministic probe subset (doc_id ≡ 0 mod 101) and exists to pin the
+    UDTF API surface; the JVM transform+posexplode twin (udtf_char_ngrams
+    pattern) is the whole-corpus form. The same windows are reproduced by
+    the oracle's pure-SQL range()/slice lateral."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx: bigint, win_text: string, n_tok: bigint")
+    class TokenWindows:
+        def eval(self, text: str):
+            toks = [x for x in (text or "").split(" ") if x]
+            for s in range(0, len(toks), 4):
+                win = toks[s : s + 8]
+                yield s // 4, " ".join(win), len(win)
+
+    spark.udtf.register("token_windows", TokenWindows)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") % 101 == 0).createOrReplaceTempView(
+        "udtf_probe_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.win_idx, w.win_text, w.n_tok
+        FROM udtf_probe_docs d, LATERAL token_windows(d.text) w
+        """
+    )

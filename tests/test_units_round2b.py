@@ -112,3 +112,67 @@ def test_schema_evolution_null_lane(spark, sf_dir):
     assert len(nulls) == len(filled) == len(rows) // 2
     for r in filled:
         assert r.name_len == len(r.r_name)
+
+
+def test_lateral_topn_agrees_with_window_formulation(spark, sf_dir):
+    """The decorrelated LATERAL must equal the explicit window top-k."""
+    from pyspark.sql import Window
+
+    lateral = QUERIES["sql_lateral_topn"](spark, sf_dir)
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    window_form = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+    got = sorted(map(tuple, lateral.collect()))
+    want = sorted(map(tuple, window_form.collect()))
+    assert got == want
+
+
+def test_except_all_multiplicity(spark):
+    """Bag semantics on a crafted frame: multiplicities subtract, never
+    go negative, and intersect keeps the min count."""
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "x long")
+    assert sorted(r.x for r in a.exceptAll(b).collect()) == [1, 1, 3]
+    assert sorted(r.x for r in a.intersectAll(b).collect()) == [1, 2]
+
+
+def test_recursive_calendar_contiguous(spark, sf_dir):
+    """The recursive month series is gap-free and spans exactly the
+    latest order year up to its max month."""
+    rows = sorted(
+        QUERIES["sql_recursive_cte"](spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    months = [r.month for r in rows]
+    year = months[0][:4]
+    assert months == [f"{year}-{m:02d}" for m in range(1, len(months) + 1)]
+    assert all(r.n_orders >= 0 for r in rows)
+
+
+def test_udtf_windows_cover_tokens(spark, sf_dir):
+    """Every probe doc's windows tile its token stream: first window
+    starts the doc, strides are 4, the last window reaches the end."""
+    rows = QUERIES["udtf_token_windows"](spark, sf_dir).collect()
+    docs: dict[int, list] = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(r)
+    assert docs
+    for doc_id, rs in docs.items():
+        rs.sort(key=lambda r: r.win_idx)
+        assert [r.win_idx for r in rs] == list(range(len(rs)))
+        # reconstruct the token count from the final window, then every
+        # window's size must be exactly min(8, n - 4*idx)
+        n = 4 * rs[-1].win_idx + rs[-1].n_tok
+        for r in rs:
+            assert r.n_tok == min(8, n - 4 * r.win_idx)
+            assert len([x for x in r.win_text.split(" ") if x]) == r.n_tok
