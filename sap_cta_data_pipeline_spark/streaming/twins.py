@@ -146,3 +146,41 @@ def stateful_running(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_counts_for_topk(events: DataFrame) -> DataFrame:
+    """Stage 1 of the two-stage streaming top-k (twin of
+    stream_topk_windowed): the watermarked tumbling count/sum per
+    (window, type) — incrementally expressible, bounded state. Rank over
+    updating counts is NOT incrementally expressible, so stage 2
+    (`topk_rank`) runs inside the foreachBatch sink on each micro-batch's
+    complete output — the standard streaming top-k split."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def topk_rank(counted: DataFrame, k: int = 3) -> DataFrame:
+    """Stage 2: per-window rank with the pinned tie-break (count desc,
+    type asc) — applied batch-side to each foreachBatch frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

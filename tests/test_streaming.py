@@ -108,3 +108,26 @@ def test_session_twin_equals_batch(spark, stream_source):
     )
     problems = frames_match(streamed, batch)
     assert not problems, "session twin: " + "; ".join(problems)
+
+
+def test_windowed_topk_two_stage_foreach_batch(spark, stream_source):
+    """stream_topk_windowed's streaming deployment: incremental windowed
+    counts + rank inside foreachBatch (rank-over-updates is not
+    incrementally expressible). The final micro-batch's ranked output
+    must equal the batch declaration."""
+    captured: dict[str, object] = {}
+
+    def sink(batch_df, epoch_id):
+        captured["rows"] = twins.topk_rank(batch_df).toPandas()
+
+    q = (
+        twins.windowed_counts_for_topk(stream_source)
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = QUERIES["stream_topk_windowed"](spark, SF_SMALL).toPandas()
+    problems = frames_match(captured["rows"], batch)
+    assert not problems, "topk twin: " + "; ".join(problems)
