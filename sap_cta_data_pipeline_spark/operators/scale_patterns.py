@@ -304,3 +304,60 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("pct"))
         .select("c_custkey", "c_mktsegment", "c_acctbal", "bucket")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free big-big join via bucketing: both sides are written
+    `bucketBy(8, orderkey)` into a scratch database, so at read time the
+    join key's partitioning is already satisfied — the SortMergeJoin
+    consumes both scans with NO Exchange on either side (asserted in
+    tests/test_plans.py). This is THE pattern for a 100 TB fact⋈fact
+    join that broadcast can't absorb: pay the bucketed layout once at
+    ingest, then every keyed join/agg on that key is shuffle-free
+    forever. Bucket count scales with data (buckets ≈ data / target
+    partition size); both sides must agree on count and key. Oracled
+    against the plain (shuffled) join — layout never changes answers."""
+    db = "bucketdb"
+    loc = _scratch(sf_dir, "bucket_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    lib = spark.table(f"{db}.lineitem_b")
+    ob = spark.table(f"{db}.orders_b")
+    # hint pins SortMergeJoin: at toy scale the planner would broadcast the
+    # small side, silently bypassing the bucketed layout this op exists to
+    # demonstrate (at fact⋈fact scale SMJ is what the planner picks anyway)
+    return (
+        lib.hint("merge").join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )

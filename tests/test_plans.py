@@ -138,3 +138,16 @@ def test_stream_topk_rank_is_window_partitioned(q):
     window over all (window, type) rows."""
     plan = plan_text(q("stream_topk_windowed"), "simple")
     assert "windowspecdefinition(window_start" in plan
+
+
+def test_bucketed_join_no_shuffle(q):
+    """Both bucketed scans must feed the SortMergeJoin directly — the only
+    Exchange in the plan is the tiny post-join aggregation shuffle, never
+    a join-input shuffle (bucketed layout satisfies the join's
+    distribution requirement)."""
+    plan = plan_text(q("join_bucketed_colocated"), "simple")
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[1]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Bucketed: true" in join_part
