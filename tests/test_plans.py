@@ -10,6 +10,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 import sap_cta_data_pipeline_spark.operators  # noqa: F401
 from sap_cta_data_pipeline_spark.registry import QUERIES
@@ -151,3 +152,21 @@ def test_bucketed_join_no_shuffle(q):
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Bucketed: true" in join_part
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned parquet layout
+    must become a PartitionFilter (directory pruning — at 100 TB this is
+    skipping whole partitions, not reading-then-filtering), and must NOT
+    appear in PushedFilters (it never reaches row groups)."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = plan_text(pruned)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_year" in pf
