@@ -210,3 +210,36 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(v2)
     return spark.read.option("mergeSchema", "true").parquet(v1, v2)
+
+
+@query(
+    "sink_compact_files",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every streaming/
+    micro-batch ingest needs: a deliberately fragmented layout (64 tiny
+    files — the 'one file per trigger' pathology) is rewritten as 4
+    time-range-clustered files. `repartitionByRange(ts)` + in-partition
+    sort makes the compacted files non-overlapping in event time, so
+    row-group min/max stats prune time-range scans afterward; plain
+    `coalesce` would avoid the shuffle but concatenates arbitrary file
+    contents (no clustering, skewed sizes). Rows are layout-invariant —
+    the oracle is the identity — and the file-count contract is pinned in
+    tests/test_units_round2b.py. At 100 TB this runs per partition
+    (compact yesterday's directory), never whole-table."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    frag = _scratch(sf_dir, "events_fragmented")
+    compacted = _scratch(sf_dir, "events_compacted")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.schema(_EVENTS_READ_SCHEMA)
+        .parquet(frag)
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.schema(_EVENTS_READ_SCHEMA).parquet(compacted)

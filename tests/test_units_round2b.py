@@ -176,3 +176,32 @@ def test_udtf_windows_cover_tokens(spark, sf_dir):
         for r in rs:
             assert r.n_tok == min(8, n - 4 * r.win_idx)
             assert len([x for x in r.win_text.split(" ") if x]) == r.n_tok
+
+
+def test_compaction_file_count_and_clustering(spark, sf_dir):
+    """Compaction must actually reduce file count (64 → ≤4 data files)
+    and keep every row; the ts ranges of compacted files must not
+    overlap (range clustering)."""
+    import glob
+    import os
+
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.sources import _scratch
+
+    out = QUERIES["sink_compact_files"](spark, sf_dir)
+    assert out.count() == load_table(spark, sf_dir, "events").count()
+    frag_files = glob.glob(os.path.join(_scratch(sf_dir, "events_fragmented"), "part-*"))
+    comp_files = glob.glob(os.path.join(_scratch(sf_dir, "events_compacted"), "part-*"))
+    assert len(frag_files) == 64
+    assert 1 <= len(comp_files) <= 4
+    ranges = []
+    for f in sorted(comp_files):
+        mm = (
+            spark.read.parquet(f)
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((mm.lo, mm.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "compacted files must be non-overlapping in ts"
