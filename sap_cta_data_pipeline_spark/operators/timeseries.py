@@ -1,0 +1,261 @@
+"""§2 round-2 addendum — time-series operators over the event stream.
+
+The hypertable-style workloads a telemetry/observability user runs daily:
+
+- ts_rollup_hierarchy — minute → hour → day rollup chain where every level
+  is re-aggregated FROM THE PREVIOUS LEVEL, not from raw events. This is
+  the continuous-aggregate / hypertable-rollup pattern: at 100 TB the raw
+  table is scanned once (minute rollup), and each coarser level reads the
+  (orders-of-magnitude smaller) persisted finer level. sum/count/min/max
+  are algebraic, so the chain is lossless; the oracle aggregates raw →
+  day directly and must agree.
+- ts_ohlc_bars — open/high/low/close bars per (series, hour) via
+  ``min_by``/``max_by`` over a (ts, event_id) tiebreak struct: a single
+  partial+final aggregation, no window shuffle, deterministic under ties.
+- ts_gapfill_locf — dense-grid gap filling with last-observation-carried-
+  forward: per-series hour grid from ``sequence()``, left join observed
+  hours, ``last(ignorenulls)`` running window. Grid size = series × hours
+  (dim-bounded), never event-cardinality.
+- events_max_concurrent — sweep-line max concurrency: each event spans
+  [ts, ts+floor(value) seconds); +1/−1 deltas are pre-summed per distinct
+  timestamp (deterministic under ties, shrinks the window input), then one
+  keyed running sum. All arithmetic in epoch microseconds (BIGINT) so both
+  engines compare integers, never intervals.
+- events_zscore_outliers — per-series z-score anomaly flags: one tiny
+  stats aggregate broadcast back onto the stream; |z| > 2.5. The join-back
+  is O(|series|) rows broadcast, the stream is scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r4, r6, um
+from ..registry import query
+
+
+@query(
+    "ts_rollup_hierarchy",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+           round(sum(value), 4) AS total_value,
+           count(*)             AS n_events,
+           min(value)           AS min_value,
+           max(value)           AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup minute→hour→day where each level merges the
+    previous level's partial aggregates (sum-of-sums, sum-of-counts,
+    min-of-mins, max-of-maxes). The raw table is touched exactly once; the
+    hour and day levels aggregate dim-bounded rollup rows — the persisted
+    continuous-aggregate pattern a 100 TB telemetry store relies on. The
+    oracle aggregates raw→day directly, proving the chain lossless."""
+    e = t(spark, sf_dir, "events")
+    minute = (
+        e.groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    def roll(df: DataFrame, unit: str) -> DataFrame:
+        return (
+            df.groupBy("event_type", F.date_trunc(unit, F.col("bucket")).alias("bucket"))
+            .agg(
+                F.sum("total_value").alias("total_value"),
+                F.sum("n_events").alias("n_events"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+    day = roll(roll(minute, "hour"), "day")
+    return day.select(
+        "event_type",
+        F.col("bucket").cast("string").alias("day"),
+        r4(F.col("total_value")).alias("total_value"),
+        "n_events",
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value, ts, event_id
+      FROM events
+    ), o AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts, event_id) AS rn_open,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM b
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_open = 1 THEN value END)  AS open,
+           max(value)                                 AS high,
+           min(value)                                 AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*)                                   AS n_ticks
+    FROM o
+    GROUP BY event_type, bucket
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (series, hour). open/close use ``min_by``/``max_by``
+    keyed on a (ts, event_id) struct — deterministic under equal
+    timestamps, and a plain algebraic aggregate (map-side partials, one
+    shuffle) instead of the two window passes the oracle spells out. The
+    values are untouched parquet doubles, so no rounding is needed for
+    cross-engine parity."""
+    e = t(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), rng AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM rng
+    )
+    SELECT g.event_type,
+           CAST(g.h AS VARCHAR) AS hour,
+           last_value(hy.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           CAST(hy.v IS NULL AS BIGINT) AS filled_from_prior
+    FROM grid g LEFT JOIN hourly hy ON g.event_type = hy.event_type AND g.h = hy.h
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward. The
+    dense grid is generated per series with ``sequence(min_h, max_h, 1h)``
+    — grid cardinality is series × hours, independent of event volume — and
+    the fill is one keyed ``last(ignorenulls)`` running window. The first
+    grid hour per series is observed by construction (it IS min(h)), so
+    v_filled is never null."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(r6(F.avg("value")).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.col("h").cast("string").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        bi(F.col("v").isNull().cast("int")).alias("filled_from_prior"),
+    )
+
+
+@query(
+    "events_max_concurrent",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS t,
+             -1 AS d
+      FROM events
+    ), net AS (
+      SELECT event_type, t, CAST(sum(d) AS BIGINT) AS net FROM pts GROUP BY 1, 2
+    ), run AS (
+      SELECT event_type,
+             CAST(sum(net) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+      FROM net
+    )
+    SELECT event_type, max(cur) AS max_concurrent FROM run GROUP BY event_type
+    """,
+)
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max concurrency per series, treating each event as the
+    interval [ts, ts + floor(value) seconds). The +1/−1 deltas are summed
+    per DISTINCT timestamp first — that makes the running sum deterministic
+    under ties AND shrinks the window input to distinct-boundary
+    cardinality — then one keyed running sum and a max. All time math is
+    epoch-microsecond BIGINT (``floor`` before the cast: Spark truncates
+    double→long, DuckDB rounds, so the floor pins both)."""
+    e = t(spark, sf_dir, "events")
+    dur_us = F.floor(F.col("value")).cast("long") * F.lit(1000000).cast("long")
+    starts = e.select("event_type", um("ts").alias("t"), F.lit(1).alias("d"))
+    ends = e.select("event_type", (um("ts") + dur_us).alias("t"), F.lit(-1).alias("d"))
+    net = starts.unionAll(ends).groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.select("event_type", F.sum("net").over(w).alias("cur"))
+    return run.groupBy("event_type").agg(F.max("cur").alias("max_concurrent"))
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.m) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) > 2.5
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score outliers (|z| > 2.5). The per-series mean/stddev
+    aggregate is O(|series|) rows and is broadcast back onto the stream —
+    one full scan, one tiny broadcast, no event-cardinality shuffle. The
+    2.5σ threshold sits far from any rounding boundary on this corpus."""
+    e = t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", r6(z).alias("z"))
+    )

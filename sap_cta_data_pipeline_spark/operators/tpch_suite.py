@@ -1,0 +1,179 @@
+"""§2 round-2 addendum — composite end-to-end analytic queries (TPC-H shapes).
+
+The single-operator inventory proves each relational primitive in isolation;
+these three queries prove they compose: multi-way joins with mixed
+broadcast/shuffle strategies, selective date/segment predicates that must
+reach the parquet scans, partial+final aggregation over the join result, and
+deterministic top-k. They are the classic TPC-H shapes (Q3 shipping
+priority, Q5 local supplier volume, Q10 returned items), adapted to the
+driver schema (no shippriority / commitdate / phone columns).
+
+Scale notes (100 TB posture):
+
+- ``nation`` / ``region`` are O(10²) rows at any scale factor → always
+  broadcast; asserting that keeps the six-way Q5 join at two shuffles
+  (custkey, orderkey+suppkey) instead of five.
+- ``customer`` / ``supplier`` / ``orders`` / ``lineitem`` all grow with SF,
+  so fact-to-fact edges are shuffle joins on their natural keys and we rely
+  on the selective predicates (date window, mktsegment, returnflag) being
+  pushed into the scans — tests/test_plans.py asserts PushedFilters for Q3.
+- Top-k (Q3/Q10) is LIMIT-after-sort → Spark plans TakeOrderedAndProject:
+  per-partition heap + driver merge of k rows, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import r2
+from ..registry import query
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped revenue of BUILDING-segment orders placed
+    before the cutoff. customer⋈orders shuffles on custkey, then ⋈lineitem
+    on orderkey; both date predicates and the segment filter sit directly
+    on the scans (pushed down). Deterministic top-10 via (revenue desc,
+    orderkey) → TakeOrderedAndProject."""
+    cutoff = "1998-06-01"
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz"))
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz"))
+    joined = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+              c["c_custkey"] == o["o_custkey"])
+        .join(l.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where customer and supplier share
+    an ASIA nation. nation⋈region is collapsed first and broadcast (O(10²)
+    rows at any SF), which also pre-filters supplier to ASIA before the
+    fact-side join — the six-way join then needs only the custkey and
+    orderkey/suppkey shuffles."""
+    asia_nations = (
+        t(spark, sf_dir, "nation")
+        .join(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        c.join(o.select("o_custkey", "o_orderkey"), c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+    )
+    return joined.groupBy("n_name").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in one quarter,
+    top-20. The quarter predicate prunes orders at the scan, returnflag
+    prunes lineitem at the scan; nation is broadcast onto the aggregated
+    side. Top-20 via (revenue desc, custkey) → TakeOrderedAndProject."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .join(o.select("o_custkey", "o_orderkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", r2(F.col("c_acctbal")).alias("acctbal"), "n_name")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
