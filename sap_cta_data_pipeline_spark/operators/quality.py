@@ -1,0 +1,251 @@
+"""§2 round-2 addendum — data-quality & robustness lane.
+
+Production pipelines spend as much time validating data as transforming it.
+This lane covers the four shapes that recur:
+
+- dq_expectations — a rule table of constraint violations (nulls, ranges,
+  referential integrity, distribution guards) evaluated in independent
+  pruned scans and unioned to one (rule, n_violations) report. Each rule
+  scans only the columns it needs; orphan checks are anti-joins. At 100 TB
+  the FK checks dominate — they shuffle on the key like any join, and a
+  bloom-filter runtime filter applies when one side is selective.
+- events_attribution_lasttouch — marketing-style last-touch attribution:
+  every purchase is attributed to the user's most recent prior
+  non-purchase event within a 7-day window. One user-keyed window with a
+  (ts, event_id) tiebreak — the same single-shuffle as-of shape as
+  join_asof, with no event-stream amplification.
+- agg_weighted_median — weighted median per group via cumulative-weight
+  crossing point: collapse to distinct values first (groupBy), then one
+  ordered window over the value-cardinality rows, never the raw rows.
+- fn_try_safe — ANSI-safe scalar surface (try_divide / try_cast): errors
+  become NULLs instead of failing a 1000-executor job at hour 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..registry import query
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'events_value_above_300' AS rule,
+           (SELECT count(*) FROM events WHERE value > 300) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_bad_discount',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_negative_total',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation report: six expectations over three tables,
+    each evaluated in its own column-pruned scan (null / range /
+    distribution guards are single-column aggregates; referential
+    integrity is a keyed anti-join), unioned to one tiny report."""
+    e = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"), F.count(F.lit(1)).alias("n_violations")
+        )
+
+    checks = [
+        rule("events_value_above_300", e.where(F.col("value") > 300)),
+        rule(
+            "lineitem_bad_discount",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        rule(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey").join(
+                o.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        rule("orders_negative_total", o.where(F.col("o_totalprice") <= 0)),
+        rule("orders_null_custkey", o.where(F.col("o_custkey").isNull())),
+        rule(
+            "orders_orphan_custkey",
+            o.select("o_custkey").join(
+                c.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+@query(
+    "events_attribution_lasttouch",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_event_id,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_event_type,
+        last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_t
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, attr_event_id, attr_event_type,
+           t - attr_t AS gap_us
+    FROM w
+    WHERE event_type = 'purchase' AND attr_event_id IS NOT NULL
+      AND t - attr_t <= 604800000000
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the same user's
+    most recent strictly-prior non-purchase event within 7 days. One
+    user-keyed window whose ``last(ignorenulls)`` carries a (t, id, type)
+    struct — the triple is guaranteed to come from ONE row, and the
+    (ts, event_id) ordering pins ties. Time math is epoch-microsecond
+    BIGINT on both engines."""
+    e = t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(
+            t_us.alias("t"),
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("et"),
+        ),
+    )
+    attr = F.last(prior, ignorenulls=True).over(w)
+    return (
+        e.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "event_type",
+            t_us.alias("t"),
+            attr.alias("attr"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("attr").isNotNull()
+            & ((F.col("t") - F.col("attr.t")) <= F.lit(_WEEK_US))
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("attr.id").alias("attr_event_id"),
+            F.col("attr.et").alias("attr_event_type"),
+            (F.col("t") - F.col("attr.t")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_quantity AS x, sum(l_extendedprice) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, x,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM g
+    )
+    SELECT l_returnflag, min(x) AS weighted_median
+    FROM c WHERE cum >= 0.5 * total
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-weighted median quantity per return flag: first collapse to
+    distinct (group, value) with summed weights — the window then runs
+    over value-cardinality rows, not raw rows — then take the first value
+    whose cumulative weight crosses half the total. Both engines
+    accumulate the ordered sum in the same x order, so the crossing row
+    agrees despite float partials. The median value itself is an untouched
+    input double (no rounding needed)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", F.col("l_quantity").alias("x")).agg(
+        F.sum("l_extendedprice").alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "x",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return (
+        c.where(F.col("cum") >= 0.5 * F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("x").alias("weighted_median"))
+    )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0) AS safe_div,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+           TRY_CAST(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS INTEGER) AS qty_int
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar surface: ``try_divide`` nulls out zero divisors
+    (instead of Inf or a job-killing exception under ANSI mode) and
+    ``try_cast`` nulls out unparsable casts — the difference between a
+    quarantined row and a dead 6-hour job at scale. The oracle spells the
+    identical semantics with NULLIF and TRY_CAST."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))).alias(
+            "safe_div"
+        ),
+        F.expr("try_cast(l_returnflag AS int)").alias("flag_int"),
+        F.expr("try_cast(cast(cast(floor(l_quantity) AS bigint) AS string) AS int)").alias(
+            "qty_int"
+        ),
+    )

@@ -243,3 +243,46 @@ def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compacted)
     )
     return spark.read.schema(_EVENTS_READ_SCHEMA).parquet(compacted)
+
+
+@query(
+    "source_csv_malformed",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input resilience: nation is written to CSV, a file of
+    corrupt lines (wrong arity, unparsable int) is injected into the
+    directory, and the DROPMALFORMED read must recover exactly the clean
+    rows — the quarantine-don't-crash contract batch ingest needs when one
+    bad file lands in a 100k-file drop. The oracle is the clean identity.
+
+    DROPMALFORMED alone is NOT enough: Spark's CSV parser only detects a
+    malformed row while parsing its columns, so a column-pruned plan (e.g.
+    a bare count()) skips detection and over-counts. The explicit not-null
+    guards force the parse and pin the row set for every plan shape."""
+    path = _scratch(sf_dir, "nation_malformed_csv")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    # inject a corrupt member file (header consumed per-file by the reader)
+    with open(os.path.join(path, "part-malformed.csv"), "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        f.write("xx,BADROW\n")
+        f.write("999,NOREGION,notanint\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .where(
+            F.col("n_nationkey").isNotNull()
+            & F.col("n_name").isNotNull()
+            & F.col("n_regionkey").isNotNull()
+        )
+    )
