@@ -207,3 +207,35 @@ def media_feature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("sample_mean"), 6).alias("avg_sample_mean"),
         F.round(F.avg("sample_std"), 6).alias("avg_sample_std"),
     )
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame decode + moments over sampled video frames — the second
+    mapInPandas stage of the frame pipeline. Frame payloads are raw-f32
+    slices by construction (sample_frames slices the raw-f32 video
+    payload), so the stub codec boundary stays in _decode_payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "frame_idx", "n_bytes", "frame_mean")}
+            for aid, idx, payload in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                samples = _decode_payload(payload, "raw-f32")
+                out["asset_id"].append(int(aid))
+                out["frame_idx"].append(int(idx))
+                out["n_bytes"].append(len(payload))
+                out["frame_mean"].append(round(float(samples.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(run, schema=FRAME_STATS_SCHEMA)

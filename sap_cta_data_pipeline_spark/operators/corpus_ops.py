@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi
+from ..functions.parity import bi, r6
 from ..registry import query
 
 _PACK_BUDGET = 512
@@ -114,4 +114,49 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             bi(bin_id).alias("bin_id"),
             bi(start - bin_id * _PACK_BUDGET).alias("offset_in_bin"),
         )
+    )
+
+
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / φ)
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+             ln((((doc_id * {_KNUTH}) % 4294967296) + 1) / 4294967296.0)
+               / n_chars AS key
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, n_chars, key,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, lang, n_chars, round(key, 6) AS sample_key
+    FROM r WHERE rn <= 10
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis A-ES:
+    each doc draws u ∈ (0,1] from the engine-portable multiplicative hash
+    of its stable id and competes on key = ln(u)/w (equivalent to u^(1/w);
+    here w = n_chars, so longer documents are proportionally likelier).
+    Top-10 per language stratum. This is THE distributed weighted-sample
+    primitive: no global state, no sequential scan — a projection plus one
+    per-stratum top-k, reproducible across engines/runs/topologies because
+    the randomness is a pure function of doc_id. At 100 TB the window
+    top-k is replaced by the same key with a per-partition heap
+    (TakeOrdered per stratum); membership is unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    u = (F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(4294967296)) + 1) / F.lit(
+        4294967296.0
+    )
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "lang", "n_chars", r6(F.col("key")).alias("sample_key"))
     )

@@ -57,3 +57,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("sample_mean")).alias("sample_mean"),
         r6(F.col("sample_std")).alias("sample_std"),
     )
+
+
+@query(
+    "multimodal_framesample",
+    oracle="""
+    SELECT e.vec_id AS asset_id,
+           CAST(k.f AS BIGINT)  AS frame_idx,
+           CAST(64 AS BIGINT)   AS n_bytes,
+           round(list_sum(list_transform(
+             list_slice(e.embedding, 16 * k.f + 1, 16 * (k.f + 1)),
+             x -> CAST(x AS DOUBLE))) / 16.0, 6) AS frame_mean
+    FROM embeddings e, (VALUES (0), (2)) k(f)
+    WHERE CAST(e.label AS INTEGER) % 3 = 2
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pipeline: synthesize → sample every 2nd frame
+    (one-to-many mapInPandas, UDTF-shaped) → per-frame decode + moments.
+    Exercises the row-expanding media stage the driver couldn't see before
+    (sample_frames/frame_stats were pytest-only plumbing). The oracle
+    recomputes each sampled frame's mean from the embedding slice the
+    payload was packed from, certifying the byte-slicing arithmetic of the
+    frame splitter, not just the stats."""
+    from ..functions.multimodal import frame_stats, sample_frames
+
+    frames = sample_frames(synthesize_media(spark, sf_dir), every_n=2)
+    return frame_stats(frames)

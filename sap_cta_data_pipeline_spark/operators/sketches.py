@@ -132,3 +132,43 @@ def agg_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum_n") >= 0.99 * F.col("total_n"), edge)).alias("p99_edge"),
         bi(F.max("total_n")).alias("n_total"),
     )
+
+
+@query(
+    "agg_bitmap_mergeable",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via bitmap partials — the
+    deterministic sibling of agg_hll_mergeable. Each user_id maps to a
+    (bucket, bit) coordinate; per (event_type, bucket) bitmaps are built
+    with bitmap_construct_agg, PERSISTED to parquet (the incremental
+    state a 100 TB pipeline keeps per day/partition), read back, and
+    merged: buckets cover disjoint id ranges, so the global distinct is
+    the sum of per-bucket popcounts — and re-merging tomorrow's partials
+    needs bitmap_or_agg, never the raw events. Exactness costs bitmap
+    size O(id-range/8) per group vs HLL's fixed bytes; for dense bounded
+    ids (users, SKUs) bitmaps win, for open domains (URLs) HLL does."""
+    e = t(spark, sf_dir, "events")
+    part = (
+        e.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    path = _scratch(sf_dir, "bitmap_partials")
+    part.write.mode("overwrite").parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )

@@ -286,3 +286,43 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("n_regionkey").isNotNull()
         )
     )
+
+
+@query(
+    "scan_dpp_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 2)       AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+)
+def scan_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders lands year-partitioned, the year
+    dimension is filtered at runtime, and the fact scan must prune to the
+    two matching partition directories via the reused broadcast result —
+    the plan carries `dynamicpruningexpression` in PartitionFilters
+    (asserted in tests/test_plans.py). At 100 TB this is the difference
+    between scanning 2 partitions and scanning 25; static pruning can't do
+    it because the year set comes from another relation, not a literal."""
+    path = _scratch(sf_dir, "orders_by_year_dpp")
+    o = t(spark, sf_dir, "orders")
+    o.withColumn("o_year", F.year("o_orderdate").cast("long")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select(F.col("o_year").alias("d_year"))
+        .distinct()
+        .where((F.col("d_year") >= 1996) & (F.col("d_year") <= 1997))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["o_year"] == dim["d_year"])
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("total"),
+        )
+    )
