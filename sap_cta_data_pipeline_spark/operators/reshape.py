@@ -91,3 +91,46 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.select(
         "l_orderkey", "l_linenumber", "metric", r6(F.col("value_raw")).alias("value")
     )
+
+
+@query(
+    "agg_pivot_dynamic",
+    oracle="""
+    SELECT lang,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM (
+      SELECT e.event_type, e.value, d.lang
+      FROM events e JOIN documents d ON e.user_id % 500 = d.doc_id % 500
+                                     AND d.doc_id < 500
+    )
+    GROUP BY lang
+    """,
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot: the column list is DISCOVERED at runtime (distinct
+    scan of the pivot key, sorted for a stable layout), then passed to
+    pivot() explicitly — the two-phase pattern that avoids Spark's
+    implicit whole-table distinct inside pivot() AND keeps the output
+    schema deterministic. The probe join fabricates a (lang × event_type)
+    matrix from the shared corpus. At 100 TB the discovery scan is the
+    cheap pass (distinct over a low-cardinality key) and the pivot itself
+    is one partial+final agg with |values| columns, not |values| scans."""
+    e = t(spark, sf_dir, "events")
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    joined = e.join(
+        F.broadcast(d.select("doc_id", "lang")),
+        e["user_id"] % 500 == F.col("doc_id") % 500,
+    )
+    types = sorted(
+        r.event_type for r in e.select("event_type").distinct().collect()
+    )
+    out = (
+        joined.groupBy("lang")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out

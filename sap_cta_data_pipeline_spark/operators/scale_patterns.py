@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r2, r6
+from ..functions.parity import bi, r2, r6, um
 from ..registry import query
 from .sources import _scratch
 
@@ -359,5 +359,45 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "revenue"
             ),
+        )
+    )
+
+
+@query(
+    "cdc_latest_by_key",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value, t_us AS last_t_us
+    FROM r WHERE rn = 1
+    """,
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record compaction — the CDC read-side pattern: a change
+    stream keyed by entity collapses to each key's most recent record
+    ((ts, event_id) DESC pins ties). One keyed window shuffle, no
+    join-back of a max-ts aggregate (that formulation shuffles twice and
+    breaks on duplicate timestamps). At 100 TB this IS how an
+    append-only change log becomes a queryable current-state snapshot;
+    with a date-partitioned log, partition pruning bounds the replay
+    window and the same window merges the survivors."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            um("ts").alias("last_t_us"),
         )
     )

@@ -1,0 +1,90 @@
+"""§2-A addendum — custom connector via the Spark 4 Python DataSource API.
+
+The reference-pipeline shape this covers is "ingest from an instrument/
+domain format Spark has no reader for" (directories of FITS files, sensor
+dumps, proprietary telemetry): you write a DataSource that describes its
+schema and splits itself into partitions, and every executor materializes
+its own split in parallel — no driver-side file loop, no RDD plumbing.
+
+Here the connector is a deterministic synthetic telemetry generator (the
+environment has no media/instrument libraries, so the FORMAT is the point,
+not the decoder): each of the 8 input partitions generates its own id
+range, proving the parallel-split contract. The DuckDB oracle recomputes
+the same rows from `range()` — a value match certifies the partitioning
+arithmetic and the row synthesis, end to end through the Arrow return
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+
+_KNUTH = 2654435761
+_N_ROWS = 1000
+_N_PARTS = 8
+_BASE_US = 1_700_000_000_000_000
+
+
+def _make_datasource():
+    # deferred import: pyspark.sql.datasource exists only on Spark 4+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class _TelemetryReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", _N_ROWS))
+            self.n_parts = int(options.get("n_parts", _N_PARTS))
+
+        def partitions(self):
+            step = (self.n + self.n_parts - 1) // self.n_parts
+            return [
+                _RangePartition(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                u = ((i * _KNUTH) % 4294967296 + 1) / 4294967296.0
+                yield (i, _BASE_US + i * 1_000_000, round(u, 6))
+
+    class SyntheticTelemetryDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_telemetry"
+
+        def schema(self) -> str:
+            return "sensor_id bigint, ts_us bigint, reading double"
+
+        def reader(self, schema):
+            return _TelemetryReader(self.options)
+
+    return SyntheticTelemetryDataSource
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT)                    AS sensor_id,
+           {_BASE_US} + i * 1000000             AS ts_us,
+           round((((i * {_KNUTH}) % 4294967296) + 1) / 4294967296.0, 6) AS reading
+    FROM range(0, {_N_ROWS}) t(i)
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register the custom Python DataSource and read it with the ordinary
+    reader API (`spark.read.format("synthetic_telemetry")`). The source
+    declares {_N_PARTS} input partitions, so the scan parallelizes like
+    any file source; rows come back over Arrow. Registration is
+    idempotent per session (re-register overwrites)."""
+    spark.dataSource.register(_make_datasource())
+    return (
+        spark.read.format("synthetic_telemetry")
+        .option("n", _N_ROWS)
+        .option("n_parts", _N_PARTS)
+        .load()
+    )

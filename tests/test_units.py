@@ -19,7 +19,9 @@ def _ts(s: str) -> dt.datetime:
 
 def test_engine_facade(spark, sf_dir):
     eng = Engine(spark, sf_dir)
-    assert len(eng.keys()) == 139
+    from sap_cta_data_pipeline_spark.registry import QUERIES
+
+    assert len(eng.keys()) == len(QUERIES) >= 159
     assert eng.run("agg_pricing_summary").count() == 6
     assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == 5
     assert eng.oracle("agg_pricing_summary") and eng.oracle("sim_ann_lsh") is None

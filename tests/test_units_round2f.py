@@ -1,0 +1,57 @@
+"""Unit tests for the round-2f addendum: dynamic pivot, CDC latest-record
+compaction, custom Python DataSource connector."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import sap_cta_data_pipeline_spark.operators  # noqa: F401
+from sap_cta_data_pipeline_spark.catalog import load_table
+from sap_cta_data_pipeline_spark.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(key):
+        return QUERIES[key](spark, sf_dir)
+
+    return run
+
+
+def test_pivot_dynamic_discovers_all_types(q, spark, sf_dir):
+    df = q("agg_pivot_dynamic")
+    types = {
+        r.event_type
+        for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert set(df.columns) == {"lang"} | types
+
+
+def test_cdc_latest_is_one_row_per_user_and_truly_latest(q, spark, sf_dir):
+    snap = q("cdc_latest_by_key")
+    e = load_table(spark, sf_dir, "events")
+    assert snap.count() == e.select("user_id").distinct().count()
+    # no event for the user is strictly newer than the snapshot row
+    newer = (
+        snap.join(e, "user_id")
+        .where(
+            (F.unix_micros(F.col("ts").cast("timestamp")) > F.col("last_t_us"))
+            | (
+                (F.unix_micros(F.col("ts").cast("timestamp")) == F.col("last_t_us"))
+                & (F.col("event_id") > F.col("last_event_id"))
+            )
+        )
+        .count()
+    )
+    assert newer == 0
+
+
+def test_python_datasource_parallel_partitions(q, spark):
+    df = q("source_python_datasource")
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    # deterministic: same registration re-read yields identical rows
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, q("source_python_datasource").collect()))
+    assert a == b
