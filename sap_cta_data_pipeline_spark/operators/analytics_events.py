@@ -124,3 +124,33 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = rows[0].unionAll(rows[1]).unionAll(rows[2])
     return out.select("step", bi(F.col("n_users")).alias("n_users"))
+
+
+@query(
+    "events_pathing_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_pathing_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of user journeys: count (previous event →
+    next event) pairs per user path. One user-keyed lag window (single
+    shuffle on user_id) feeding a keyed count — transition cardinality is
+    |types|², so the final agg is tiny regardless of stream size. The
+    (ts, event_id) ordering pins simultaneous-event ties."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

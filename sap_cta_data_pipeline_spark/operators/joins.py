@@ -353,3 +353,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB's epoch() keeps fractions — both divergent (SURVEY.md §5.3)
         (um("ts") - um("last_click_ts")).alias("gap_us"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_overlaps
+    FROM (SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS e
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS e
+          FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.s < c.e AND c.s < v.e
+    GROUP BY v.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (both sides are intervals, overlap iff
+    s₁<e₂ ∧ s₂<e₁): view-intervals × click-intervals per user. The naive
+    formulation is a per-user cartesian; we bucket time into 1-hour
+    epochs, explode each interval over the buckets it touches, equi-join
+    on (user, bucket), and de-duplicate pairs that met in several buckets
+    — the join key carries time locality, so work scales with co-located
+    intervals, not per-user volume. Durations are floor(value)
+    minutes (≤ ~5.5 h) so the explode factor is ≤ 7; at 100 TB the
+    bucket width is tuned to the P99 duration to bound it."""
+    e = t(spark, sf_dir, "events")
+    s_us = um("ts")
+    e_us = um("ts") + F.floor(F.col("value")).cast("long") * F.lit(60_000_000).cast("long")
+    _HOUR_US = 3_600_000_000
+
+    def side(etype: str, tag: str) -> DataFrame:
+        iv = e.where(F.col("event_type") == etype).select(
+            F.col("user_id").alias(f"u_{tag}"),
+            F.col("event_id").alias(f"id_{tag}"),
+            s_us.alias(f"s_{tag}"),
+            e_us.alias(f"e_{tag}"),
+        )
+        return iv.withColumn(
+            f"bkt_{tag}",
+            F.explode(
+                F.sequence(
+                    (F.col(f"s_{tag}") / _HOUR_US).cast("long"),
+                    ((F.col(f"e_{tag}") - 1) / _HOUR_US).cast("long"),
+                )
+            ),
+        )
+
+    v, c = side("view", "v"), side("click", "c")
+    pairs = (
+        v.join(
+            c,
+            (F.col("u_v") == F.col("u_c"))
+            & (F.col("bkt_v") == F.col("bkt_c"))
+            & (F.col("s_v") < F.col("e_c"))
+            & (F.col("s_c") < F.col("e_v")),
+        )
+        .select("u_v", "id_v", "id_c")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("u_v").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )

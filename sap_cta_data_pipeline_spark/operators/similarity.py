@@ -355,3 +355,47 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mae"),
         r6(F.array_max("errs")).alias("max_err"),
     )
+
+
+@query(
+    "emb_covariance_block",
+    oracle="""
+    SELECT label,
+           round(covar_samp(x0, x0), 6) AS c00,
+           round(covar_samp(x0, x1), 6) AS c01,
+           round(covar_samp(x0, x2), 6) AS c02,
+           round(covar_samp(x0, x3), 6) AS c03,
+           round(covar_samp(x1, x1), 6) AS c11,
+           round(covar_samp(x1, x2), 6) AS c12,
+           round(covar_samp(x1, x3), 6) AS c13,
+           round(covar_samp(x2, x2), 6) AS c22,
+           round(covar_samp(x2, x3), 6) AS c23,
+           round(covar_samp(x3, x3), 6) AS c33
+    FROM (SELECT label, CAST(embedding[1] AS DOUBLE) AS x0, CAST(embedding[2] AS DOUBLE) AS x1, CAST(embedding[3] AS DOUBLE) AS x2, CAST(embedding[4] AS DOUBLE) AS x3 FROM embeddings)
+    GROUP BY label
+    """,
+)
+def emb_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance block of the first 4 embedding dimensions
+    (upper triangle, 10 algebraic co-moment aggregates in ONE partial+
+    final pass). This is the distributed-linear-algebra primitive under
+    PCA/whitening: a d×d covariance needs d(d+1)/2 co-moments, each an
+    algebraic aggregate, so the full pass over 100 TB is one shuffle of
+    |labels|·d² partials — the eigen-solve then happens driver-side on
+    the d×d result, never on the data."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label",
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"x{i}".format(i=i))
+            for i in range(4)
+        ],
+    )
+    aggs = [
+        r6(F.covar_samp(f"x{i}".format(i=i), f"x{j}".format(j=j))).alias(
+            f"c{i}{j}".format(i=i, j=j)
+        )
+        for i in range(4)
+        for j in range(i, 4)
+    ]
+    return base.groupBy("label").agg(*aggs)

@@ -250,3 +250,52 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", bi(F.row_number().over(w)))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "stream_join_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >  p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch declaration of a stream-stream interval join: every
+    (purchase, click) pair for the same user with the click in the 30
+    minutes up to the purchase. Bucketed into 30-minute epochs with a
+    2-bucket explode on the purchase side (every qualifying pair shares
+    one of the two buckets), so the self-join is equi-keyed on
+    (user, bucket) and never per-user quadratic. The streaming twin
+    (streaming/twins.py) runs the same predicate as a watermarked
+    stream-stream inner join, where the 30-minute bound is what lets
+    Spark expire join state."""
+    e = t(spark, sf_dir, "events")
+    epoch = (F.unix_timestamp(F.col("ts").cast("timestamp")) / 1800).cast("long")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            epoch.alias("b"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b") - 1, F.col("b"))))
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        epoch.alias("bucket_c"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("bucket") == F.col("bucket_c"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id")

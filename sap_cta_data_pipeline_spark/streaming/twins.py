@@ -184,3 +184,37 @@ def topk_rank(counted: DataFrame, k: int = 3) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Twin of stream_join_interval: watermarked stream-stream inner join —
+    each purchase pairs with same-user clicks from the preceding 30
+    minutes. Both sides carry a 10-minute watermark and the join condition
+    bounds click event time relative to purchase event time, which is what
+    lets Spark expire buffered click state (unbounded stream-stream joins
+    never free state)."""
+    c = (
+        _with_event_time(clicks)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        _with_event_time(purchases)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts "
+            "AND c_ts > p_ts - INTERVAL 30 MINUTES"
+        ),
+    ).select("purchase_id", "click_id")

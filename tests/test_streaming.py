@@ -131,3 +131,16 @@ def test_windowed_topk_two_stage_foreach_batch(spark, stream_source):
     batch = QUERIES["stream_topk_windowed"](spark, SF_SMALL).toPandas()
     problems = frames_match(captured["rows"], batch)
     assert not problems, "topk twin: " + "; ".join(problems)
+
+
+def test_stream_join_interval_twin(spark, stream_source):
+    """Stream-stream interval join twin frame-matches the batch
+    declaration (single availableNow batch, inner join, both sides
+    watermarked)."""
+    clicks = stream_source.where("event_type = 'click'")
+    purchases = stream_source.where("event_type = 'purchase'")
+    out = twins.click_purchase_pairs(clicks, purchases)
+    got = _run_stream(spark, out, "join_interval_twin", "append").toPandas()
+    want = QUERIES["stream_join_interval"](spark, SF_SMALL).toPandas()
+    problems = frames_match(got, want)
+    assert not problems, "; ".join(problems)
