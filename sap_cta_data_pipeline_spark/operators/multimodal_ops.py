@@ -84,3 +84,38 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = sample_frames(synthesize_media(spark, sf_dir), every_n=2)
     return frame_stats(frames)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT vec_id          AS asset_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           round((
+             CAST(embedding[1]  AS DOUBLE) + CAST(embedding[3]  AS DOUBLE) +
+             CAST(embedding[5]  AS DOUBLE) + CAST(embedding[7]  AS DOUBLE) +
+             CAST(embedding[17] AS DOUBLE) + CAST(embedding[19] AS DOUBLE) +
+             CAST(embedding[21] AS DOUBLE) + CAST(embedding[23] AS DOUBLE) +
+             CAST(embedding[33] AS DOUBLE) + CAST(embedding[35] AS DOUBLE) +
+             CAST(embedding[37] AS DOUBLE) + CAST(embedding[39] AS DOUBLE) +
+             CAST(embedding[49] AS DOUBLE) + CAST(embedding[51] AS DOUBLE) +
+             CAST(embedding[53] AS DOUBLE) + CAST(embedding[55] AS DOUBLE)
+           ) / 16.0, 6) AS sample_mean
+    FROM embeddings
+    WHERE CAST(label AS INTEGER) % 3 = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize lane: synthesize → nearest-neighbor resize 8×8→4×4 →
+    decode + featurize, three mapInPandas stages, zero shuffle. The
+    oracle recomputes the mean of exactly the 16 grid samples the
+    nearest-neighbor resizer must pick (rows/cols 0,2,4,6 of the 8×8
+    grid), so a value match certifies the index arithmetic of the
+    resize, not just the byte plumbing."""
+    from ..functions.multimodal import resize_image
+
+    resized = resize_image(synthesize_media(spark, sf_dir), 4, 4)
+    feats = extract_features(resized)
+    return feats.where(F.col("media_type") == "image").select(
+        "asset_id", "n_bytes", r6(F.col("sample_mean")).alias("sample_mean")
+    )

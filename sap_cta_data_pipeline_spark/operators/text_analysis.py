@@ -546,3 +546,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("probe_id", "cand_id", r6(jac).alias("jaccard"))
     )
+
+
+@query(
+    "text_lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS l
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM toks
+    ), cnt2 AS (
+      SELECT lang, bigram, count(*) AS c2 FROM bg GROUP BY 1, 2
+    ), cnt1 AS (
+      SELECT lang, split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+      FROM bg GROUP BY 1, 2
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS avg_logprob
+    FROM bg b
+    JOIN cnt2 ON cnt2.lang = b.lang AND cnt2.bigram = b.bigram
+    JOIN cnt1 ON cnt1.lang = b.lang AND cnt1.w1 = split_part(b.bigram, ' ', 1)
+    GROUP BY b.doc_id
+    """,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    perplexity-style quality signal training-data pipelines filter on:
+    P(w2|w1) is the MLE conditional from the per-language corpus bigram
+    stream, a doc's score the mean log-probability of its bigrams. Two
+    corpus-derived count tables (bigram-vocab and unigram-vocab sized)
+    join back onto the bigram stream — vocab tables broadcast when they
+    fit, and both joins share the lang+token key locality. In-row bigram
+    construction (no positional self-join of the token stream)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", "lang", F.explode(grams).alias("bigram")).withColumn(
+        "w1", F.split(F.col("bigram"), " ")[0]
+    )
+    cnt2 = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = bg.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(cnt2, ["lang", "bigram"])
+        .join(cnt1, ["lang", "w1"])
+        .select(
+            "doc_id",
+            F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), r6(F.avg("lp")).alias("avg_logprob")
+    )

@@ -177,3 +177,41 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "orders_copurchase_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pop AS (
+      SELECT l_partkey FROM li GROUP BY l_partkey HAVING count(*) >= 3
+    ),
+    f AS (SELECT l.l_orderkey, l.l_partkey FROM li l JOIN pop USING (l_partkey))
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM f a
+    JOIN f b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def orders_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in ≥2
+    orders. The a-priori prune comes FIRST — only parts with support ≥3
+    enter the basket self-join (no frequent pair can contain an
+    infrequent part), which is what keeps the per-order pair expansion
+    from going quadratic in basket size at scale; the self-join is
+    equi-keyed on the order id so pair generation is local to each
+    basket."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pop = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s")).where(
+        F.col("s") >= 3
+    )
+    f = li.join(pop.select("l_partkey"), "l_partkey")
+    a = f.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = f.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )

@@ -55,3 +55,19 @@ def test_python_datasource_parallel_partitions(q, spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, q("source_python_datasource").collect()))
     assert a == b
+
+
+def test_copurchase_pairs_apriori_consistent(q):
+    rows = q("orders_copurchase_pairs").collect()
+    assert rows and all(r.part_a < r.part_b and r.n_orders >= 2 for r in rows)
+
+
+def test_lm_bigram_score_is_log_probability(q):
+    rows = q("text_lm_bigram_score").collect()
+    assert rows and all(r.avg_logprob <= 0.0 for r in rows)
+    assert all(r.n_bigrams > 0 for r in rows)
+
+
+def test_resize_emits_4x4_f32(q):
+    rows = q("multimodal_resize").collect()
+    assert rows and all(r.n_bytes == 64 for r in rows)  # 16 f32 samples
