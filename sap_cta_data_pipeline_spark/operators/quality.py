@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
+from ..functions.parity import r6
 from ..registry import query
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
@@ -248,4 +249,44 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(cast(cast(floor(l_quantity) AS bigint) AS string) AS int)").alias(
             "qty_int"
         ),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, median(dev) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type,
+           round((d.value - d.med) / (1.4826 * md.mad), 6) AS robust_z
+    FROM d JOIN md USING (event_type)
+    WHERE abs((d.value - d.med) / (1.4826 * md.mad)) > 3.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe sibling of events_zscore_outliers (mean/stddev are
+    themselves dragged by the outliers they hunt; median/MAD are not).
+    Two tiny per-series exact-median aggregates broadcast back onto the
+    stream; 1.4826·MAD rescales to σ-equivalents so the 3.5 cutoff reads
+    like a z-score. Exact medians interpolate identically in both
+    engines on raw input doubles."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select("event_id", "event_type", r6(z).alias("robust_z"))
     )

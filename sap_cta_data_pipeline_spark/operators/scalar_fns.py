@@ -222,3 +222,37 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         (price > 100000).cast("int").cast("long").alias("is_big"),
         r6(price / F.nullif(F.year("o_orderdate") - 1995, F.lit(0))).alias("per_year_since"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           'docs.example.com'                         AS host,
+           '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           source                                     AS src_param
+    FROM documents
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: build a URL from row data, then recover host /
+    path / a named query parameter with parse_url. The oracle states the
+    algebraic inverse (what each component must decode back to), so a
+    match certifies the round-trip rather than re-implementing a URL
+    parser in SQL. Pure projection, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://docs.example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?src="),
+        F.col("source"),
+        F.lit("&v=1"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("src")).alias("src_param"),
+    )

@@ -172,3 +172,32 @@ def agg_bitmap_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
     )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(9, greatest(0, CAST(floor(value / 33.0) AS INTEGER))) AS bin
+      FROM events
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 bins of 33 over the value range, clamped
+    tails) per series — the explicit-formula twin of width_bucket, written
+    identically in both engines so bin edges are bit-identical. One
+    combiner-friendly groupBy on a (series × 10)-bounded key space; this
+    is also the partial state agg_quantile_mergeable re-merges, here
+    surfaced as the raw histogram."""
+    e = t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 33.0).cast("int"))
+    )
+    return (
+        e.groupBy("event_type", bin_.cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
