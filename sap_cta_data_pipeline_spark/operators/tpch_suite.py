@@ -23,7 +23,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
@@ -214,4 +214,113 @@ def orders_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_c
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(date_diff('day', CAST(last_order AS DATE), DATE '2001-09-01') AS BIGINT)
+             AS recency_days,
+           frequency,
+           CAST(monetary_c AS DOUBLE) / 100 AS monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT) AS r_q,
+           CAST(ntile(4) OVER (ORDER BY frequency  DESC, custkey) AS BIGINT) AS f_q,
+           CAST(ntile(4) OVER (ORDER BY monetary_c DESC, custkey) AS BIGINT) AS m_q
+    FROM rfm
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary per customer, each cut
+    into quartiles. Money flows as exact integer cents (quantized once
+    per row, summed as BIGINT) so the monetary quartile ordering is
+    float-summation-proof. The per-customer aggregate is one keyed pass
+    over orders; the three ntile windows are DELIBERATE global windows at
+    customer (dimension) cardinality with pinned tie-breaks — at true
+    scale the quartile cut swaps to approx_percentile thresholds or a
+    range-partitioned rank (SCALE.md §O names this trade)."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("monetary_c"),
+    )
+    def quart(order_cols) -> Column:
+        return F.ntile(4).over(Window.orderBy(*order_cols)).cast("long")
+    return rfm.select(
+        "custkey",
+        F.datediff(F.lit("2001-09-01").cast("date"), F.to_date("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        (F.col("monetary_c").cast("double") / 100).alias("monetary"),
+        quart([F.desc("last_order"), F.asc("custkey")]).alias("r_q"),
+        quart([F.desc("frequency"), F.asc("custkey")]).alias("f_q"),
+        quart([F.desc("monetary_c"), F.asc("custkey")]).alias("m_q"),
+    )
+
+
+@query(
+    "lineitem_abc_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS rev4
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT l_partkey, rev4,
+             CAST(sum(rev4) OVER (ORDER BY rev4 DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum4,
+             CAST(sum(rev4) OVER () AS BIGINT) AS tot4
+      FROM p
+    )
+    SELECT l_partkey,
+           CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+           CASE WHEN 5 * cum4 <= 4 * tot4 THEN 'A'
+                WHEN 100 * cum4 <= 95 * tot4 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, class A up to
+    80 % of cumulative revenue, B to 95 %, C the tail. All money flows as
+    EXACT INTEGER ten-thousandths (each item's revenue quantized once, in
+    identical IEEE arithmetic, then summed as BIGINT) and the class
+    boundaries compare integers (5·cum ≤ 4·total) — zero float-summation
+    sensitivity at any group count, where a rounded-double formulation
+    flips classes whenever a sum lands on a half-cent. One keyed agg + one global window at
+    part (dimension) cardinality (same deliberate-global note as RFM)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev4_item = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    p = li.groupBy("l_partkey").agg(F.sum(rev4_item).alias("rev4"))
+    wc = (
+        Window.orderBy(F.desc("rev4"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy()
+    c = p.select(
+        "l_partkey",
+        "rev4",
+        F.sum("rev4").over(wc).alias("cum4"),
+        F.sum("rev4").over(wt).alias("tot4"),
+    )
+    return c.select(
+        "l_partkey",
+        (F.col("rev4").cast("double") / 10000).alias("revenue"),
+        F.when(5 * F.col("cum4") <= 4 * F.col("tot4"), "A")
+        .when(100 * F.col("cum4") <= 95 * F.col("tot4"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
