@@ -154,3 +154,47 @@ def events_pathing_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "events_run_length",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events
+    )
+    SELECT user_id, event_type, count(*) AS run_len,
+           min(event_id) AS first_event_id
+    FROM s
+    GROUP BY user_id, event_type, grp
+    HAVING count(*) >= 2
+    """,
+)
+def events_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of user activity — the generic gaps-and-islands
+    rank-difference trick: two row_numbers over the SAME (ts, event_id)
+    order (one per user, one per user+type) differ by a constant within
+    each maximal run of equal event_type, so grouping on the difference
+    recovers the runs. Both windows share the user-keyed shuffle; emits
+    runs of length ≥ 2 (repeat-behavior detection)."""
+    e = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        s.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .where(F.col("run_len") >= 2)
+        .select("user_id", "event_type", "run_len", "first_event_id")
+    )

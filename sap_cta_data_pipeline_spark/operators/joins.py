@@ -416,3 +416,49 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("u_v").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_overlaps")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT
+      p.event_id,
+      p.user_id,
+      p.ts AS purchase_ts,
+      (SELECT min(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts)
+        AS next_click_ts,
+      (SELECT epoch_us(min(c.ts)) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts)
+        - epoch_us(p.ts) AS gap_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the mirror of join_asof: each purchase matched
+    to the same user's EARLIEST click at-or-after it (the "what happened
+    next" direction used for post-event effect measurement). Same
+    single-shuffle window shape, with the frame flipped to currentRow →
+    unboundedFollowing and purchases sorting BEFORE clicks at equal ts so
+    the inclusive (>=) boundary holds."""
+    e = t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "tag", F.when(F.col("event_type") == "click", 1).otherwise(0)
+    )
+    # purchases (tag 0) sort before clicks (tag 1) at equal ts → inclusive >=
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    with_click = tagged.withColumn(
+        "next_click_ts", F.min(F.when(F.col("tag") == 1, F.col("ts"))).over(w)
+    )
+    return with_click.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_ts",
+        (um("next_click_ts") - um("ts")).alias("gap_us"),
+    )

@@ -147,3 +147,62 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.size(F.collect_set("l_suppkey").over(w))).alias("n_supp_in_order"),
         bi(F.size(F.collect_set("l_partkey").over(w))).alias("n_parts_in_order"),
     )
+
+
+@query(
+    "agg_moments_high",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*)                              AS n,
+             sum(value)                            AS s1,
+             sum(value * value)                    AS s2,
+             sum(value * value * value)            AS s3,
+             sum(value * value * value * value)    AS s4
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(s1 / n, 6) AS mean,
+           round((s2 / n - (s1 / n) ^ 2), 6) AS m2,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) ^ 3)
+                 / ((s2 / n - (s1 / n) ^ 2) ^ 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * ((s1 / n) ^ 2) * (s2 / n)
+                  - 3 * (s1 / n) ^ 4)
+                 / ((s2 / n - (s1 / n) ^ 2) ^ 2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_moments_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness / excess kurtosis per series from RAW POWER SUMS
+    (Σx..Σx⁴) — one algebraic pass, mergeable partials, and the SAME
+    closed-form combination on both engines. Engine-builtin skewness()/
+    kurtosis() differ across systems in bias correction (sample vs
+    population), so the explicit formula is the portable contract; it is
+    also exactly the shape a 100 TB profiler persists (power sums merge
+    by addition, unlike finished skewness values)."""
+    e = t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean**2
+    m3 = F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * mean**3
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * (mean**2) * (F.col("s2") / F.col("n"))
+        - 3 * mean**4
+    )
+    return m.select(
+        "event_type",
+        "n",
+        r6(mean).alias("mean"),
+        r6(m2).alias("m2"),
+        r6(m3 / m2**1.5).alias("skewness"),
+        r6(m4 / m2**2 - 3).alias("excess_kurtosis"),
+    )
