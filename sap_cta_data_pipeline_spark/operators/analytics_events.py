@@ -198,3 +198,37 @@ def events_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("run_len") >= 2)
         .select("user_id", "event_type", "run_len", "first_event_id")
     )
+
+
+@query(
+    "events_entropy_by_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1
+    )
+    SELECT c.user_id, tot.total AS n_events,
+           round(-sum((CAST(n AS DOUBLE) / total)
+                      * ln(CAST(n AS DOUBLE) / total)), 6) AS entropy
+    FROM c JOIN tot USING (user_id)
+    GROUP BY c.user_id, tot.total
+    """,
+)
+def events_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity signal (bots and single-purpose accounts sit
+    near 0; explorers near ln|types|). Two keyed aggregates over the
+    (user × type)-bounded count table; the entropy sum runs over ≤
+    |types| rows per user, never raw events. Counts are exact integers
+    on both engines, so the only float step is the final p·ln p."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id", F.col("total").alias("n_events"))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )

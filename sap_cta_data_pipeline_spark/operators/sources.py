@@ -326,3 +326,36 @@ def scan_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("o_totalprice")).alias("total"),
         )
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet'         AS file_name,
+           count(*)                   AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion observability via the hidden ``_metadata`` file-source
+    column: per-input-file row counts straight from the scan — the
+    per-file audit a 100k-file drop needs to spot short files without a
+    separate listing job. The catalog table is a single known file, so
+    the oracle pins the expected basename as a constant — a match
+    certifies the metadata column's file attribution AND that exactly one
+    file fed the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
