@@ -208,3 +208,45 @@ def win_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("poorest_name"),
         F.last("c_name").over(w).alias("richest_name"),
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey,
+             s_suppkey,
+             CAST(sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_c
+      FROM supplier GROUP BY 1, 2
+    )
+    SELECT s_nationkey, s_suppkey,
+           CAST(bal_c AS DOUBLE) / 100 AS acctbal,
+           round(CAST(bal_c AS DOUBLE)
+                 / CAST(sum(bal_c) OVER (PARTITION BY s_nationkey) AS DOUBLE),
+                 6) AS share_of_nation
+    FROM s
+    WHERE bal_c > 0
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-group reporting: each supplier's share of its nation's
+    positive account-balance pool — the ratio-to-report window every BI
+    layer ships. Balances are quantized to integer cents before the
+    partition sum (float-summation-proof denominator, same discipline as
+    the ABC/RFM money paths); one keyed window, no global state."""
+    s = t(spark, sf_dir, "supplier")
+    bal_c = F.round(F.col("s_acctbal") * 100, 0).cast("long")
+    g = (
+        s.groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(bal_c).alias("bal_c"))
+        .where(F.col("bal_c") > 0)
+    )
+    w = Window.partitionBy("s_nationkey")
+    return g.select(
+        "s_nationkey",
+        "s_suppkey",
+        (F.col("bal_c").cast("double") / 100).alias("acctbal"),
+        r6(
+            F.col("bal_c").cast("double") / F.sum("bal_c").over(w).cast("double")
+        ).alias("share_of_nation"),
+    )
