@@ -170,3 +170,33 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     plan = plan_text(pruned)
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "o_year" in pf
+
+
+def test_runtime_bloom_filter_injectable(spark):
+    """Spark's InjectRuntimeFilter adds a bloom-filter semi-join reduction
+    (might_contain on the big side, bloom_filter_agg on the selective
+    side) for shuffle joins. The size thresholds exist because at sf0.01
+    everything is under the 10 GB application-side default — at 100 TB
+    the DEFAULT confs trigger this on exactly the dq_expectations /
+    TPC-H join shapes; here we lower them to prove the rule fires."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "100MB")
+        spark.conf.set(keys[2], "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        assert "might_contain" in plan_text(j).lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
