@@ -232,3 +232,68 @@ def events_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("total").alias("n_events"))
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
     )
+
+
+@query(
+    "events_next_event_baseline",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), pred AS (
+      SELECT prev_type, next_type AS predicted
+      FROM (SELECT prev_type, next_type,
+                   row_number() OVER (PARTITION BY prev_type
+                                      ORDER BY n DESC, next_type) AS rn
+            FROM trans)
+      WHERE rn = 1
+    )
+    SELECT s.prev_type, p.predicted,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN s.event_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN s.event_type = p.predicted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM s JOIN pred p ON s.prev_type = p.prev_type
+    GROUP BY s.prev_type, p.predicted
+    """,
+)
+def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class next-event baseline, trained and scored in one plan:
+    the transition matrix picks each context's most frequent successor
+    (pinned tie-break), and in-sample accuracy per context is the floor
+    any sequence model must beat. The model table is |types|²-bounded and
+    broadcast back onto the lagged stream — one user-keyed window
+    shuffle, one keyed count, one broadcast join; the eval never
+    re-shuffles the event stream."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    pred = (
+        trans.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    hit = F.when(F.col("event_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        s.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+    )
