@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, r4, r6, um
+from ..functions.parity import bi, r6, um
 from ..registry import query
 
 
@@ -41,7 +41,8 @@ from ..registry import query
     oracle="""
     SELECT event_type,
            CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
-           round(sum(value), 4) AS total_value,
+           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 4) AS total_value,
            count(*)             AS n_events,
            min(value)           AS min_value,
            max(value)           AS max_value
@@ -55,12 +56,16 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-of-mins, max-of-maxes). The raw table is touched exactly once; the
     hour and day levels aggregate dim-bounded rollup rows — the persisted
     continuous-aggregate pattern a 100 TB telemetry store relies on. The
-    oracle aggregates raw→day directly, proving the chain lossless."""
+    oracle aggregates raw→day directly, proving the chain lossless.
+    Values quantize once to integer micro-units (BIGINT) so the sums are
+    EXACT at every level — the rollup is then bit-identical to the direct
+    aggregate regardless of merge order, which floats cannot promise."""
     e = t(spark, sf_dir, "events")
+    v_micro = F.round(F.col("value") * 1000000, 0).cast("long")
     minute = (
         e.groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("bucket"))
         .agg(
-            F.sum("value").alias("total_value"),
+            F.sum(v_micro).alias("total_micro"),
             F.count(F.lit(1)).alias("n_events"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
@@ -70,7 +75,7 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             df.groupBy("event_type", F.date_trunc(unit, F.col("bucket")).alias("bucket"))
             .agg(
-                F.sum("total_value").alias("total_value"),
+                F.sum("total_micro").alias("total_micro"),
                 F.sum("n_events").alias("n_events"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
@@ -80,7 +85,7 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day.select(
         "event_type",
         F.col("bucket").cast("string").alias("day"),
-        r4(F.col("total_value")).alias("total_value"),
+        F.round(F.col("total_micro").cast("double") / 1000000.0, 4).alias("total_value"),
         "n_events",
         "min_value",
         "max_value",
@@ -136,7 +141,9 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gapfill_locf",
     oracle="""
     WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1000000.0), 6) AS v
       FROM events GROUP BY 1, 2
     ), rng AS (
       SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
@@ -160,11 +167,20 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     — grid cardinality is series × hours, independent of event volume — and
     the fill is one keyed ``last(ignorenulls)`` running window. The first
     grid hour per series is observed by construction (it IS min(h)), so
-    v_filled is never null."""
+    v_filled is never null. The hourly mean sums integer micro-units
+    (exact BIGINT) instead of float avg(): an avg sat on a 6th-decimal
+    round boundary once in 3600 cells at sf0.1 and flipped engines."""
     e = t(spark, sf_dir, "events")
+    v_micro = F.round(F.col("value") * 1000000, 0).cast("long")
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(r6(F.avg("value")).alias("v"))
+        .agg(
+            F.round(
+                F.sum(v_micro).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("v")
+        )
     )
     grid = (
         hourly.groupBy("event_type")
