@@ -82,3 +82,32 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _custkeys_by_status(spark, sf_dir, "O").subtract(
         _custkeys_by_status(spark, sf_dir, "F")
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS extra
+    FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, length(r_name) AS extra
+    FROM region
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union: two generations of the same feed whose
+    columns differ in ORDER and PRESENCE are combined with
+    ``unionByName(allowMissingColumns=True)`` — alignment is by name (the
+    positional UNION ALL of plain SQL silently mis-associates reordered
+    columns) and the missing column null-pads. This is the ingest-time
+    twin of scan_schema_evolution, at the DataFrame level instead of the
+    reader level."""
+    r = t(spark, sf_dir, "region")
+    gen1 = r.select("r_regionkey", "r_name")
+    # generation 2: reordered columns + one new column
+    gen2 = r.select(
+        F.length("r_name").cast("long").alias("extra"),
+        "r_name",
+        "r_regionkey",
+    )
+    return gen1.unionByName(gen2, allowMissingColumns=True)

@@ -359,3 +359,24 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="SELECT r_regionkey, r_name FROM region UNION ALL SELECT r_regionkey, r_name FROM region",
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory ingestion: the same dataset written into two
+    nested date-style subdirectories (dt=.../batch=...) and read back with
+    ``recursiveFileLookup`` from the ROOT — the directory-tree drop-zone
+    shape (the reference's directory-of-FITS-files ingestion) where
+    partition discovery is off and every file at any depth is data."""
+    root = _scratch(sf_dir, "region_tree")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.mode("overwrite").parquet(os.path.join(root, "dt=2026-01-01", "batch=a"))
+    r.write.mode("overwrite").parquet(os.path.join(root, "dt=2026-01-02", "batch=b"))
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("r_regionkey int, r_name string")
+        .parquet(root)
+    )
