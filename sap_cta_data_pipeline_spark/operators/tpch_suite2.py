@@ -209,3 +209,199 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT) AS vol4,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol4 ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+           / CAST(CAST(sum(vol4) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM flows
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of ECONOMY-type parts sold into
+    ASIA, the revenue share supplied by NATION_5, per order year. Part,
+    nation and region dims are filtered first and broadcast; customer is
+    region-restricted before joining orders, so the three fact shuffles
+    (partkey, suppkey-via-broadcast, orderkey/custkey) carry only
+    qualifying rows. The share is a ratio of two exact BIGINT
+    ten-thousandth sums — numerator via conditional sum, one aggregation
+    pass, identical double division in both engines."""
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cnk"))
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cnk")
+    ).select("c_custkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("snk")
+    ).select("s_suppkey", "supp_nation")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    flows = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              l["l_orderkey"] == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c["c_custkey"], "left_semi")
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev4().alias("vol4"),
+            "supp_nation",
+        )
+    )
+    return flows.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("vol4")).otherwise(F.lit(0))).cast("double")
+            / F.sum("vol4").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue from
+    PROMO-type parts. The date window is pushed to the lineitem scan; part
+    joins by broadcast (dimension side). One aggregation computes both the
+    conditional and total sums as exact BIGINT ten-thousandths, then a
+    single identical double division — the classic ratio-of-conditional-sum
+    without a second pass or a self-join."""
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", _rev4()).otherwise(F.lit(0))).cast("double")
+            / F.sum(_rev4()).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS total4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(total4 AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s
+    JOIN revenue ON s.s_suppkey = supplier_no
+    WHERE total4 = (SELECT max(total4) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier, the view + scalar-max query). The quarter's
+    per-supplier revenue is aggregated once into exact BIGINT
+    ten-thousandths; the scalar max is a single-row broadcast joined back
+    as a filter (Spark plans the cross-of-one as BroadcastNestedLoopJoin
+    over one row — no second scan of lineitem, the agg result is reused).
+    Ties are kept, exactly as the reference's WHERE total = (SELECT max)."""
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev4()).alias("total4")
+    )
+    mx = rev.agg(F.max("total4").alias("max4"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total4") == F.col("max4"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total4").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lost revenue if orders
+    below 20 % of a part's average quantity were not taken, for one brand.
+    The correlated per-part average decorrelates to a broadcast of the
+    brand's part list into lineitem, a per-part avg over that reduced set,
+    and a broadcast join of the O(parts-in-brand) averages back — lineitem
+    is scanned once for the averages and once for the probe, never
+    per-row. Quantities are integral doubles so the avg is exact in both
+    engines; the final sum flows as exact integer cents."""
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    l = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == p["p_partkey"], "left_semi"
+    )
+    avgs = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    probe = l.join(F.broadcast(avgs), F.col("l_partkey") == F.col("ap")).where(
+        F.col("l_quantity") < F.col("qty_cap")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return probe.agg((F.sum(cents).cast("double") / 100 / 7.0).alias("avg_yearly"))
