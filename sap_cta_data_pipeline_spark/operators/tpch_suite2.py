@@ -405,3 +405,188 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return probe.agg((F.sum(cents).cast("double") / 100 / 7.0).alias("avg_yearly"))
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship). No partsupp table in this
+    schema, so the part↔supplier pairs come from lineitem (who actually
+    shipped the part), and the excluded-supplier set is 'negative account
+    balance' standing in for the reference's complaint-comment match. The
+    NOT IN becomes a broadcast left-anti join against the tiny blacklist
+    (correct even when the blacklist is empty), part is a broadcast dim
+    filter, and count(DISTINCT suppkey) per (brand,type,size) is the one
+    real shuffle — Spark plans it as a two-phase distinct-then-count agg."""
+    bad = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+           o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds the threshold, with their customer. The IN subquery is the
+    same aggregate the outer query needs, so Spark computes the
+    per-orderkey quantity sum ONCE, filters it (HAVING), and joins the
+    surviving O(very-few) orderkeys back — a left-semi by construction
+    expressed as an inner join on the aggregated row, avoiding a second
+    full lineitem aggregation. Quantities are integral doubles → exact
+    sums. Deterministic top-100 via (totalprice desc, orderkey)."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, the disjunctive-predicate stress
+    test — brand/container/quantity OR-arms in the reference, brand/size/
+    quantity here). The join keeps ALL rows and applies the three-arm
+    disjunction across both tables afterwards, exactly like the reference;
+    what Catalyst can push down it does (the per-table OR-union envelopes:
+    brand ∈ {1,2,3} to the part scan, quantity ∈ [1,30] to lineitem),
+    which is the point of the shape. Part side broadcasts."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    arm = lambda b, smax, q0, q1: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return (
+        j.where(arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30))
+        .agg((F.sum(_rev4()).cast("double") / 10000).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) AS avg_cents
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS total_acctbal
+    FROM customer c
+    WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) > (SELECT avg_cents FROM pos)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): wealthy-but-dormant customers
+    per geography. Adapted: the phone-prefix country code becomes
+    c_nationkey, and 'never ordered' becomes 'no order since 2000-01-01'
+    (this corpus has no orderless customers). Plan: the positive-balance
+    average is one scalar aggregate broadcast into the filter; the NOT
+    EXISTS is a left-anti join against date-filtered orders (the filter
+    sits INSIDE the anti side, as in the reference — a customer with only
+    pre-2000 orders survives). Balances flow as exact integer cents so the
+    above-average comparison is identical in both engines."""
+    cust = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    recent = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+        .join(F.broadcast(pos), F.col("bal_cents") > F.col("avg_cents"))
+        .join(recent, F.col("c_custkey") == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"),
+        )
+    )
