@@ -590,3 +590,327 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, c.unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2 WHERE c2.l_partkey = p.p_partkey
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier). No partsupp/ps_supplycost here, so
+    a (part, supplier) 'cost' is the minimum unit price at which that
+    supplier actually shipped the part (min, not avg — min of identical
+    per-row doubles is order-independent across engines, an avg's float
+    sum is not). The correlated min-per-part subquery decorrelates to one
+    extra aggregation over the SAME cost relation plus an equi-join —
+    lineitem is scanned once. Region restriction prunes the supplier side
+    before the cost aggregation, exactly like the reference's plan."""
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        l.join(F.broadcast(s.select("s_suppkey")), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bp")).agg(F.min("unit_cost").alias("best_cost"))
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    return (
+        cost.join(F.broadcast(p), cost["l_partkey"] == p["p_partkey"])
+        .join(best, (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")))
+        .join(s, cost["l_suppkey"] == s["s_suppkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                - 0.1 * p.p_retailprice * l.l_quantity) * 10000, 0)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit). ps_supplycost doesn't exist, so unit
+    cost is proxied as 10 % of the part's retail price — same expression
+    shape (revenue minus quantity-scaled cost), same '%red%' part-name
+    containment filter, same nation×year rollup. The name-filtered part
+    dim broadcasts into lineitem first (biggest reducer), supplier+nation
+    broadcast next, and the one fact-fact shuffle is lineitem⋈orders on
+    orderkey. Profit is quantized per row AFTER the full double expression
+    (identical IEEE ops both engines) then summed as BIGINT."""
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "nation")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit4 = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit4).cast("double") / 10000).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & order priority). No shipmode/commitdate
+    columns: the mode axis becomes l_linestatus and 'late' becomes shipped
+    more than 90 days after the order date — preserving the shape, a
+    fact-fact join with a cross-table inequality predicate plus the
+    two-arm conditional count. The date window is pushed to the lineitem
+    scan; the 90-day lateness can only be evaluated post-join (it spans
+    both tables), exactly like the reference's receipt/commit comparison."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_promo_stock_suppliers",
+    oracle="""
+    WITH vol AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS q
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), thr AS (
+      SELECT l_partkey, avg(q) AS avg_q FROM vol GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT v.l_suppkey FROM vol v
+      JOIN thr ON thr.l_partkey = v.l_partkey
+      WHERE v.q > 1.5 * thr.avg_q
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion). availqty doesn't exist, so the
+    nested threshold subquery becomes: suppliers who shipped more than
+    1.5× the average per-supplier volume of some PROMO part during 1997 —
+    the same two-level nesting (an IN whose subquery contains a correlated
+    aggregate threshold). Decorrelated: one (part,supplier) volume agg,
+    one per-part average over it (reusing the SAME relation, no second
+    lineitem scan), an integer-exact quantity comparison (integral doubles;
+    avg = exact-sum/count identically in both engines), then a left-semi
+    into supplier. ORDER BY makes the driver compare deterministic."""
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    vol = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    thr = vol.groupBy(F.col("l_partkey").alias("tp")).agg(F.avg("q").alias("avg_q"))
+    winners = (
+        vol.join(F.broadcast(thr), vol["l_partkey"] == F.col("tp"))
+        .where(F.col("q") > 1.5 * F.col("avg_q"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(winners, s["s_suppkey"] == winners["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_orders",
+    oracle="""
+    WITH f_orders AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ), late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN f_orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finalized orders,
+    count per supplier the lines where THAT supplier shipped >60 days
+    after the order date (no receipt/commit dates in this schema), some
+    other supplier participated in the order (EXISTS), and no other
+    supplier was also late (NOT EXISTS) — the classic sole-blame
+    double-correlated shape. The late set is computed ONCE and reused for
+    both the base and the NOT EXISTS side (self semi/anti joins on
+    orderkey with a supplier-inequality residual); the EXISTS probe
+    prunes lineitem to (orderkey, suppkey) pairs before its semi join."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    late3 = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    blamed = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late3,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_volume",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS val4
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(val4) AS BIGINT) AS tot4 FROM pv
+    )
+    SELECT pv.l_partkey, CAST(pv.val4 AS DOUBLE) / 10000 AS part_value
+    FROM pv, tot
+    WHERE 10000 * pv.val4 > 8 * tot.tot4
+    """,
+)
+def tpch_q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification). partsupp/availqty don't
+    exist, so 'stock value' is each part's total discounted revenue and
+    the retained set is parts holding more than 0.08 % of the global total
+    — the same shape: a grouped aggregate filtered by a scalar subquery
+    over the SAME aggregate (computed once, re-aggregated to one row, then
+    broadcast back — no second lineitem scan). The share test compares
+    exact BIGINTs cross-multiplied (10000·part > 8·total), never a float
+    fraction, so the cut line cannot flip between engines."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_rev4()).alias("val4"))
+    tot = pv.agg(F.sum("val4").alias("tot4"))
+    return (
+        pv.join(F.broadcast(tot), 10000 * F.col("val4") > 8 * F.col("tot4"))
+        .select("l_partkey", (F.col("val4").cast("double") / 10000).alias("part_value"))
+    )
