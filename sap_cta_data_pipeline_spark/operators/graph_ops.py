@@ -1,0 +1,223 @@
+"""§2 round-2 addendum — graph analytics over the co-purchase graph.
+
+A training-data pipeline sees graphs constantly (web link graphs for
+quality weighting, citation graphs, dedup-cluster graphs); this lane
+implements the three canonical distributed-graph primitives over the
+derived part co-purchase graph (same edge definition as
+orders_copurchase_pairs: a-priori-pruned parts, pairs supported by >= 2
+orders — so the graph itself is reproducible from lineitem alone):
+
+- graph_degree_distribution — degree histogram, the O(|E|) sanity pass.
+- graph_triangle_count — exact triangle count via DEGREE-ORDERED edge
+  orientation: every undirected edge is directed from the (degree, id)-
+  smaller endpoint to the larger, making out-degrees O(sqrt(|E|))-bounded
+  for any graph, so the wedge join (the quadratic step of naive triangle
+  counting) does Σ outdeg² = O(|E|^1.5) work instead of Σ deg² — the
+  standard MapReduce/GraphX-era result, expressed entirely in joins.
+- graph_pagerank — 10 damped power iterations, the canonical iterative
+  DataFrame loop: contributions = ranks ⋈ edges (one shuffle per
+  iteration, keyed by dst), with localCheckpoint() every 4 iterations to
+  truncate the growing lineage (the classic iterative-Spark failure mode
+  at scale is plan blow-up, not data size). Rows-only lane: an iterative
+  fixpoint has no ANSI-SQL twin.
+
+At 100 TB the edge list is the big table: degree distribution and the
+orientation step are single shuffles keyed by node; PageRank's per-
+iteration shuffle is |E| contributions — all linear in edges, none
+materialize neighborhoods.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+
+_EDGE_CTE = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pop AS (SELECT l_partkey FROM li GROUP BY l_partkey HAVING count(*) >= 3),
+    f AS (SELECT l.l_orderkey, l.l_partkey FROM li l JOIN pop USING (l_partkey)),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM f a JOIN f b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (u < v), the shared graph substrate."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pop = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 3)
+        .select("l_partkey")
+    )
+    f = li.join(pop, "l_partkey")
+    a = f.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = f.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph: explode each undirected
+    edge into both endpoints, one node-keyed count, one tiny histogram
+    agg. Two linear shuffles; output is O(max_degree) rows regardless of
+    graph size."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(bi(F.count(F.lit(1))).alias("n_nodes")).select(
+        bi(F.col("degree")).alias("degree"), "n_nodes"
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN dv.degree ELSE du.degree END AS dst_deg,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS dst_id
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    wedge AS (
+      SELECT a.src, a.dst AS x, b.dst AS y
+      FROM oe a JOIN oe b ON a.src = b.src
+      WHERE (a.dst_deg, a.dst_id) < (b.dst_deg, b.dst_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes
+    FROM wedge w
+    WHERE EXISTS (SELECT 1 FROM oe t WHERE t.src = w.x AND t.dst = w.y)
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count with degree-ordered orientation: each
+    undirected edge points from its (degree, id)-smaller endpoint to the
+    larger, so every triangle is generated exactly once as a wedge at its
+    smallest vertex, and wedge-join work is Σ outdeg² = O(|E|^1.5) on ANY
+    graph (the orientation bounds out-degree even at power-law hubs). The
+    closing-edge check is a semi join on the oriented edge list. Three
+    shuffles total — degrees, wedges, closure — all equi-keyed."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    ).withColumn("dst_id", F.col("dst"))
+    a = oe.select(
+        F.col("src"),
+        F.col("dst").alias("x"),
+        F.col("dst_deg").alias("xd"),
+        F.col("dst_id").alias("xi"),
+    )
+    b = oe.select(
+        F.col("src").alias("src2"),
+        F.col("dst").alias("y"),
+        F.col("dst_deg").alias("yd"),
+        F.col("dst_id").alias("yi"),
+    )
+    wedge = a.join(
+        b,
+        (F.col("src") == F.col("src2"))
+        & (
+            (F.col("xd") < F.col("yd"))
+            | ((F.col("xd") == F.col("yd")) & (F.col("xi") < F.col("yi")))
+        ),
+    ).select("x", "y")
+    closing = oe.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedge.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.agg(bi(F.count(F.lit(1))).alias("n_triangles"))
+    n_edges = e.agg(bi(F.count(F.lit(1))).alias("n_edges"))
+    n_nodes = deg.agg(bi(F.count(F.lit(1))).alias("n_nodes"))
+    return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
+
+
+@query("graph_pagerank")  # no SQL oracle: iterative fixpoint (rows-only lane)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 10 iterations) on the undirected
+    co-purchase graph, the canonical iterative DataFrame loop. Each
+    iteration is ONE shuffle: contributions = ranks ⋈ directed-edges
+    (rank/out_degree per neighbor), grouped by destination. Lineage is
+    truncated with localCheckpoint() every 4 iterations — without it the
+    logical plan doubles per iteration and plan compilation, not data,
+    becomes the scale bottleneck. The undirected graph has no dangling
+    nodes (every node has >= 1 edge), so no dangling-mass term is needed.
+    Rows-only lane: iterative fixpoints have no ANSI-SQL twin."""
+    e = _edges(spark, sf_dir)
+    # undirected -> both directions; out_degree per src
+    edges = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(outdeg, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    d = 0.85
+    for i in range(10):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            ((1 - d) / n_nodes + d * F.coalesce(F.col("csum"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if i % 4 == 3:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", r6(F.col("rank") * n_nodes).alias("rank_scaled"))

@@ -462,3 +462,37 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click_ts",
         (um("next_click_ts") - um("ts")).alias("gap_us"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer),
+    n AS (SELECT n_name, nullif(n_nationkey, 3) AS nk FROM nation)
+    SELECT n.n_name, (n.nk IS NULL) AS via_null,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM c JOIN n ON c.ck IS NOT DISTINCT FROM n.nk
+    GROUP BY n.n_name, (n.nk IS NULL)
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): one nation key
+    is deliberately nulled on BOTH sides, and the null-safe predicate
+    still matches those rows (NULL <=> NULL is TRUE, unlike NULL = NULL
+    which is UNKNOWN and would drop every such customer). The via_null
+    flag isolates the rows that only exist because of null-safe
+    semantics. Planning note: Spark treats <=> as an equi-key, so this
+    still hash-joins (broadcast here — nation is tiny); an `OR (a IS NULL
+    AND b IS NULL)` rewrite would degrade to a nested-loop join at
+    scale."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_nationkey"), F.lit(3)).alias("nk")
+    )
+    return (
+        cust.join(F.broadcast(nat), cust["ck"].eqNullSafe(nat["nk"]))
+        .groupBy("n_name", F.col("nk").isNull().alias("via_null"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -157,3 +157,46 @@ def sub_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("l_extendedprice") / 7.0).alias("avg_weekly_revenue"),
         )
     )
+
+
+@query(
+    "sub_not_in_nulls",
+    oracle="""
+    WITH bad AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0),
+    bad_null AS (SELECT k FROM bad UNION ALL SELECT CAST(NULL AS BIGINT))
+    SELECT
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT k FROM bad)) AS n_not_in,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT k FROM bad_null)) AS n_not_in_null,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM bad_null b WHERE b.k = o.o_custkey))
+        AS n_not_exists_null
+    """,
+)
+def sub_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI three-valued-logic trap, made executable: NOT IN against a
+    subquery that contains a NULL returns ZERO rows (x <> NULL is UNKNOWN,
+    so the conjunction can never be TRUE), while the NOT EXISTS rewrite of
+    the same predicate is unaffected. The one-row report shows all three
+    counts side by side — n_not_in (the real exclusion count),
+    n_not_in_null (always 0), n_not_exists_null (== n_not_in) — pinning
+    that this engine implements the standard's semantics, not the
+    intuitive ones. Declared in SQL on both engines so the null-aware
+    anti-join planning (Spark's NAAJ) is what executes."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders_v")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer_v")
+    return spark.sql(
+        """
+        WITH bad AS (SELECT c_custkey AS k FROM sq_customer_v WHERE c_acctbal < 0),
+        bad_null AS (SELECT k FROM bad UNION ALL SELECT CAST(NULL AS BIGINT))
+        SELECT
+          (SELECT count(*) FROM sq_orders_v
+           WHERE o_custkey NOT IN (SELECT k FROM bad)) AS n_not_in,
+          (SELECT count(*) FROM sq_orders_v
+           WHERE o_custkey NOT IN (SELECT k FROM bad_null)) AS n_not_in_null,
+          (SELECT count(*) FROM sq_orders_v o
+           WHERE NOT EXISTS (SELECT 1 FROM bad_null b WHERE b.k = o.o_custkey))
+            AS n_not_exists_null
+        """
+    )

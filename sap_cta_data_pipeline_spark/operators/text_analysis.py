@@ -608,3 +608,91 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), r6(F.avg("lp")).alias("avg_logprob")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+      FROM documents
+    ), uni AS (
+      SELECT term, count(*) AS c_u
+      FROM (SELECT unnest(l) AS term FROM l)
+      GROUP BY term
+    ), tot AS (
+      SELECT sum(c_u) AS n_tok FROM uni
+    ), bg AS (
+      SELECT w1, w2, count(*) AS c_ab
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+                   unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+            FROM l)
+      GROUP BY w1, w2
+    ), btot AS (
+      SELECT sum(c_ab) AS n_bg FROM bg
+    )
+    SELECT bg.w1, bg.w2, CAST(bg.c_ab AS BIGINT) AS c_ab,
+           round(ln((CAST(bg.c_ab AS DOUBLE) / btot.n_bg)
+                    / ((CAST(a.c_u AS DOUBLE) / tot.n_tok)
+                       * (CAST(b.c_u AS DOUBLE) / tot.n_tok))), 6) AS pmi
+    FROM bg
+    JOIN uni a ON a.term = bg.w1
+    JOIN uni b ON b.term = bg.w2
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE bg.c_ab >= 10
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: PMI(a,b) =
+    ln(p(ab) / (p(a)·p(b))) over adjacent token pairs, reported for
+    bigrams with support >= 10. The plan is two corpus-linear counting
+    aggs (unigrams, bigrams); the PMI join is bigram-table ⋈ broadcast
+    unigram table twice (vocab-bounded, KBs even at web scale) with the
+    two scalar totals broadcast as literals-by-crossjoin. Nothing in the
+    plan is quadratic; the expensive side (bigram counts) shuffles once
+    on its natural key."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("l"))
+    uni = (
+        base.select(F.explode("l").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    tot = uni.agg(F.sum("c_u").alias("n_tok"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("l")) - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("l"), i + 1).alias("w1"),
+            F.element_at(F.col("l"), i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        base.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 10)
+    )
+    btot_df = (
+        base.select(F.explode(bigrams).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    a = uni.select(F.col("term").alias("w1"), F.col("c_u").alias("c_a"))
+    b = uni.select(F.col("term").alias("w2"), F.col("c_u").alias("c_b"))
+    p_ab = F.col("c_ab").cast("double") / F.col("n_bg")
+    p_a = F.col("c_a").cast("double") / F.col("n_tok")
+    p_b = F.col("c_b").cast("double") / F.col("n_tok")
+    return (
+        bg.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot_df))
+        .select(
+            "w1",
+            "w2",
+            bi(F.col("c_ab")).alias("c_ab"),
+            r6(F.log(p_ab / (p_a * p_b))).alias("pmi"),
+        )
+    )

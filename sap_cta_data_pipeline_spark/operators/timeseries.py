@@ -275,3 +275,58 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 2.5)
         .select("event_id", "event_type", r6(z).alias("z"))
     )
+
+
+@query(
+    "orders_growth_mom_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT month, rev_c, n_orders,
+             lag(rev_c, 1)  OVER (ORDER BY month) AS prev_m,
+             lag(rev_c, 12) OVER (ORDER BY month) AS prev_y
+      FROM m
+    )
+    SELECT month,
+           round(CAST(rev_c AS DOUBLE) / 100, 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round((CAST(rev_c AS DOUBLE) - prev_m) / prev_m * 100, 6) AS mom_pct,
+           round((CAST(rev_c AS DOUBLE) - prev_y) / prev_y * 100, 6) AS yoy_pct
+    FROM g
+    """,
+)
+def orders_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: monthly revenue
+    in exact integer cents (summation-order-proof, the
+    ts_rollup_hierarchy trick), then lag(1) and lag(12) growth
+    percentages. The lag window is unpartitioned BUT post-aggregation:
+    its input is one row per month (80 here, ~1200 for a century of
+    data), driver-sized forever — this is the acceptable class of global
+    window (SCALE.md global-window inventory), unlike a global window
+    over raw rows. One shuffle for the month agg, one trivial sort for
+    the lag."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    g = m.select(
+        "month",
+        "rev_c",
+        "n_orders",
+        F.lag("rev_c", 1).over(w).alias("prev_m"),
+        F.lag("rev_c", 12).over(w).alias("prev_y"),
+    )
+    rev_d = F.col("rev_c").cast("double")
+    return g.select(
+        "month",
+        F.round(rev_d / 100, 2).alias("revenue"),
+        bi(F.col("n_orders")).alias("n_orders"),
+        r6((rev_d - F.col("prev_m")) / F.col("prev_m") * 100).alias("mom_pct"),
+        r6((rev_d - F.col("prev_y")) / F.col("prev_y") * 100).alias("yoy_pct"),
+    )
