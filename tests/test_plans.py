@@ -200,3 +200,49 @@ def test_runtime_bloom_filter_injectable(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pii_redact_no_exchange(q):
+    # per-row regex pass: the plan must contain no shuffle at all
+    plan = plan_text(q("text_pii_redact"), "simple")
+    assert "Exchange" not in plan
+    assert "WholeStageCodegen" in plan_text(q("text_pii_redact"), "codegen")
+
+
+def test_contamination_eval_set_broadcast(q):
+    # the eval n-gram set must broadcast; the training corpus must not
+    plan = plan_text(q("text_contamination_ngram"), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_null_safe_join_is_hash_join(q):
+    # <=> must plan as an equi hash join (broadcast), not nested-loop
+    plan = plan_text(q("join_null_safe_eq"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(q):
+    # NOT IN with a nullable subquery must plan as broadcast anti joins
+    # (Spark's null-aware anti join prints as LeftAnti under AQE), never
+    # as a cartesian/nested-loop filter
+    plan = plan_text(q("sub_not_in_nulls"), "formatted")
+    assert plan.count("BroadcastHashJoin LeftAnti") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_closure_is_semi_join(q):
+    plan = plan_text(q("graph_triangle_count"), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_pmi_unigram_tables_broadcast(q):
+    plan = plan_text(q("text_collocations_pmi"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_zorder_is_single_agg_no_join(q):
+    plan = plan_text(q("layout_zorder_cluster"), "simple")
+    assert "Join" not in plan
+    # partial+final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
