@@ -297,3 +297,67 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@query(
+    "events_ab_ttest",
+    oracle="""
+    WITH arms AS (
+      SELECT
+        count(*) FILTER (WHERE event_type = 'click')    AS n_a,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_b,
+        avg(value) FILTER (WHERE event_type = 'click')    AS m_a,
+        avg(value) FILTER (WHERE event_type = 'purchase') AS m_b,
+        var_samp(value) FILTER (WHERE event_type = 'click')    AS v_a,
+        var_samp(value) FILTER (WHERE event_type = 'purchase') AS v_b
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)),
+                 6) AS df_welch
+    FROM arms
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between two event arms ('click' as A,
+    'purchase' as B) — the A/B-experiment readout every analytics
+    pipeline ships. ONE conditional-aggregation pass over the filtered
+    stream computes both arms' count/mean/variance (algebraic, partial+
+    final — a 100 TB experiment is still one shuffle of 6 partials);
+    the t statistic and Welch–Satterthwaite degrees of freedom are scalar
+    arithmetic on the one-row result. Variances are O(2e3)-magnitude
+    sums, so r6 rounding dominates float summation-order error on both
+    engines (parity.py policy)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+    arms = ev.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.avg(F.when(is_a, F.col("value"))).alias("m_a"),
+        F.avg(F.when(is_b, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(is_a, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(is_b, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return arms.select(
+        bi(F.col("n_a")).alias("n_a"),
+        bi(F.col("n_b")).alias("n_b"),
+        F.round(F.col("m_a"), 6).alias("mean_a"),
+        F.round(F.col("m_b"), 6).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

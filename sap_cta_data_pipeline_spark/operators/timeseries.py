@@ -330,3 +330,53 @@ def orders_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6((rev_d - F.col("prev_m")) / F.col("prev_m") * 100).alias("mom_pct"),
         r6((rev_d - F.col("prev_y")) / F.col("prev_y") * 100).alias("yoy_pct"),
     )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), moy AS (
+      SELECT CAST(EXTRACT(MONTH FROM month) AS BIGINT) AS month_of_year,
+             count(*) AS n_months,
+             CAST(sum(rev_c) AS DOUBLE) / count(*) / 100 AS avg_rev
+      FROM m GROUP BY 1
+    ), tot AS (
+      SELECT avg(avg_rev) AS grand FROM moy
+    )
+    SELECT month_of_year, CAST(n_months AS BIGINT) AS n_months,
+           avg_rev,
+           round(avg_rev / tot.grand, 6) AS seasonality_idx
+    FROM moy CROSS JOIN tot
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality index: average monthly revenue per
+    month-of-year, normalized by the grand mean of those 12 averages
+    (index > 1 = seasonally strong month). Monthly sums use exact integer
+    cents (summation-order-proof); the month-of-year re-aggregation runs
+    over the 80-row monthly table and the normalizing scalar is a
+    broadcast crossjoin — post-aggregation everything is driver-sized at
+    any corpus scale."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev_c")
+    )
+    moy = m.groupBy(
+        F.month("month").cast("long").alias("month_of_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (
+            F.sum("rev_c").cast("double") / F.count(F.lit(1)) / 100
+        ).alias("avg_rev"),
+    )
+    tot = moy.agg(F.avg("avg_rev").alias("grand"))
+    return moy.crossJoin(F.broadcast(tot)).select(
+        "month_of_year",
+        bi(F.col("n_months")).alias("n_months"),
+        F.col("avg_rev"),
+        r6(F.col("avg_rev") / F.col("grand")).alias("seasonality_idx"),
+    )

@@ -108,3 +108,31 @@ def test_pmi_definition_spotcheck(q, spark, sf_dir):
         )
         assert r.pmi == pytest.approx(expect, abs=1e-5)
         assert r.c_ab == bg[(r.w1, r.w2)]
+
+
+def test_ab_ttest_welch_spotcheck(q, spark, sf_dir):
+    import statistics
+
+    row = q("events_ab_ttest").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    a = [r.value for r in ev if r.event_type == "click"]
+    b = [r.value for r in ev if r.event_type == "purchase"]
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t_expect = (statistics.fmean(a) - statistics.fmean(b)) / math.sqrt(se2)
+    df_expect = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row.t_stat == pytest.approx(t_expect, abs=1e-4)
+    assert row.df_welch == pytest.approx(df_expect, rel=1e-4)
+    # Welch df is bounded by min(n)-1 below and n_a+n_b-2 above
+    assert min(row.n_a, row.n_b) - 1 <= row.df_welch <= row.n_a + row.n_b - 2
+
+
+def test_seasonality_index_normalized(q):
+    rows = q("orders_seasonality_index").collect()
+    assert len(rows) == 12
+    # the index averages to 1 across months-of-year by construction
+    assert sum(r.seasonality_idx for r in rows) / 12 == pytest.approx(1.0, abs=1e-5)
+    assert all(r.avg_rev > 0 and r.n_months >= 1 for r in rows)
