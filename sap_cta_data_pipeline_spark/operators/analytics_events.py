@@ -361,3 +361,63 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase, any_value(fv.first_view) AS first_view
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.first_view
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM fv)                                        AS n_viewers,
+           count(*)                                                         AS n_converted,
+           round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM fv), 6)   AS conv_rate,
+           round(avg((first_purchase - first_view) / 1e6), 6)               AS avg_latency_s,
+           round(min((first_purchase - first_view) / 1e6), 6)               AS min_latency_s,
+           round(max((first_purchase - first_view) / 1e6), 6)               AS max_latency_s
+    FROM conv
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per user, the first 'view' and
+    the first 'purchase' AT OR AFTER it (purchases before ever viewing
+    don't convert); reports the viewer count, converted count, conversion
+    rate, and exact latency stats in seconds. One window keyed on user_id
+    carries first-view onto every event (single shuffle — no fact-table
+    re-join), then one user-keyed agg and one global reduce; timestamps
+    compare as exact epoch microseconds (um — the parity-safe integer
+    lane), divided to seconds only at the end."""
+    from ..functions.parity import r6, um
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", um("ts").alias("us"))
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    per_user = (
+        e.withColumn("first_view", fv)
+        .filter(F.col("first_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") >= F.col("first_view")),
+                    F.col("us"),
+                )
+            ).alias("first_purchase"),
+            F.first("first_view").alias("first_view"),
+        )
+    )
+    lat_s = (F.col("first_purchase") - F.col("first_view")) / F.lit(1e6)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("first_purchase").alias("n_converted"),
+        r6(F.count("first_purchase") / F.count(F.lit(1))).alias("conv_rate"),
+        r6(F.avg(lat_s)).alias("avg_latency_s"),
+        r6(F.min(lat_s)).alias("min_latency_s"),
+        r6(F.max(lat_s)).alias("max_latency_s"),
+    )

@@ -160,3 +160,148 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("doc_id", "lang", "n_chars", r6(F.col("key")).alias("sample_key"))
     )
+
+
+@query(
+    "text_span_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+      FROM d WHERE len(toks) >= 8
+    ), spans AS (
+      SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS sh FROM pos
+    ), stats AS (
+      SELECT sh, count(*) AS cnt, count(DISTINCT doc_id) AS ndocs
+      FROM spans GROUP BY sh
+    ), per_doc AS (
+      SELECT s.doc_id,
+             count(*)                                         AS n_spans,
+             CAST(sum(CASE WHEN st.cnt   > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN st.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      FROM spans s JOIN stats st USING (sh)
+      GROUP BY s.doc_id
+    )
+    SELECT d0.doc_id,
+           coalesce(p.n_spans, 0)  AS n_spans,
+           coalesce(p.n_dup, 0)    AS n_dup_spans,
+           coalesce(p.n_cross, 0)  AS n_cross_doc_spans,
+           coalesce(round(CAST(p.n_dup AS DOUBLE) / p.n_spans, 6), 0.0) AS dup_frac
+    FROM documents d0 LEFT JOIN per_doc p ON p.doc_id = d0.doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics at fixed width 8 — the fixed-n
+    approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    8-token window is a span; a span is duplicated if its text occurs
+    anywhere else in the corpus (n_dup_spans) or in another document
+    (n_cross_doc_spans). Plan: in-row shingling via
+    transform(sequence) + slice (no token explode — one row per span,
+    not per token), ONE pass over the span stream: a window keyed by
+    span text computes the global occurrence count and a cross-doc flag
+    (min(doc_id) != max(doc_id) over the window — no countDistinct, no
+    self-join, no second explode), then one per-doc agg. Two keyed
+    shuffles total. At 100 TB the span string is replaced by
+    xxhash64(span) as the shuffle key (64-bit rows instead of ~50-byte
+    strings; collisions only overcount dups by ~n²/2⁶⁴), and removal —
+    not just measurement — drops spans whose (hash, rank) is not the
+    first occurrence."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_spans_c = F.size(F.col("toks")) - F.lit(7)
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_spans_c),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 8)),
+                )
+            ).alias("sh"),
+        )
+    )
+    w = Window.partitionBy("sh")
+    marked = spans.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("cross_doc"),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        bi(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))).alias("n_dup"),
+        bi(F.sum(F.when(F.col("cross_doc"), 1).otherwise(0))).alias("n_cross"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_cross", F.lit(0)).alias("n_cross_doc_spans"),
+            F.coalesce(
+                r6(F.col("n_dup").cast("double") / F.col("n_spans")), F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH tok_raw AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tok AS (
+      SELECT * FROM tok_raw WHERE term != ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_terms FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.term = b.term AND a.lang = b.lang
+      WHERE a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, sa.n_terms AS n_a, n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n_terms, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(n_common AS DOUBLE) / sa.n_terms >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| ≥ 0.9 over distinct token sets,
+    language-blocked: finds documents CONTAINED in another (quotes,
+    subsets, partial copies) that symmetric Jaccard misses when |B| ≫ |A|.
+    Ordered pairs, both directions. Same O(Σ df²) token-join family as
+    dedup_near_jaccard — the documented oracle lane; the scale twin is
+    minhash on the smaller set's permutations (containment sketch /
+    datasketches theta intersection-over-A). Plan: one distinct-token
+    shuffle, one term-keyed join, per-pair count, broadcast size join."""
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "term")
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "term")
+    inter = (
+        a.join(b, ["term"])
+        .filter((F.col("doc_a") != F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("n_a"))
+    cont = F.col("n_common").cast("double") / F.col("n_a")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .filter(cont >= 0.9)
+        .select("doc_a", "doc_b", "n_a", "n_common", r6(cont).alias("containment"))
+    )

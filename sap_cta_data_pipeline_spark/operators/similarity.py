@@ -399,3 +399,30 @@ def emb_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i, 4)
     ]
     return base.groupBy("label").agg(*aggs)
+
+
+@query("sim_recall_eval")  # rows-only: scores the hash-specific ANN lane
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the ANN-LSH lane against the brute-force ground truth,
+    per probe: |ANN top-5 ∩ exact top-5| / 5. This is the evaluation
+    harness an ANN deployment needs before trading recall for the
+    sub-linear bucket scan — the knob (plane count, multi-probe) is tuned
+    against exactly this number. Composes the two registered lanes; the
+    intersection is a probe+candidate keyed semi-join of two 50-row
+    frames, so eval cost is probe-sized, corpus-free."""
+    from ..registry import QUERIES
+
+    exact = QUERIES["sim_knn_cosine"](spark, sf_dir).select("probe_id", "cand_id")
+    ann = QUERIES["sim_ann_lsh"](spark, sf_dir).select("probe_id", "cand_id")
+    hits = exact.join(ann, ["probe_id", "cand_id"], "left_semi")
+    n_hits = hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(n_hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            r6(F.coalesce("n_hits", F.lit(0)) / F.col("k")).alias("recall_at_5"),
+        )
+    )

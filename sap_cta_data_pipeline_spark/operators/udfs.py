@@ -132,3 +132,38 @@ def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_probe_docs d, LATERAL token_windows(d.text) w
         """
     )
+
+
+@query(
+    "udf_grouped_standardize",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           round((value - avg(value)    OVER (PARTITION BY event_type))
+                 / nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0),
+                 6) AS z
+    FROM events
+    """,
+)
+def udf_grouped_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type z-score (sample std,
+    ddof=1) computed inside one pandas frame per group — the §2-L surface
+    for whole-group Python logic (sklearn-style fit/transform per key).
+    The window-function twin (the oracle) is the preferred JVM form for
+    anything SQL can say; this key pins the escape hatch: one shuffle on
+    the group key, each group materialized as a single Arrow batch — so
+    at 100 TB the group key must be chosen to bound group size (salt or
+    sub-key skewed groups), which is the documented contract here."""
+    e = t(spark, sf_dir, "events")
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(6)}
+        )
+
+    return e.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        standardize, schema="event_id long, event_type string, z double"
+    )

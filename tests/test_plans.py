@@ -246,3 +246,126 @@ def test_zorder_is_single_agg_no_join(q):
     assert "Join" not in plan
     # partial+final hash aggregate around one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_group_by_all_plan_equals_explicit(q, spark, sf_dir):
+    # GROUP BY ALL is analysis-time sugar: the optimized plan must be the
+    # same aggregate as the explicit GROUP BY 1,2 form (modulo plan ids)
+    import re
+
+    from sap_cta_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    body = """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               o_orderstatus,
+               count(*)                          AS n_orders,
+               round(sum(o_totalprice), 2)       AS revenue
+        FROM orders
+        GROUP BY {g}
+        ORDER BY {o}
+    """
+
+    def shape(g, o):
+        p = plan_text(spark.sql(body.format(g=g, o=o)), "simple")
+        return re.sub(r"plan_id=\d+", "plan_id=x", re.sub(r"#\d+L?", "#x", p))
+
+    # ORDER BY ALL sorts on every select item, so the explicit twin is 1,2,3,4
+    assert shape("ALL", "ALL") == shape("1, 2", "1, 2, 3, 4")
+
+
+def test_collation_group_single_agg_no_extra_exchange(q):
+    # collation-aware grouping keys plan as sort-based aggregation in
+    # Spark 4.1 (collated keys are not hash-agg-able) — still one shuffle;
+    # the docstring documents lower()-prenormalization as the hash-agg twin
+    plan = plan_text(q("fn_collation_group"), "simple")
+    assert "SortAggregate" in plan
+    # two keyed exchanges: the count-distinct two-phase (key+ptype) then the
+    # final group key — and never a single-partition collapse
+    assert plan.count("Exchange") == 2 and "SinglePartition" not in plan
+
+
+def test_listagg_broadcasts_region(q):
+    assert "BroadcastHashJoin" in plan_text(q("agg_listagg_ordered"), "simple")
+
+
+def test_containment_size_join_broadcast(q):
+    assert "BroadcastHashJoin" in plan_text(q("dedup_containment"), "simple")
+
+
+def test_span_dedup_no_cartesian_single_generate(q):
+    plan = plan_text(q("text_span_dedup"), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # spans are generated in-row exactly once (no token-level explode, no
+    # second explode from a spans-vs-stats self-join — the window form)
+    assert plan.count("Generate explode") == 1
+    assert "Window" in plan
+
+
+def test_grouped_standardize_is_grouped_map(q):
+    plan = plan_text(q("udf_grouped_standardize"), "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    # one shuffle on the group key feeds the pandas stage
+    assert plan.count("Exchange") == 1
+
+
+def test_variant_shred_single_scan_pushless_parse(q):
+    plan = plan_text(q("json_variant_shred"), "simple")
+    assert "variant_get" in plan and plan.count("Scan parquet") == 1
+
+
+def test_pipe_syntax_plan_equals_classic(q, spark, sf_dir):
+    # the |> dialect must lower to the same optimized plan as classic SQL
+    import re
+
+    from sap_cta_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    piped = spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS net
+        |> AGGREGATE count(*) AS n, round(sum(net), 2) AS revenue,
+                     round(avg(l_quantity), 6) AS avg_qty
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(avg(l_quantity), 6) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+    def ops(df):
+        # operator-name skeleton; EXTEND legitimately adds a Project that
+        # classic SQL folds into the aggregate expressions
+        p = plan_text(df, "simple")
+        return [
+            ln.strip().lstrip("+-* ").split("(")[0].split(" ")[0]
+            for ln in p.splitlines()
+            if ln.strip().lstrip("+-* ")
+        ]
+
+    po, co = ops(piped), ops(classic)
+    assert [o for o in po if o != "Project"] == [o for o in co if o != "Project"]
+    # and the piped form keeps the pushed scan + partial/final agg + sort
+    pp = plan_text(piped)
+    assert "l_shipdate" in pp.split("PushedFilters")[1].split("]")[0]
+    assert plan_text(piped, "simple").count("HashAggregate") == 2
+
+
+def test_conversion_latency_single_user_shuffle(q):
+    # first-view via window (not a groupBy+re-join): exactly one exchange
+    # on user_id feeds both the window and the per-user agg; the final
+    # global reduce is the only single-partition stage
+    plan = plan_text(q("events_conversion_latency"), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window" in plan
