@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import extract_features, synthesize_media
-from ..functions.parity import r6
+from ..functions.parity import bi, r6
 from ..registry import query
 
 
@@ -118,4 +118,131 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(resized)
     return feats.where(F.col("media_type") == "image").select(
         "asset_id", "n_bytes", r6(F.col("sample_mean")).alias("sample_mean")
+    )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH img0 AS (
+      SELECT vec_id AS asset_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS px
+      FROM embeddings WHERE CAST(label AS INTEGER) % 3 = 0
+    ), planted AS (
+      SELECT asset_id + 1000000 AS asset_id,
+             list_transform(range(1, 65),
+               i -> CASE WHEN i = 1 THEN CAST(CAST(px[i] + 0.5 AS REAL) AS DOUBLE)
+                         ELSE px[i] END) AS px
+      FROM img0 WHERE asset_id % 7 = 0
+    ), img AS (
+      SELECT * FROM img0 UNION ALL SELECT * FROM planted
+    ), h AS (
+      SELECT asset_id,
+             CAST(list_sum(list_transform(range(1, 64),
+                  i -> CASE WHEN px[i+1] > px[i]
+                            THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT) AS ph
+      FROM img
+    ), bands AS (
+      SELECT asset_id, ph, b, (ph >> (CAST(b AS INTEGER) * 16)) & 65535 AS bv
+      FROM h, (SELECT unnest(range(0, 4)) AS b) bs
+    ), cand AS (
+      SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                      a.ph AS ha, b.ph AS hb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.asset_id < b.asset_id
+    )
+    SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over BINARY image assets —
+    the dedup × multimodal cell of the matrix: image assets (plus planted
+    deterministic "re-encodes": one f4-rounded +0.5 perturbation of the
+    first pixel for every 7th asset) are packed to raw-f32 payloads,
+    decoded back through the stubbed codec boundary, dHash-ed in the
+    Arrow lane (bit i = px[i+1] > px[i] — pure comparisons, no float
+    summation, so the hash is bit-exact across engines), then deduped
+    JVM-side exactly like dedup_simhash: 4×16-bit band buckets, candidate
+    self-join within a band, bit_count(xor) Hamming verify ≤ 8. The
+    banded join is the 100 TB path (no all-pairs stage anywhere); recall
+    is the standard LSH trade — a pair must agree on one whole band.
+    A value match certifies payload pack → Arrow → decode → hash → band
+    join end-to-end, because the oracle recomputes everything straight
+    from the embeddings table."""
+    import struct as _struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..catalog import load_table
+    from ..functions.multimodal import _decode_payload
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = F.transform("embedding", lambda x: x.cast("double"))
+    img = emb.filter(F.col("label").cast("int") % 3 == 0).select(
+        F.col("vec_id").alias("asset_id"), px.alias("px")
+    )
+    pert = (
+        (F.element_at("px", 1) + F.lit(0.5)).cast("float").cast("double")
+    )
+    planted = img.filter(F.col("asset_id") % 7 == 0).select(
+        (F.col("asset_id") + 1000000).alias("asset_id"),
+        F.concat(F.array(pert), F.slice("px", 2, 63)).alias("px"),
+    )
+    assets = img.unionAll(planted)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": [
+                        _struct.pack("<64f", *[float(v) for v in p]) for p in pdf["px"]
+                    ],
+                }
+            )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                p = _decode_payload(bytes(payload), "raw-f32-8x8")
+                ph = 0
+                for i in range(63):
+                    if p[i + 1] > p[i]:
+                        ph |= 1 << i
+                hashes.append(ph)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "ph": hashes})
+
+    media = assets.mapInPandas(encode, schema="asset_id long, payload binary")
+    h = media.mapInPandas(dhash, schema="asset_id long, ph long")
+    bands = h.select(
+        "asset_id",
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ph", 16 * b).bitwiseAND(F.lit(65535))
+                    for b in range(4)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("asset_a"), F.col("ph").alias("ha"), "b", "bv"
+    )
+    b = bands.select(
+        F.col("asset_id").alias("asset_b"), F.col("ph").alias("hb"), "b", "bv"
+    )
+    cand = (
+        a.join(b, ["b", "bv"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= 8)
+        .select("asset_a", "asset_b", bi(hamming).alias("hamming"))
     )

@@ -205,3 +205,32 @@ def test_recall_eval_bounds_and_truth(q):
         assert r.recall_at_5 == pytest.approx(r.n_hits / 5.0, abs=1e-6)
     # the LSH lane must find at least some true neighbors overall
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_phash_dedup_planted_copies_found(q, spark, sf_dir):
+    rows = q("multimodal_phash_dedup").collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted_ids = {
+        r.vec_id
+        for r in emb.filter((F.col("label").cast("int") % 3 == 0) & (F.col("vec_id") % 7 == 0))
+        .select("vec_id")
+        .collect()
+    }
+    got_pairs = {(r.asset_a, r.asset_b) for r in rows}
+    # every planted re-encode must be recovered: the +0.5 f4 perturbation of
+    # one pixel flips at most 1 dHash bit, and bands 1-3 stay identical
+    for vid in planted_ids:
+        assert (vid, vid + 1000000) in got_pairs, f"planted copy of {vid} missed"
+    assert all(0 <= r.hamming <= 8 for r in rows)
+
+
+def test_phash_dedup_no_all_pairs(q):
+    import contextlib
+    import io
+
+    df = q("multimodal_phash_dedup")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
