@@ -256,3 +256,37 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("src")).alias("src_param"),
     )
+
+
+@query(
+    "fn_binary_codec",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                          AS text_md5,
+           sha256(text)                                       AS text_sha256,
+           lower(hex(CAST(substr(text, 1, 8) AS BLOB)))       AS head_hex,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB))       AS head_b64,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)   AS n_bytes,
+           (CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) = text) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: md5 / sha256 digests, hex and base64
+    encodings (with a base64→unbase64 round-trip proof) over utf8 text
+    bytes. Digests are THE cross-system content-addressing primitive
+    (dedup_exact's 100 TB note groups on one); all functions are per-row
+    JVM codegen — zero shuffle, embarrassingly parallel. Corpus text is
+    ASCII by construction so string/byte length agree; the hex is
+    lower()ed on both engines (Spark emits uppercase, DuckDB lower)."""
+    d = t(spark, sf_dir, "documents")
+    tb = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(tb).alias("text_md5"),
+        F.sha2(tb, 256).alias("text_sha256"),
+        F.lower(F.hex(F.substring("text", 1, 8).cast("binary"))).alias("head_hex"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("head_b64"),
+        bi(F.length(tb)).alias("n_bytes"),
+        (F.unbase64(F.base64(tb)).cast("string") == F.col("text")).alias("roundtrip_ok"),
+    )

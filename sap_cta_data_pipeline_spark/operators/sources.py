@@ -380,3 +380,51 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("r_regionkey int, r_name string")
         .parquet(root)
     )
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT vec_id            AS asset_id,
+           CAST(256 AS BIGINT) AS n_bytes
+    FROM embeddings
+    WHERE CAST(label AS INTEGER) % 3 = 0
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset ingestion via Spark's `binaryFile` format — the way
+    raw media lands in a lakehouse (one file per asset on the object
+    store; the scan is distributed, one task per file split, with
+    pathGlobFilter pruning non-matching names before any read). Here the
+    image payloads (raw-f32, 256 bytes) are materialized as *.bin files
+    in a pid-scoped scratch dir, read back with binaryFile, asset ids
+    re-parsed from filenames, and sizes verified against the source.
+    Content fidelity (byte-for-byte CRC vs synthesize_media) is pinned in
+    tests/test_units_round2j.py — the oracle certifies discovery
+    completeness + metadata (every asset found, every length right)."""
+    import os as _os
+
+    from ..functions.multimodal import synthesize_media
+
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image")
+    out_dir = _scratch(sf_dir, "binary_assets")
+    _os.makedirs(out_dir, exist_ok=True)
+    # driver-side materialization is the FIXTURE step (tiny: n_assets × 256
+    # bytes) standing in for assets already resident on an object store —
+    # the measured operator is the distributed binaryFile scan below
+    for row in media.select("asset_id", "payload").collect():
+        with open(_os.path.join(out_dir, f"asset_{row.asset_id}.bin"), "wb") as fh:
+            fh.write(bytes(row.payload))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "asset_*.bin")
+        .load(out_dir)
+    )
+    return scanned.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"asset_(\d+)\.bin", 1
+        )
+        .cast("long")
+        .alias("asset_id"),
+        F.col("length").alias("n_bytes"),
+    )
