@@ -62,6 +62,10 @@ def main() -> int:
     spark = get_spark("sap-cta-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _materialize(spark.range(1_000_000))  # warm JVM/codegen paths
+    # warm the parquet source path too (vectorized reader + footer codec
+    # class-loading, ~2-5 s once per JVM) on the 5-row region table — the
+    # measured tables themselves are not touched, so no data prewarm
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # NOTE: caching base tables was measured and REJECTED — InMemoryRelation
     # columnar scans of array<float> are slower than the parquet vectorized
     # reader for the higher-order-function-heavy vector ops (param sweep
