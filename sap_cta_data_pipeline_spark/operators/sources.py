@@ -428,3 +428,30 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("asset_id"),
         F.col("length").alias("n_bytes"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through native XML (new first-class format in Spark
+    4.0 — previously the external spark-xml package): write `nation` as
+    <nation> row elements, read back with an explicit schema. XML is the
+    interchange format ERP/legacy feeds still arrive in; the reader
+    infers-or-takes row tags and is splittable per file. Avro remains
+    environment-bounded here (external spark-avro jar not shipped in the
+    pip distribution — 'Failed to find data source: avro')."""
+    path = _scratch(sf_dir, "nation_xml")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").option("rowTag", "nation").format("xml").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).option("rowTag", "nation").format("xml").load(path)
+    )
