@@ -305,3 +305,79 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.9)
         .select("doc_a", "doc_b", "n_a", "n_common", r6(cont).alias("containment"))
     )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x != ''))), ' ') AS fp
+      FROM documents
+    ), corpus AS (
+      SELECT * FROM canon WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT * FROM canon WHERE doc_id % 2 = 1
+    ), vs_corpus AS (
+      SELECT b.doc_id, min(c.doc_id) AS dup_of
+      FROM batch b JOIN corpus c ON c.fp = b.fp
+      GROUP BY b.doc_id
+    ), batch_first AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+      FROM batch
+    )
+    SELECT b.doc_id,
+           (v.doc_id IS NOT NULL)                       AS dup_of_corpus,
+           v.dup_of                                     AS corpus_keeper,
+           (bf.first_in_batch != b.doc_id)              AS dup_within_batch,
+           (v.doc_id IS NULL AND bf.first_in_batch = b.doc_id) AS keep
+    FROM batch b
+    LEFT JOIN vs_corpus v ON v.doc_id = b.doc_id
+    JOIN batch_first bf ON bf.doc_id = b.doc_id
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape production dedup actually runs
+    at 100 TB: a NEW batch (odd doc_ids) is deduped against the EXISTING
+    corpus' fingerprint store (even doc_ids) WITHOUT re-scanning corpus
+    text — one fingerprint-keyed join against the (hash-sized) store plus
+    one within-batch first-occurrence window. Emits, per batch doc: is it
+    a dup of the corpus (and of which keeper), a dup within its own
+    batch, and the final keep verdict. At scale the store holds 128-bit
+    fingerprint hashes only (dedup_exact's note), the batch side is
+    days-sized not corpus-sized, and the join broadcasts whenever the
+    day's fingerprints fit — full-corpus re-dedup (dedup_exact) exists
+    only as the bootstrap."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.concat_ws(
+        " ",
+        F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))),
+    )
+    canon = docs.select("doc_id", fp.alias("fp"))
+    corpus = canon.filter(F.col("doc_id") % 2 == 0)
+    batch = canon.filter(F.col("doc_id") % 2 == 1)
+    vs_corpus = (
+        batch.join(corpus.select(F.col("fp"), F.col("doc_id").alias("c_id")), "fp")
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("corpus_keeper"))
+    )
+    w = Window.partitionBy("fp")
+    batch_first = batch.select(
+        "doc_id", F.min("doc_id").over(w).alias("first_in_batch")
+    )
+    return (
+        batch.select("doc_id")
+        .join(vs_corpus, "doc_id", "left")
+        .join(batch_first, "doc_id")
+        .select(
+            "doc_id",
+            F.col("corpus_keeper").isNotNull().alias("dup_of_corpus"),
+            "corpus_keeper",
+            (F.col("first_in_batch") != F.col("doc_id")).alias("dup_within_batch"),
+            (
+                F.col("corpus_keeper").isNull()
+                & (F.col("first_in_batch") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )

@@ -273,3 +273,30 @@ def test_binary_codec_known_digest(q):
     any_id = next(iter(rows))
     r = rows[any_id]
     assert len(r.text_md5) == 32 and len(r.text_sha256) == 64
+
+
+def test_incremental_dedup_vs_python(q, spark, sf_dir):
+    rows = {r.doc_id: r for r in q("dedup_incremental_exact").collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    fp = {
+        d.doc_id: " ".join(sorted({x for x in d.text.split(" ") if x})) for d in docs
+    }
+    corpus = {}
+    for did in sorted(fp):
+        if did % 2 == 0:
+            corpus.setdefault(fp[did], did)
+    seen_batch: dict = {}
+    for did in sorted(fp):
+        if did % 2 == 1:
+            r = rows[did]
+            in_corpus = fp[did] in corpus
+            assert r.dup_of_corpus == in_corpus
+            assert r.corpus_keeper == (corpus.get(fp[did]) if in_corpus else None)
+            within = fp[did] in seen_batch
+            assert r.dup_within_batch == within
+            assert r.keep == (not in_corpus and not within)
+            seen_batch.setdefault(fp[did], did)
+    assert set(rows) == {d for d in fp if d % 2 == 1}
+    # the planted exact-dup clusters guarantee both dup kinds exist
+    assert any(r.dup_of_corpus for r in rows.values())
+    assert any(r.keep for r in rows.values())
