@@ -381,3 +381,81 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x != ''))), ' ') AS fp
+      FROM documents
+    ), dup_fp AS (
+      SELECT fp FROM canon GROUP BY fp HAVING count(*) > 1
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tok_f AS (
+      SELECT * FROM tok WHERE term != ''
+    ), stops AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+        FROM tok_f GROUP BY term
+      ) WHERE rn <= 5
+    ), quality AS (
+      SELECT t.doc_id,
+             round(0.4 * (1 - CAST(sum(CASE WHEN s.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+                 + 0.3 * least(count(*) / 50.0, 1.0)
+                 + 0.3 * (CAST(count(DISTINCT t.term) AS DOUBLE) / count(*)), 6) AS q
+      FROM tok_f t LEFT JOIN stops s ON t.term = s.term
+      GROUP BY t.doc_id
+    ), ranked AS (
+      SELECT c.fp, c.doc_id, q.q,
+             row_number() OVER (PARTITION BY c.fp ORDER BY q.q DESC, c.doc_id ASC) AS rn
+      FROM canon c JOIN dup_fp USING (fp) JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT fp,
+           min(CASE WHEN rn = 1 THEN doc_id END)                   AS keeper,
+           round(min(CASE WHEN rn = 1 THEN q END), 6)              AS keeper_quality,
+           count(*)                                                AS n_members,
+           array_to_string(list_sort(list(CASE WHEN rn > 1 THEN doc_id END)), ',') AS dropped_csv
+    FROM ranked
+    GROUP BY fp
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted keeper selection — the step after duplicate
+    grouping in a real corpus pipeline: within each exact-duplicate
+    fingerprint group, KEEP the highest-quality member (the reference
+    quality score from text_quality_score — stopword/length/diversity
+    mix), not blindly min(doc_id); ties break deterministically on
+    doc_id. Composes two registered lanes: the fingerprint grouping of
+    dedup_exact and the quality model, joined doc-keyed, ranked by one
+    fp-partitioned window. All shuffles keyed (fp / doc_id / term);
+    group size bounds the window partitions. At 100 TB the same verdict
+    column feeds the keep-filter exactly as split_train_test's does."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.concat_ws(
+        " ",
+        F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))),
+    )
+    canon = docs.select("doc_id", fp.alias("fp"))
+    w_fp = Window.partitionBy("fp")
+    dup = canon.withColumn("n_members", F.count(F.lit(1)).over(w_fp)).filter(
+        F.col("n_members") > 1
+    )
+    from ..registry import QUERIES
+
+    quality = QUERIES["text_quality_score"](spark, sf_dir).select("doc_id", F.col("quality").alias("q"))
+    ranked = dup.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("fp").orderBy(F.desc("q"), F.asc("doc_id"))),
+    )
+    return ranked.groupBy("fp").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper"),
+        F.round(F.min(F.when(F.col("rn") == 1, F.col("q"))), 6).alias("keeper_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.when(F.col("rn") > 1, F.col("doc_id"))))
+        ).alias("dropped_csv"),
+    )

@@ -300,3 +300,17 @@ def test_incremental_dedup_vs_python(q, spark, sf_dir):
     # the planted exact-dup clusters guarantee both dup kinds exist
     assert any(r.dup_of_corpus for r in rows.values())
     assert any(r.keep for r in rows.values())
+
+
+def test_keep_best_picks_highest_quality(q):
+    rows = q("dedup_keep_best").collect()
+    assert rows, "corpus has planted exact-dup groups"
+    qual = {r.doc_id: r.quality for r in q("text_quality_score").collect()}
+    for r in rows:
+        dropped = [int(x) for x in r.dropped_csv.split(",") if x]
+        assert r.n_members == 1 + len(dropped)
+        assert r.keeper not in dropped
+        # the keeper's quality is >= every dropped member's
+        for d in dropped:
+            assert qual[r.keeper] >= qual[d]
+        assert r.keeper_quality == pytest.approx(qual[r.keeper], abs=1e-6)
