@@ -282,7 +282,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_near_jaccard — the documented oracle lane; the scale twin is
     minhash on the smaller set's permutations (containment sketch /
     datasketches theta intersection-over-A). Plan: one distinct-token
-    shuffle, one term-keyed join, per-pair count, broadcast size join."""
+    shuffle, ONE a<b term-keyed join + pair agg (the ordered a!=b join
+    was measured 74 s vs 46 s at sf0.1 — 2× work for the same
+    information), both orientations emitted post-agg, broadcast size
+    join. 46 s ≈ dedup_near_jaccard's 41 s at sf0.1 — the cost IS the
+    Σ df² family, by construction of the oracle lane."""
     docs = t(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
@@ -292,11 +296,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
     a = tok.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "term")
     b = tok.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "term")
-    inter = (
+    # join each unordered pair ONCE (a<b) — the ordered (a!=b) join doubles
+    # the dominant token-join + pair-agg cost for identical information —
+    # then emit both orientations of the asymmetric measure afterwards
+    half = (
         a.join(b, ["term"])
-        .filter((F.col("doc_a") != F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    inter = half.unionAll(
+        half.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "n_common"
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("n_a"))
     cont = F.col("n_common").cast("double") / F.col("n_a")
