@@ -573,3 +573,65 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="dim int, loading double, eigval double, n_vectors long"
     )
+
+
+@query(
+    "ml_pit_features",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us, ts
+      FROM events
+    ), feat AS (
+      SELECT event_id, user_id, ts, event_type,
+             count(*) OVER w7                                   AS n_prior_7d,
+             round(avg(CASE WHEN event_type = 'view' THEN value END) OVER w7, 6)
+                                                                AS avg_prior_view_value,
+             round((us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) / 1e6, 6)
+                                                                AS secs_since_prev
+      FROM e
+      WINDOW w7 AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, n_prior_7d, avg_prior_view_value, secs_since_prev
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def ml_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training features — the leakage-free feature
+    extraction an ML pipeline runs to build supervised examples: for every
+    'purchase' target row, features come STRICTLY from the past (a
+    trailing-7-day RANGE frame ending at 1 µs BEFORE the target, so
+    same-microsecond peers are excluded — the classic label-leak), plus
+    recency (seconds since previous event, lag ordered by (time, id) for
+    tie determinism). One user-keyed shuffle serves both windows; the
+    target filter is applied AFTER feature computation so feature windows
+    see non-target events too. At 100 TB this is the pattern feature
+    stores call 'point-in-time join', here expressed as pure windows —
+    no per-target re-scan, no as-of join amplification."""
+    from ..functions.parity import um
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts", um("ts").alias("us")
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        bi(F.count(F.lit(1)).over(w7)).alias("n_prior_7d"),
+        r6(
+            F.avg(F.when(F.col("event_type") == "view", F.col("value"))).over(w7)
+        ).alias("avg_prior_view_value"),
+        r6((F.col("us") - F.lag("us").over(w_lag)) / F.lit(1e6)).alias(
+            "secs_since_prev"
+        ),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "n_prior_7d", "avg_prior_view_value", "secs_since_prev"
+    )

@@ -314,3 +314,38 @@ def test_keep_best_picks_highest_quality(q):
         for d in dropped:
             assert qual[r.keeper] >= qual[d]
         assert r.keeper_quality == pytest.approx(qual[r.keeper], abs=1e-6)
+
+
+def test_pit_features_no_leakage(q, spark, sf_dir):
+    rows = {r.event_id: r for r in q("ml_pit_features").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    import statistics
+
+    checked = 0
+    for uid, lst in list(by_user.items())[:50]:
+        lst.sort(key=lambda r: (r.ts, r.event_id))
+        for r in lst:
+            if r.event_type != "purchase":
+                continue
+            # strictly-before window: same-timestamp peers excluded
+            prior = [
+                x
+                for x in lst
+                if x.ts < r.ts and (r.ts - x.ts).total_seconds() <= 604800
+            ]
+            got = rows[r.event_id]
+            assert got.n_prior_7d == len(prior)
+            views = [x.value for x in prior if x.event_type == "view"]
+            if views:
+                assert got.avg_prior_view_value == pytest.approx(
+                    statistics.fmean(views), abs=1e-4
+                )
+            else:
+                assert got.avg_prior_view_value is None
+            checked += 1
+    assert checked > 50
