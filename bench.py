@@ -65,7 +65,9 @@ def main() -> int:
     # warm the parquet source path too (vectorized reader + footer codec
     # class-loading, ~2-5 s once per JVM) on the 5-row region table — the
     # measured tables themselves are not touched, so no data prewarm
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from sap_cta_data_pipeline_spark.catalog import table_path
+
+    spark.read.parquet(table_path(sf_dir, "region")).count()
     # NOTE: caching base tables was measured and REJECTED — InMemoryRelation
     # columnar scans of array<float> are slower than the parquet vectorized
     # reader for the higher-order-function-heavy vector ops (param sweep

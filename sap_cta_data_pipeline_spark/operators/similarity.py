@@ -423,6 +423,9 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            r6(F.coalesce("n_hits", F.lit(0)) / F.col("k")).alias("recall_at_5"),
+            # denominator is the fixed k=5 the metric name promises, not the
+            # per-probe row count (they differ only if the exact lane ever
+            # returns < 5 candidates — then recall must still be "of 5")
+            r6(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
         )
     )

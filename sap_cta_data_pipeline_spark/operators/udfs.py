@@ -161,9 +161,15 @@ def udf_grouped_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean = pdf["value"].mean()
         z = (pdf["value"] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf))
         return pd.DataFrame(
-            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(6)}
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
         )
 
-    return e.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+    # rounding happens JVM-side via r6 (BigDecimal HALF_UP) — pandas
+    # .round is half-to-EVEN, which diverges from the DuckDB oracle's
+    # half-away-from-zero on exact .5 ties at the 7th decimal
+    from ..functions.parity import r6
+
+    raw = e.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
         standardize, schema="event_id long, event_type string, z double"
     )
+    return raw.select("event_id", "event_type", r6(F.col("z")).alias("z"))

@@ -264,15 +264,22 @@ def test_binaryfile_content_fidelity(q, spark, sf_dir):
     assert got == expect  # byte-for-byte round trip, every asset
 
 
-def test_binary_codec_known_digest(q):
+def test_binary_codec_known_digest(q, spark, sf_dir):
+    import base64
     import hashlib
 
     rows = {r.doc_id: r for r in q("fn_binary_codec").collect()}
     assert all(r.roundtrip_ok for r in rows.values())
-    # spot-check digests against hashlib ground truth for one doc
-    any_id = next(iter(rows))
-    r = rows[any_id]
-    assert len(r.text_md5) == 32 and len(r.text_sha256) == 64
+    docs = {d.doc_id: d.text for d in load_table(spark, sf_dir, "documents").collect()}
+    # digests and encodings against hashlib/base64 ground truth, every doc
+    for doc_id, text in docs.items():
+        r = rows[doc_id]
+        b = text.encode()
+        assert r.text_md5 == hashlib.md5(b).hexdigest()
+        assert r.text_sha256 == hashlib.sha256(b).hexdigest()
+        assert r.head_hex == b[:8].hex()
+        assert r.head_b64 == base64.b64encode(b[:12]).decode()
+        assert r.n_bytes == len(b)
 
 
 def test_incremental_dedup_vs_python(q, spark, sf_dir):
