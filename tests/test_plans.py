@@ -369,3 +369,29 @@ def test_conversion_latency_single_user_shuffle(q):
     plan = plan_text(q("events_conversion_latency"), "simple")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Window" in plan
+
+
+def test_plan_digest_api(q):
+    """plans.digest — the programmatic scale-gate API: verify it reports
+    the facts the string asserts above check by hand."""
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("scan_pushdown"))
+    assert d.pushed_filters and any("l_shipdate" in p for p in d.pushed_filters)
+    assert d.read_schemas and all("l_tax" not in rs for rs in d.read_schemas)
+
+    d = digest(q("join_broadcast"))
+    assert d.n_broadcast_joins >= 1 and d.n_cartesian == 0
+
+    d = digest(q("topk_limit"))
+    assert d.take_ordered
+
+    d = digest(q("emb_quantize_int8"))
+    assert d.shuffle_free
+
+    d = digest(q("agg_pricing_summary"))
+    assert d.n_hash_aggregates >= 2  # partial + final
+
+    # deliberate global window is detected; keyed windows are not
+    assert digest(q("win_ntile_pct")).global_windows >= 1
+    assert digest(q("win_topn_per_group")).global_windows == 0
