@@ -290,3 +290,50 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 3.5)
         .select("event_id", "event_type", r6(z).alias("robust_z"))
     )
+
+
+@query(
+    "events_purge_tombstones",
+    oracle="""
+    WITH tomb AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ), marked AS (
+      SELECT e.event_type,
+             CASE WHEN t.user_id IS NULL THEN 0 ELSE 1 END AS purged
+      FROM events e LEFT JOIN tomb t ON t.user_id = e.user_id
+    )
+    SELECT event_type,
+           count(*)                                   AS n_before,
+           CAST(sum(1 - purged) AS BIGINT)            AS n_after,
+           CAST(sum(purged) AS BIGINT)                AS n_purged
+    FROM marked
+    GROUP BY event_type
+    """,
+)
+def events_purge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge with audit — the compliance workflow a
+    production table needs: a tombstone list of subject keys (here the
+    deterministic user_id ≡ 0 mod 97 stand-in for a deletion-request
+    table) anti-joins the fact table, and the audit reports per-type
+    before/after/purged counts that must reconcile (n_before = n_after +
+    n_purged — checked by the oracle equality itself). Plan: ONE
+    broadcast-able join against the tombstone list + one keyed agg; at
+    100 TB this runs partition-wise as a rewrite (delete = rewrite of
+    affected partitions) with the same anti-join shape, and the
+    tombstone list stays broadcast-sized by definition of a deletion
+    queue. The surviving-rows DataFrame is the same plan minus the agg
+    (dropDuplicates of the audit: filter purged = 0)."""
+    from ..functions.parity import bi
+
+    e = t(spark, sf_dir, "events")
+    tomb = (
+        e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    marked = e.join(
+        F.broadcast(tomb.withColumn("_t", F.lit(1))), "user_id", "left"
+    ).withColumn("purged", F.when(F.col("_t").isNotNull(), 1).otherwise(0))
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        bi(F.sum(1 - F.col("purged"))).alias("n_after"),
+        bi(F.sum("purged")).alias("n_purged"),
+    )

@@ -356,3 +356,17 @@ def test_pit_features_no_leakage(q, spark, sf_dir):
                 assert got.avg_prior_view_value is None
             checked += 1
     assert checked > 50
+
+
+def test_purge_tombstones_reconciles(q, spark, sf_dir):
+    rows = q("events_purge_tombstones").collect()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    from collections import Counter
+
+    before = Counter(r.event_type for r in ev)
+    purged = Counter(r.event_type for r in ev if r.user_id % 97 == 0)
+    for r in rows:
+        assert r.n_before == r.n_after + r.n_purged
+        assert r.n_before == before[r.event_type]
+        assert r.n_purged == purged[r.event_type]
+    assert sum(r.n_purged for r in rows) > 0  # the tombstone list is non-empty
