@@ -131,3 +131,71 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p.max_str",
         )
     )
+
+
+@query(
+    "profile_join_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT count(*)            AS n_keys,
+             sum(cnt)            AS n_rows,
+             max(cnt)            AS max_cnt,
+             avg(cnt)            AS avg_cnt
+      FROM per_key
+    ), top AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+      FROM per_key
+    )
+    SELECT t.rn                                     AS rank,
+           t.key                                    AS heavy_key,
+           t.cnt                                    AS key_rows,
+           s.n_keys                                 AS n_keys,
+           round(CAST(s.max_cnt AS DOUBLE) / s.avg_cnt, 6)       AS skew_factor,
+           round(CAST(t.cnt AS DOUBLE) / s.n_rows, 6)            AS share_of_rows
+    FROM top t CROSS JOIN stats s
+    WHERE t.rn <= 10
+    """,
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the profiling pass run BEFORE picking a
+    salt factor or trusting AQE's skew-join split: per-key row counts on
+    the prospective join key (orders.o_custkey), the global skew factor
+    (max/avg key size), and the top-10 heavy keys with their share of all
+    rows. Plan: one key-keyed partial+final agg (the same shuffle the
+    join itself would do, so the profile costs one pass of the join's
+    first stage), a 1-row stats reduce broadcast back, and top-10 via
+    TakeOrderedAndProject (per-partition heaps) with the rank window
+    running over only the 10 survivors. At 100 TB run this on a sample partition
+    first; a skew_factor ≫ 10 on the full profile is the trigger for
+    join_salted_skew's explicit salting (its docstring picks the factor
+    from exactly this number)."""
+    o = t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        bi(F.count(F.lit(1))).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.avg("cnt").alias("avg_cnt"),
+    )
+    from pyspark.sql import Window
+
+    # top-10 via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # O(k) driver merge) BEFORE ranking — the rank window then runs over
+    # exactly 10 rows, never over the key-cardinality aggregate
+    top10 = per_key.orderBy(F.desc("cnt"), F.asc("key")).limit(10)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    top = top10.withColumn("rn", F.row_number().over(w))
+    from ..functions.parity import r6
+
+    return top.crossJoin(F.broadcast(stats)).select(
+        bi(F.col("rn")).alias("rank"),
+        F.col("key").alias("heavy_key"),
+        F.col("cnt").alias("key_rows"),
+        "n_keys",
+        r6(F.col("max_cnt").cast("double") / F.col("avg_cnt")).alias("skew_factor"),
+        r6(F.col("cnt").cast("double") / F.col("n_rows")).alias("share_of_rows"),
+    )

@@ -395,3 +395,10 @@ def test_plan_digest_api(q):
     # deliberate global window is detected; keyed windows are not
     assert digest(q("win_ntile_pct")).global_windows >= 1
     assert digest(q("win_topn_per_group")).global_windows == 0
+
+
+def test_skew_profile_take_ordered(q):
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("profile_join_key_skew"))
+    assert d.take_ordered  # top-10 never ranks the full key aggregate

@@ -370,3 +370,16 @@ def test_purge_tombstones_reconciles(q, spark, sf_dir):
         assert r.n_before == before[r.event_type]
         assert r.n_purged == purged[r.event_type]
     assert sum(r.n_purged for r in rows) > 0  # the tombstone list is non-empty
+
+
+def test_skew_profile_vs_python(q, spark, sf_dir):
+    rows = q("profile_join_key_skew").collect()
+    from collections import Counter
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").collect()
+    cnt = Counter(r.o_custkey for r in o)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.heavy_key, r.key_rows) for r in rows] == top
+    skew = max(cnt.values()) / (sum(cnt.values()) / len(cnt))
+    assert rows[0].skew_factor == pytest.approx(skew, abs=1e-5)
+    assert all(r.n_keys == len(cnt) for r in rows)
