@@ -382,3 +382,31 @@ def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
     return gm.join(counts, "o_orderpriority")
+
+
+@query(
+    "agg_boolean_every_any",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0.0)    AS all_positive,
+           bool_or(value > 99.0)    AS any_large,
+           CAST(count_if(value > 50.0) AS BIGINT) AS n_over_50,
+           count(*)                 AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_boolean_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: every()/any() (ANSI bool_and/bool_or)
+    and count_if per group — the predicates-as-aggregates idiom data
+    quality checks compile to (dq_expectations builds exactly these by
+    hand from conditional sums). All three are algebraic single-bit/
+    counter state: partial+final agg, one shuffle, O(1) per-group
+    memory."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("value") > 99.0).alias("any_large"),
+        F.count_if(F.col("value") > 50.0).alias("n_over_50"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -383,3 +383,17 @@ def test_skew_profile_vs_python(q, spark, sf_dir):
     skew = max(cnt.values()) / (sum(cnt.values()) / len(cnt))
     assert rows[0].skew_factor == pytest.approx(skew, abs=1e-5)
     assert all(r.n_keys == len(cnt) for r in rows)
+
+
+def test_boolean_aggs_vs_python(q, spark, sf_dir):
+    rows = {r.event_type: r for r in q("agg_boolean_every_any").collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by: dict = {}
+    for r in ev:
+        by.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by.items():
+        r = rows[et]
+        assert r.all_positive == all(v > 0.0 for v in vals)
+        assert r.any_large == any(v > 99.0 for v in vals)
+        assert r.n_over_50 == sum(1 for v in vals if v > 50.0)
+        assert r.n == len(vals)
