@@ -1,0 +1,124 @@
+"""Randomized differential testing (SQLancer-style, seeded): generate
+queries in the ANSI subset BOTH engines parse identically, run each
+through Spark SQL and DuckDB over the same parquet, and compare. The
+hand-written oracle pairs pin the 236 curated operators; this harness
+probes the combinatorial space BETWEEN them — predicate nesting,
+group-by subsets, aggregate mixes — where engine bugs actually live.
+
+Determinism: a fixed seed per test run (so failures reproduce); floats
+compare exactly after the same parity rounding the curated oracles use,
+except SUM/AVG over computed expressions which get a 1e-9 relative
+tolerance (summation order across 32 partitions is not contractual).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from sap_cta_data_pipeline_spark.catalog import register_views, table_path
+
+SF = "/root/testdata/sf0.01"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+NUM_DOMAIN = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900, 105000),
+    "l_discount": (0.0, 0.1),
+    "l_tax": (0.0, 0.08),
+}
+STR_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
+GROUP_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def _atom(rng: random.Random) -> str:
+    kind = rng.random()
+    if kind < 0.5:
+        c = rng.choice(NUM_COLS)
+        lo, hi = NUM_DOMAIN[c]
+        v = round(rng.uniform(lo, hi), 4)
+        op = rng.choice(["<", "<=", ">", ">="])
+        return f"{c} {op} {v}"
+    if kind < 0.8:
+        c = rng.choice(list(STR_COLS))
+        v = rng.choice(STR_COLS[c])
+        op = rng.choice(["=", "!=", "IN"])
+        if op == "IN":
+            vals = rng.sample(STR_COLS[c], k=min(2, len(STR_COLS[c])))
+            return f"{c} IN ({', '.join(repr(x) for x in vals)})"
+        return f"{c} {op} {v!r}"
+    d = f"1995-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    op = rng.choice(["<", ">="])
+    return f"l_shipdate {op} DATE '{d}'"
+
+
+def _predicate(rng: random.Random) -> str:
+    atoms = [_atom(rng) for _ in range(rng.randint(1, 3))]
+    joiner = f" {rng.choice(['AND', 'OR'])} "
+    return joiner.join(f"({a})" for a in atoms)
+
+
+def _query(rng: random.Random) -> tuple[str, list[str]]:
+    groups = rng.sample(GROUP_COLS, k=rng.randint(0, 2))
+    aggs = ["count(*) AS n"]
+    approx_cols = []
+    for i in range(rng.randint(1, 3)):
+        c = rng.choice(NUM_COLS)
+        fn = rng.choice(["sum", "avg", "min", "max"])
+        alias = f"a{i}"
+        if fn in ("sum", "avg"):
+            aggs.append(f"round({fn}({c}), 6) AS {alias}")
+            approx_cols.append(alias)
+        else:
+            aggs.append(f"{fn}({c}) AS {alias}")
+    sel = ", ".join(groups + aggs)
+    sql = f"SELECT {sel} FROM lineitem WHERE {_predicate(rng)}"
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)}"
+    sql += (
+        f" ORDER BY {', '.join(groups)}" if groups else ""
+    )
+    return sql, approx_cols
+
+
+def _compare(spark_rows, duck_rows, cols, approx_cols):
+    assert len(spark_rows) == len(duck_rows)
+    for s_row, d_row in zip(spark_rows, duck_rows):
+        for name, sv, dv in zip(cols, s_row, d_row):
+            if sv is None or dv is None:
+                assert sv is None and dv is None
+                continue
+            if name in approx_cols:
+                assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
+                    name,
+                    sv,
+                    dv,
+                )
+            else:
+                assert sv == dv, (name, sv, dv)
+
+
+@pytest.mark.parametrize("seed", [42, 1337, 20260813])
+def test_random_queries_agree(spark, seed):
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SF, 'lineitem')}')"
+    )
+    for i in range(25):
+        sql, approx_cols = _query(rng)
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            cols = sdf.columns
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+        except Exception as e:  # pragma: no cover - aid reproduction
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+        try:
+            _compare(s_rows, d_rows, cols, approx_cols)
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
