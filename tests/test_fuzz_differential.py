@@ -122,3 +122,67 @@ def test_random_queries_agree(spark, seed):
             _compare(s_rows, d_rows, cols, approx_cols)
         except AssertionError as e:
             raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+O_NUM = {"o_totalprice": (850, 560000)}
+O_STR = {
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ],
+}
+
+
+def _join_query(rng: random.Random) -> tuple[str, list[str]]:
+    groups = rng.sample(["o_orderstatus", "l_returnflag"], k=rng.randint(0, 2))
+    aggs = ["count(*) AS n"]
+    approx = []
+    for i in range(rng.randint(1, 2)):
+        c = rng.choice(NUM_COLS + list(O_NUM))
+        fn = rng.choice(["sum", "avg", "min", "max"])
+        alias = f"a{i}"
+        if fn in ("sum", "avg"):
+            aggs.append(f"round({fn}({c}), 6) AS {alias}")
+            approx.append(alias)
+        else:
+            aggs.append(f"{fn}({c}) AS {alias}")
+    lc = rng.choice(NUM_COLS)
+    lo, hi = NUM_DOMAIN[lc]
+    oc = rng.choice(list(O_STR))
+    preds = [
+        f"{lc} {rng.choice(['<', '>='])} {round(rng.uniform(lo, hi), 4)}",
+        f"{oc} = {rng.choice(O_STR[oc])!r}",
+    ]
+    sel = ", ".join(groups + aggs)
+    sql = (
+        f"SELECT {sel} FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" WHERE ({preds[0]}) {rng.choice(['AND', 'OR'])} ({preds[1]})"
+    )
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)} ORDER BY {', '.join(groups)}"
+    return sql, approx
+
+
+@pytest.mark.parametrize("seed", [7, 2024])
+def test_random_join_queries_agree(spark, seed):
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem", "orders"))
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{table_path(SF, tbl)}')"
+        )
+    for i in range(15):
+        sql, approx_cols = _join_query(rng)
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            cols = sdf.columns
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            _compare(s_rows, d_rows, cols, approx_cols)
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
