@@ -186,3 +186,52 @@ def test_random_join_queries_agree(spark, seed):
             _compare(s_rows, d_rows, cols, approx_cols)
         except AssertionError as e:
             raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+UNIQ = "l_orderkey, l_linenumber, l_partkey, l_suppkey"  # verified unique
+
+
+def _window_query(rng: random.Random) -> tuple[str, list[str]]:
+    """Window-function fuzz: every ORDER BY ends with the verified-unique
+    4-column line key ((orderkey, linenumber) alone is NOT unique in this
+    synthetic data — 45832 distinct over 60000 rows), so rank/lag results
+    are total-order deterministic in both engines and the final result
+    order is too."""
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"])
+    oc = rng.choice(NUM_COLS)
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()", "lag"])
+    order = f"{oc} {rng.choice(['ASC', 'DESC'])}, {UNIQ}"
+    approx = []
+    if fn == "lag":
+        expr = f"coalesce(round(lag({oc}) OVER w, 6), -1.0) AS wv"
+        approx.append("wv")
+    else:
+        expr = f"CAST({fn} OVER w AS BIGINT) AS wv"
+    sql = (
+        f"SELECT {UNIQ}, {expr}"
+        f" FROM lineitem"
+        f" WHERE l_quantity >= {rng.randint(40, 48)}"
+        f" WINDOW w AS (PARTITION BY {part} ORDER BY {order})"
+        f" ORDER BY {UNIQ}"
+    )
+    return sql, approx
+
+
+@pytest.mark.parametrize("seed", [11, 3030])
+def test_random_window_queries_agree(spark, seed):
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SF, 'lineitem')}')"
+    )
+    for i in range(10):
+        sql, approx_cols = _window_query(rng)
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            cols = sdf.columns
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            _compare(s_rows, d_rows, cols, approx_cols)
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
