@@ -235,3 +235,69 @@ def test_random_window_queries_agree(spark, seed):
             _compare(s_rows, d_rows, cols, approx_cols)
         except AssertionError as e:
             raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+def _scalar_expr(rng: random.Random, depth: int = 0) -> tuple[str, bool]:
+    """Random scalar expression in the portable subset; returns (sql,
+    is_float). Nesting depth ≤ 2 keeps both parsers honest without
+    blowing up float error."""
+    if depth >= 2 or rng.random() < 0.35:
+        if rng.random() < 0.6:
+            return rng.choice(NUM_COLS), True
+        return f"CAST(l_linenumber AS DOUBLE)", True
+    c, _ = _scalar_expr(rng, depth + 1)
+    d, _ = _scalar_expr(rng, depth + 1)
+    form = rng.choice(
+        [
+            f"abs({c} - {d})",
+            f"round({c} + {d}, 4)",
+            f"floor({c} * 7.0)",
+            f"ceiling({c} + 2.5)",
+            f"greatest({c}, {d})",
+            f"least({c}, {d})",
+            f"({c} + {d}) / 2.0",
+            f"sqrt(abs({c}))",
+        ]
+    )
+    return form, True
+
+
+def _string_expr(rng: random.Random) -> str:
+    base = rng.choice(["l_returnflag", "l_linestatus"])
+    form = rng.choice(
+        [
+            f"lower(concat({base}, '_x'))",
+            f"upper(concat('p_', {base}))",
+            f"substr(concat({base}, {base}, 'abcdef'), {rng.randint(1, 4)}, {rng.randint(1, 5)})",
+            f"CAST(length(concat({base}, 'yy')) AS BIGINT)",
+            f"replace(concat({base}, '-', {base}), '-', '::')",
+            f"reverse(concat({base}, 'zq'))",
+        ]
+    )
+    return form
+
+
+@pytest.mark.parametrize("seed", [5150, 808])
+def test_random_scalar_exprs_agree(spark, seed):
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SF, 'lineitem')}')"
+    )
+    for i in range(15):
+        num, _ = _scalar_expr(rng)
+        st = _string_expr(rng)
+        sql = (
+            f"SELECT {UNIQ}, round({num}, 6) AS nv, {st} AS sv"
+            f" FROM lineitem WHERE l_quantity >= 47"
+            f" ORDER BY {UNIQ}"
+        )
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            cols = sdf.columns
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            _compare(s_rows, d_rows, cols, approx_cols=["nv"])
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
