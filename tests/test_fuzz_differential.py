@@ -301,3 +301,36 @@ def test_random_scalar_exprs_agree(spark, seed):
             _compare(s_rows, d_rows, cols, approx_cols=["nv"])
         except AssertionError as e:
             raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+@pytest.mark.parametrize("seed", [616])
+def test_random_null_semantics_agree(spark, seed):
+    """NULL-injected differential: nullif() plants NULLs, then aggregates
+    (which skip NULLs), count(col) vs count(*), and coalesce fallbacks
+    must agree — the 3VL behaviors engines most often diverge on."""
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SF, 'lineitem')}')"
+    )
+    for i in range(12):
+        flag = rng.choice(STR_COLS["l_returnflag"])
+        nc = rng.choice(NUM_COLS)
+        q_thresh = rng.randint(20, 45)
+        sql = (
+            "SELECT l_linestatus,"
+            " count(*) AS n_rows,"
+            f" count(nullif(l_returnflag, {flag!r})) AS n_nonnull,"
+            f" round(avg(CASE WHEN l_returnflag = {flag!r} THEN NULL ELSE {nc} END), 6) AS avg_skipnull,"
+            f" CAST(sum(CASE WHEN nullif(l_quantity, {q_thresh}.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,"
+            f" round(sum(coalesce(nullif({nc}, 0.0), -1.0)), 6) AS sum_coalesced"
+            " FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"
+        )
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            _compare(s_rows, d_rows, sdf.columns, approx_cols=["avg_skipnull", "sum_coalesced"])
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
