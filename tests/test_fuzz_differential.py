@@ -334,3 +334,69 @@ def test_random_null_semantics_agree(spark, seed):
             _compare(s_rows, d_rows, sdf.columns, approx_cols=["avg_skipnull", "sum_coalesced"])
         except AssertionError as e:
             raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+@pytest.mark.parametrize("seed", [404])
+def test_random_rollup_queries_agree(spark, seed):
+    """ROLLUP/CUBE differential with grouping() flags. ORDER BY pins
+    NULLS FIRST explicitly — Spark's default null ordering (NULLS FIRST
+    for ASC) differs from DuckDB's (NULLS LAST), so defaults would make
+    row order, not values, diverge."""
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SF, 'lineitem')}')"
+    )
+    for i in range(10):
+        op = rng.choice(["ROLLUP", "CUBE"])
+        nc = rng.choice(NUM_COLS)
+        lo, hi = NUM_DOMAIN[nc]
+        sql = (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(grouping(l_returnflag) AS BIGINT) AS g1,"
+            " CAST(grouping(l_linestatus) AS BIGINT) AS g2,"
+            f" count(*) AS n, round(sum({nc}), 6) AS s"
+            f" FROM lineitem WHERE {nc} >= {round(rng.uniform(lo, (lo + hi) / 2), 4)}"
+            f" GROUP BY {op}(l_returnflag, l_linestatus)"
+            " ORDER BY g1, g2, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+        )
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            _compare(s_rows, d_rows, sdf.columns, approx_cols=["s"])
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+@pytest.mark.parametrize("seed", [271828])
+def test_random_setop_queries_agree(spark, seed):
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem",))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SF, 'lineitem')}')"
+    )
+    for i in range(10):
+        op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        a = _predicate(rng)
+        b = _predicate(rng)
+        sql = (
+            f"SELECT * FROM"
+            f" (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q"
+            f"  FROM lineitem WHERE {a}"
+            f"  {op}"
+            f"  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q"
+            f"  FROM lineitem WHERE {b}) t"
+            f" ORDER BY l_returnflag, l_linestatus, q"
+        )
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            # multiset results: compare as sorted multisets (ORDER BY on the
+            # 3 columns is total here since all three are selected)
+            _compare(s_rows, d_rows, sdf.columns, approx_cols=[])
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
