@@ -400,3 +400,44 @@ def test_random_setop_queries_agree(spark, seed):
             _compare(s_rows, d_rows, sdf.columns, approx_cols=[])
         except AssertionError as e:
             raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
+
+
+@pytest.mark.parametrize("seed", [90210])
+def test_random_subquery_shapes_agree(spark, seed):
+    """IN / NOT IN / EXISTS / NOT EXISTS differential — including the
+    null-aware anti-join lane (o_orderkey is non-null here, so NOT IN is
+    well-defined; the null-polluted 3VL case is pinned separately by the
+    curated sub_not_in_nulls)."""
+    rng = random.Random(seed)
+    register_views(spark, SF, ("lineitem", "orders"))
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{table_path(SF, tbl)}')"
+        )
+    for i in range(12):
+        oc = rng.choice(list(O_STR))
+        inner_pred = f"{oc} = {rng.choice(O_STR[oc])!r}"
+        nc = rng.choice(NUM_COLS)
+        lo, hi = NUM_DOMAIN[nc]
+        outer_pred = f"{nc} >= {round(rng.uniform((lo + hi) / 2, hi), 4)}"
+        shape = rng.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS"])
+        if shape in ("IN", "NOT IN"):
+            cond = f"l_orderkey {shape} (SELECT o_orderkey FROM orders WHERE {inner_pred})"
+        else:
+            cond = (
+                f"{shape} (SELECT 1 FROM orders o WHERE o.o_orderkey = lineitem.l_orderkey"
+                f" AND {inner_pred})"
+            )
+        sql = (
+            f"SELECT l_returnflag, count(*) AS n, round(sum({nc}), 6) AS s"
+            f" FROM lineitem WHERE ({outer_pred}) AND {cond}"
+            f" GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        try:
+            sdf = spark.sql(sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+            _compare(s_rows, d_rows, sdf.columns, approx_cols=["s"])
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} i={i} sql={sql!r}: {e}") from e
