@@ -63,8 +63,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     _materialize(spark.range(1_000_000))  # warm JVM/codegen paths
     # warm the parquet source path too (vectorized reader + footer codec
-    # class-loading, ~2-5 s once per JVM) on the 5-row region table — the
-    # measured tables themselves are not touched, so no data prewarm
+    # class-loading, ~2-5 s once per JVM) on the 5-row region table.  Note
+    # region IS read by join_multiway later, so its 5-row footer/page cache
+    # is pre-warmed — negligible data, but the big measured tables
+    # (lineitem/orders/documents/embeddings) are not touched.
     from sap_cta_data_pipeline_spark.catalog import table_path
 
     spark.read.parquet(table_path(sf_dir, "region")).count()

@@ -294,14 +294,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
-    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "term")
-    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "term")
+    a = tok.select(F.col("doc_id").alias("doc_a"), "lang", "term")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "lang", "term")
     # join each unordered pair ONCE (a<b) — the ordered (a!=b) join doubles
     # the dominant token-join + pair-agg cost for identical information —
-    # then emit both orientations of the asymmetric measure afterwards
+    # then emit both orientations of the asymmetric measure afterwards.
+    # lang is IN the equi-join key: the language blocking prunes during
+    # the shuffle join itself, not as a post-join filter, so cross-language
+    # term collisions never enter the joined stream.
     half = (
-        a.join(b, ["term"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        a.join(b, ["term", "lang"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

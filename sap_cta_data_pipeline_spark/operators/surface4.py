@@ -62,10 +62,12 @@ def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that single-parse property (plus columnar shredding of
     variant in parquet) is why this beats per-path get_json_object."""
     e = t(spark, sf_dir, "events")
-    shred = e.select(
+    # project the parsed variant ONCE, then extract paths from that column —
+    # the single-parse property is structural, not left to Catalyst CSE
+    shred = e.withColumn("v", F.parse_json("props")).select(
         "event_type",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
-        F.expr("try_variant_get(parse_json(props), '$.missing', 'string')").alias("missing"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'string')").alias("missing"),
     )
     return (
         shred.filter(F.col("k") >= 10)

@@ -31,6 +31,8 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
 @dataclass
 class PlanDigest:
     n_exchanges: int = 0
+    n_broadcast_exchanges: int = 0
+    n_reused_exchanges: int = 0
     n_single_partition: int = 0
     n_broadcast_joins: int = 0
     n_sortmerge_joins: int = 0
@@ -51,8 +53,16 @@ class PlanDigest:
 def digest(df: DataFrame) -> PlanDigest:
     simple = plan_text(df, "simple")
     formatted = plan_text(df, "formatted")
+    # A shuffle exchange node renders as "Exchange <partitioning>"; the
+    # word also occurs inside "BroadcastExchange" (no shuffle — a broadcast)
+    # and "ReusedExchange" (a reference, not a new shuffle), so anchor the
+    # match so it is not preceded by a letter.  shuffle_free therefore means
+    # "no shuffle", not "no data movement of any kind" — broadcast counts
+    # are reported separately.
     d = PlanDigest(
-        n_exchanges=simple.count("Exchange "),
+        n_exchanges=len(re.findall(r"(?<![A-Za-z])Exchange ", simple)),
+        n_broadcast_exchanges=simple.count("BroadcastExchange "),
+        n_reused_exchanges=simple.count("ReusedExchange "),
         n_single_partition=simple.count("Exchange SinglePartition"),
         n_broadcast_joins=simple.count("BroadcastHashJoin"),
         n_sortmerge_joins=simple.count("SortMergeJoin"),

@@ -6,13 +6,16 @@ OPERATORS.md is generated, so only its header count is pinned."""
 from __future__ import annotations
 
 import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
 
 import sap_cta_data_pipeline_spark.operators  # noqa: F401
 from sap_cta_data_pipeline_spark.registry import ORACLES, QUERIES
 
 
 def test_survey_running_totals_match_registry():
-    text = open("SURVEY.md").read()
+    text = (REPO / "SURVEY.md").read_text()
     # multiple running-totals lines exist (one per addendum era); the
     # LAST is the current contract count
     ms = re.findall(
@@ -26,7 +29,7 @@ def test_survey_running_totals_match_registry():
 
 
 def test_operators_doc_header_matches_registry():
-    head = open("OPERATORS.md").read(300)
+    head = (REPO / "OPERATORS.md").read_text()[:300]
     m = re.search(r"(\d+) operators; (\d+) with DuckDB value-hash oracles", head)
     assert m
     assert int(m.group(1)) == len(QUERIES)
