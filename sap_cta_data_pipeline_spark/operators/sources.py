@@ -409,12 +409,17 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image")
     out_dir = _scratch(sf_dir, "binary_assets")
     _os.makedirs(out_dir, exist_ok=True)
-    # driver-side materialization is the FIXTURE step (tiny: n_assets × 256
-    # bytes) standing in for assets already resident on an object store —
-    # the measured operator is the distributed binaryFile scan below
-    for row in media.select("asset_id", "payload").collect():
-        with open(_os.path.join(out_dir, f"asset_{row.asset_id}.bin"), "wb") as fh:
-            fh.write(bytes(row.payload))
+    # fixture materialization (standing in for assets already resident on
+    # an object store) runs EXECUTOR-SIDE: each partition writes its own
+    # files, so no payload ever crosses the driver. In local mode the
+    # target is the shared local FS; on a cluster this write would target
+    # the object store the binaryFile scan then reads.
+    def _write_assets(rows) -> None:
+        for row in rows:
+            with open(_os.path.join(out_dir, f"asset_{row.asset_id}.bin"), "wb") as fh:
+                fh.write(bytes(row.payload))
+
+    media.select("asset_id", "payload").foreachPartition(_write_assets)
     scanned = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "asset_*.bin")

@@ -310,33 +310,55 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates, blocked by label (the semantic
-    analogue of lang-blocking in dedup_near_jaccard): label-keyed
-    self-join → JVM dot products → threshold. Blocking bounds the pair
-    space to Σ|block|²; the unblocked scale path is LSH bucketing
-    (sim_ann_lsh's signature machinery) feeding the same verifier."""
+    analogue of lang-blocking in dedup_near_jaccard). Round 3: the
+    within-block pair computation is an Arrow-batched ``applyInPandas``
+    BLAS matrix multiply (chunked rows × blockᵀ, float64) instead of the
+    round-2 JVM self-join with a per-pair ``zip_with`` fold — exact same
+    pair set and values, ~10× less work, and the plan has NO self-join:
+    one shuffle (groupBy label), then embarrassingly parallel blocks.
+    This is the FAISS-shaped layout: at 100 TB the block key becomes an
+    IVF cell id (sim_ann_ivf's broadcast-centroid in-row argmin) and the
+    same chunked-GEMM kernel runs within each cell; row-chunking (2048)
+    bounds UDF memory at |chunk|×|block| regardless of block skew."""
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    sq = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    n = e.select("vec_id", "label", "e", F.sqrt(sq).alias("nrm"))
-    a = n.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.35)
-        .select("vec_a", "vec_b", "label", r6(F.col("cos_raw")).alias("cos_sim"))
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        label = pdf["label"].iloc[0]
+        nrm = np.sqrt((M * M).sum(axis=1))
+        out: list[pd.DataFrame] = []
+        step = 2048
+        for s in range(0, len(M), step):
+            G = (M[s : s + step] @ M.T) / (nrm[s : s + step, None] * nrm[None, :])
+            ai, bj = np.nonzero(G >= 0.35)
+            ai_g = ai + s
+            keep = ids[ai_g] < ids[bj]
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ai_g[keep]],
+                            "vec_b": ids[bj[keep]],
+                            "label": label,
+                            "cos_sim": np.round(G[ai[keep], bj[keep]], 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+                 "label": pd.Series(dtype="int32"), "cos_sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return e.groupBy("label").applyInPandas(
+        _block_pairs, "vec_a bigint, vec_b bigint, label int, cos_sim double"
     )
 
 
