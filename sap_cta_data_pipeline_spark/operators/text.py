@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
 from ..functions.parity import bi, r6
+from ..functions.ranks import with_global_row_number
 from ..registry import query
 
 #: MinHash parameters: 64 permutations in 8 bands of 8 rows. The LSH
@@ -76,22 +77,10 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset branch and the rank branch must see the SAME partitioning."""
     docs = t(spark, sf_dir, "documents")
     counts = _tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    part = (
-        counts.repartitionByRange(32, F.col("cnt").desc(), F.col("term").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
+    ranked = with_global_row_number(
+        counts, [F.col("cnt").desc(), F.col("term").asc()], "_rn"
     )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        part.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
-    )
-    w_local = Window.partitionBy("_pid").orderBy(F.col("cnt").desc(), F.col("term").asc())
-    return (
-        part.join(F.broadcast(offsets), "_pid")
-        .select("term", "cnt", bi(F.row_number().over(w_local) + F.col("_off")).alias("rnk"))
-    )
+    return ranked.select("term", "cnt", bi(F.col("_rn")).alias("rnk"))
 
 
 @query(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
 from ..functions.parity import r2
+from ..functions.ranks import ntile_expr, with_global_cumsum, with_global_row_number
 from ..registry import query
 
 
@@ -243,28 +244,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     into quartiles. Money flows as exact integer cents (quantized once
     per row, summed as BIGINT) so the monetary quartile ordering is
     float-summation-proof. The per-customer aggregate is one keyed pass
-    over orders; the three ntile windows are DELIBERATE global windows at
-    customer (dimension) cardinality with pinned tie-breaks — at true
-    scale the quartile cut swaps to approx_percentile thresholds or a
-    range-partitioned rank (SCALE.md §O names this trade)."""
+    over orders; each quartile cut is a RANGE-PARTITIONED global
+    row_number (functions/ranks.py — no single-partition window
+    anywhere) fed through the closed-form ntile expression, bit-identical
+    to the ntile(4) window with pinned tie-breaks."""
     o = t(spark, sf_dir, "orders")
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("monetary_c"),
     )
-    def quart(order_cols) -> Column:
-        return F.ntile(4).over(Window.orderBy(*order_cols)).cast("long")
-    return rfm.select(
+    ranked = with_global_row_number(
+        rfm, [F.desc("last_order"), F.asc("custkey")], "_rn_r", total_col="_tot"
+    )
+    ranked = with_global_row_number(
+        ranked, [F.desc("frequency"), F.asc("custkey")], "_rn_f"
+    )
+    ranked = with_global_row_number(
+        ranked, [F.desc("monetary_c"), F.asc("custkey")], "_rn_m"
+    )
+    return ranked.select(
         "custkey",
         F.datediff(F.lit("2001-09-01").cast("date"), F.to_date("last_order"))
         .cast("long")
         .alias("recency_days"),
         "frequency",
         (F.col("monetary_c").cast("double") / 100).alias("monetary"),
-        quart([F.desc("last_order"), F.asc("custkey")]).alias("r_q"),
-        quart([F.desc("frequency"), F.asc("custkey")]).alias("f_q"),
-        quart([F.desc("monetary_c"), F.asc("custkey")]).alias("m_q"),
+        ntile_expr(F.col("_rn_r"), F.col("_tot"), 4).cast("long").alias("r_q"),
+        ntile_expr(F.col("_rn_f"), F.col("_tot"), 4).cast("long").alias("f_q"),
+        ntile_expr(F.col("_rn_m"), F.col("_tot"), 4).cast("long").alias("m_q"),
     )
 
 
@@ -298,23 +306,17 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE arithmetic, then summed as BIGINT) and the class
     boundaries compare integers (5·cum ≤ 4·total) — zero float-summation
     sensitivity at any group count, where a rounded-double formulation
-    flips classes whenever a sum lands on a half-cent. One keyed agg + one global window at
-    part (dimension) cardinality (same deliberate-global note as RFM)."""
+    flips classes whenever a sum lands on a half-cent. One keyed agg +
+    one RANGE-PARTITIONED global running sum (functions/ranks.py): local
+    cumsums at full parallelism + broadcast per-partition sum offsets —
+    no single-partition window on the data path."""
     li = t(spark, sf_dir, "lineitem")
     rev4_item = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
     ).cast("long")
     p = li.groupBy("l_partkey").agg(F.sum(rev4_item).alias("rev4"))
-    wc = (
-        Window.orderBy(F.desc("rev4"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy()
-    c = p.select(
-        "l_partkey",
-        "rev4",
-        F.sum("rev4").over(wc).alias("cum4"),
-        F.sum("rev4").over(wt).alias("tot4"),
+    c = with_global_cumsum(
+        p, [F.desc("rev4"), F.asc("l_partkey")], "rev4", "cum4", total_col="tot4"
     )
     return c.select(
         "l_partkey",

@@ -402,3 +402,27 @@ def test_skew_profile_take_ordered(q):
 
     d = digest(q("profile_join_key_skew"))
     assert d.take_ordered  # top-10 never ranks the full key aggregate
+
+
+def _data_windows_are_pid_partitioned(plan: str, data_keys: list[str]) -> bool:
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_specs = [s for s in specs if any(k in s for k in data_keys)]
+    assert data_specs, "expected at least one data-path window spec"
+    return all("_rp_pid" in s for s in data_specs)
+
+
+def test_rfm_ranks_are_range_partitioned(q):
+    plan = plan_text(q("customer_rfm_segments"), "simple")
+    # the quartile ranks run inside range partitions, never globally
+    assert "Exchange rangepartitioning" in plan
+    assert _data_windows_are_pid_partitioned(
+        plan, ["last_order", "frequency", "monetary_c"]
+    )
+
+
+def test_pareto_cumsum_is_range_partitioned(q):
+    plan = plan_text(q("lineitem_abc_pareto"), "simple")
+    assert "Exchange rangepartitioning" in plan
+    assert _data_windows_are_pid_partitioned(plan, ["rev4"])
