@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Synthesize a ~REP× scaled copy of a testdata sf directory (default:
+sf0.1 × 10 ≈ sf1) by replication with re-keying, for the ratio-vs-scale
+bench (BASELINE.md round-3 section).
+
+Replication semantics (what "10× the data" means here):
+- facts (orders/lineitem/events) replicate with per-replica key offsets
+  so orderkey/custkey/partkey/suppkey/user_id joins stay consistent and
+  key cardinality scales with volume;
+- keyed dims (customer/supplier/part) replicate with the same offsets;
+  bounded real-world dims (region/nation) stay as-is, so fact→nation
+  joins fan in exactly like a real 10× volume growth;
+- documents get a per-replica suffix token so DISTINCT content scales
+  10× (otherwise the dedup lanes would collapse all replicas in their
+  first fingerprint groupBy and measure nothing);
+- embeddings get a deterministic per-(vec_id, dim, replica) direction
+  perturbation (pure column arithmetic, no RNG) so vectors are distinct
+  across replicas while preserving the label-block structure.
+
+Pure DuckDB; deterministic; writes <out_dir>/<table>.parquet.
+Usage: python scripts/make_sf_scaled.py [src_sf_dir] [out_dir] [rep]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# key offsets far above any base-key range at sf0.1
+OFF = 100_000_000
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE MACRO src(t) AS '{src}/' || t || '.parquet'")
+
+    def copy(name: str, select: str) -> None:
+        con.execute(
+            f"COPY ({select}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')"
+        ).fetchone()[0]
+        print(f"{name}: {n} rows", flush=True)
+
+    # bounded dims: unchanged
+    for dim in ("region", "nation"):
+        copy(dim, f"SELECT * FROM read_parquet(src('{dim}'))")
+
+    rep_src = f"(SELECT range AS r FROM range({rep}))"
+
+    copy(
+        "customer",
+        f"""SELECT c_custkey + r * {OFF} AS c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM read_parquet(src('customer')), {rep_src}""",
+    )
+    copy(
+        "supplier",
+        f"""SELECT s_suppkey + r * {OFF} AS s_suppkey, s_name, s_nationkey,
+                   s_acctbal
+            FROM read_parquet(src('supplier')), {rep_src}""",
+    )
+    copy(
+        "part",
+        f"""SELECT p_partkey + r * {OFF} AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice
+            FROM read_parquet(src('part')), {rep_src}""",
+    )
+    copy(
+        "orders",
+        f"""SELECT o_orderkey + r * {OFF} AS o_orderkey,
+                   o_custkey + r * {OFF} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet(src('orders')), {rep_src}""",
+    )
+    copy(
+        "lineitem",
+        f"""SELECT l_orderkey + r * {OFF} AS l_orderkey,
+                   l_partkey + r * {OFF} AS l_partkey,
+                   l_suppkey + r * {OFF} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet(src('lineitem')), {rep_src}""",
+    )
+    copy(
+        "events",
+        f"""SELECT event_id + r * {OFF} AS event_id,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   user_id + r * {OFF} AS user_id,
+                   event_type, value, props
+            FROM read_parquet(src('events')), {rep_src}""",
+    )
+    copy(
+        "documents",
+        f"""SELECT doc_id + r * {OFF} AS doc_id,
+                   CASE WHEN r = 0 THEN text
+                        ELSE text || ' rep' || r END AS text,
+                   lang, source,
+                   length(CASE WHEN r = 0 THEN text
+                               ELSE text || ' rep' || r END) AS n_chars
+            FROM read_parquet(src('documents')), {rep_src}""",
+    )
+    copy(
+        "embeddings",
+        f"""SELECT vec_id + r * {OFF} AS vec_id,
+                   CASE WHEN r = 0 THEN embedding ELSE
+                     list_transform(range(1, 65), j -> CAST(
+                       embedding[j]
+                       + ((CAST((vec_id * 31 + j * 7 + r * 13) % 17 AS DOUBLE) - 8)
+                          * 0.002)
+                     AS FLOAT)) END AS embedding,
+                   label
+            FROM read_parquet(src('embeddings')), {rep_src}""",
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

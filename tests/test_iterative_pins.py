@@ -1,0 +1,112 @@
+"""Value pins for the two iterative rows-only lanes (VERDICT r02 ask #7).
+
+The driver checks these lanes rows-only (no ANSI-SQL twin exists), so
+these tests pin their VALUES against independently hand-computed
+fixtures: PageRank against a numpy replication of the 10-iteration
+damped fixpoint on a 5-node graph planted through the co-purchase
+derivation, and the power-iteration PCA against the analytic principal
+axis of a crafted 2-component cloud whose cross-moments vanish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import sap_cta_data_pipeline_spark.operators  # noqa: F401
+from sap_cta_data_pipeline_spark.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def graph_dir(spark, tmp_path_factory):
+    """lineitem fixture whose co-purchase derivation (distinct (order,
+    part) → popularity ≥ 3 → pair count ≥ 2) yields EXACTLY the 5-node
+    graph 1-2, 2-3, 3-4, 4-5, 1-3: each edge planted as two orders
+    containing exactly that part pair; degree-1 node 5 gets a singleton
+    booster order so it clears the popularity filter without new pairs."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    rows = []
+    okey = 0
+    for u, v in edges:
+        for _ in range(2):
+            okey += 1
+            rows.append((okey, u))
+            rows.append((okey, v))
+    okey += 1
+    rows.append((okey, 5))
+    d = tmp_path_factory.mktemp("pagerank_fixture")
+    spark.createDataFrame(
+        rows, schema="l_orderkey bigint, l_partkey bigint"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    return str(d), edges
+
+
+def _expected_pagerank(edges, n_iter=10, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    directed = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    outdeg = np.zeros(n)
+    for u, _ in directed:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for u, v in directed:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        r = (1 - d) / n + d * contrib
+    return {node: r[idx[node]] * n for node in nodes}
+
+
+def test_pagerank_matches_hand_computed_fixpoint(spark, graph_dir):
+    sf_dir, edges = graph_dir
+    got = {
+        row["node"]: row["rank_scaled"]
+        for row in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+    want = _expected_pagerank(edges)
+    assert set(got) == set(want)
+    for node, val in want.items():
+        assert got[node] == pytest.approx(val, abs=2e-6), node
+    # sanity: mass conserved (scaled ranks average to ~1)
+    assert np.mean(list(got.values())) == pytest.approx(1.0, abs=1e-4)
+
+
+@pytest.fixture(scope="module")
+def pca_dir(spark, tmp_path_factory):
+    """Embeddings fixture: x_i = s_i·u + t_i·w with Σsᵢtᵢ = 0, so the
+    uncentered Gram is exactly (Σs²)uuᵀ + (Σt²)wwᵀ — principal axis u,
+    eigval Σs²/n, no approximation in the expectation itself."""
+    u = np.zeros(64)
+    u[1], u[2] = 0.6, 0.8
+    w = np.zeros(64)
+    w[1], w[2] = -0.8, 0.6
+    s = [4.0, 4.0, -4.0, -4.0]
+    t = [1.0, -1.0, 1.0, -1.0]
+    vecs = [(si * u + ti * w) for si, ti in zip(s, t)]
+    d = tmp_path_factory.mktemp("pca_fixture")
+    rows = [
+        (i, [float(x) for x in vec], 0) for i, vec in enumerate(vecs)
+    ]
+    spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_pca_power_matches_analytic_axis(spark, pca_dir):
+    out = {
+        row["dim"]: row
+        for row in QUERIES["emb_pca_power"](spark, pca_dir).collect()
+    }
+    assert len(out) == 64
+    # principal axis is u = 0.6·e1 + 0.8·e2, sign fixed positive at the
+    # largest-|loading| dim (dim 2, +0.8)
+    assert out[1]["loading"] == pytest.approx(0.6, abs=1e-5)
+    assert out[2]["loading"] == pytest.approx(0.8, abs=1e-5)
+    off_axis = [abs(out[i]["loading"]) for i in range(64) if i not in (1, 2)]
+    assert max(off_axis) < 1e-5
+    # eigval = Σs²/n = 64/4
+    assert out[0]["eigval"] == pytest.approx(16.0, abs=1e-4)
+    assert out[0]["n_vectors"] == 4
