@@ -1,0 +1,359 @@
+"""§2 round-3 addendum W — window/aggregate surface completions, native
+PIVOT/UNPIVOT SQL dialect, and three training-data-pipeline lanes.
+
+- win_percent_cume / win_nth_value — the remaining ANSI window
+  functions not yet inventoried (percent_rank, cume_dist, nth_value
+  with an explicit ROWS frame). Same keyed-window shuffle shape as the
+  rest of §2-E.
+- agg_min_by_max_by — argmin/argmax aggregates with a composite
+  (value, tiebreak) ordering array so the result is deterministic under
+  value ties; partial+final hash agg like any algebraic aggregate.
+- sql_pivot_native / sql_unpivot_native — the SQL-dialect PIVOT /
+  UNPIVOT clauses (DataFrame pivot/stack are inventoried separately in
+  reshape.py); plan-equal to the conditional-agg / union forms, so pure
+  front-end parity like sql_group_by_all.
+- dedup_url_canonical — URL canonicalization dedup, the first dedup
+  stage of every web-corpus pipeline: scheme/www/tracking-query/
+  trailing-slash stripping to a canonical key, one hash-groupBy, keep
+  min doc_id. Zero joins, one corpus shuffle at canonical-key grain.
+- emb_random_projection — Johnson–Lindenstrauss-style dimensionality
+  reduction 64→8 with a DETERMINISTIC hash-derived coefficient matrix
+  (no RNG, no driver state): 8 in-row fold expressions, shuffle-free —
+  the cheap pre-filter in front of exact-cosine reranking at 100 TB.
+- agg_countmin_mergeable — count-min sketch in mergeable LONG form
+  (depth 4 × width 256 as (group, depth, bucket, n) rows): per-month
+  partials are persisted, re-merged by plain SUM, and probed (min over
+  depths ≥ true count). Rows-only lane (buckets derive from engine
+  xxhash64); the est ≥ exact property is pinned in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t, register_views
+from ..functions.parity import bi, r6
+from ..registry import query
+from .sources import _scratch
+
+
+@query(
+    "win_percent_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per nation over account balance — the
+    relative-standing window pair (§2-E completion). One keyed window
+    (partition = nation), deterministic via the custkey tiebreak."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 3) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS third_order_price
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with an explicit running ROWS frame: each order row sees
+    the customer's 3rd-ever order price once it exists (NULL before).
+    The explicit frame is the parity discipline — engines differ on the
+    default nth_value frame."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_order_price"),
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 16777216
+                     + o_orderkey) AS max_price_orderkey,
+           arg_min(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 16777216
+                     + o_orderkey) AS min_price_orderkey,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (SQL-standard argmin/argmax aggregates) with a
+    composite (exact-cents · 2²⁴ + unique-key) BIGINT ordering so ties
+    on the value are broken deterministically — without the tiebreak
+    both engines would be free to return either tied row (price ties
+    within a priority group are near-certain at sf0.1). The encoding is
+    exact integer arithmetic on both engines (cents ≤ 6·10⁷, keys
+    < 2²⁴ at oracle scales). Algebraic partial+final hash agg: the
+    argmax of a group is the argmax of its partition argmaxes, so this
+    merges like any two-phase aggregate at scale."""
+    o = t(spark, sf_dir, "orders")
+    ordering = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 16777216
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordering).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", ordering).alias("min_price_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+@query(
+    "sql_pivot_native",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END), 2) AS y1996,
+           round(sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 2) AS y1997,
+           round(sum(CASE WHEN year(o_orderdate) = 1998 THEN o_totalprice END), 2) AS y1998
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-dialect PIVOT clause (agg_pivot/agg_pivot_dynamic cover
+    the DataFrame API form): revenue by priority × pinned year columns.
+    Catalyst rewrites PIVOT into exactly the conditional-aggregate plan
+    of the oracle — one partial+final hash agg, no extra shuffle — so
+    the clause is free; it exists for migrated-SQL parity."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(y1996, 2) AS y1996,
+               round(y1997, 2) AS y1997,
+               round(y1998, 2) AS y1998
+        FROM (SELECT o_orderpriority, year(o_orderdate) AS yr, o_totalprice
+              FROM orders)
+        PIVOT (sum(o_totalprice) FOR yr IN (1996 AS y1996, 1997 AS y1997,
+                                            1998 AS y1998))
+        """
+    )
+
+
+@query(
+    "sql_unpivot_native",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+    FROM part
+    """,
+)
+def sql_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-dialect UNPIVOT clause (project_unpivot covers the
+    stack() form): part attributes to (key, metric, value) long form.
+    Plans as a generate/expand over one scan — the same single-pass
+    shape as the UNION-of-projections oracle but reading the table
+    once instead of twice."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, val
+        FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                     p_retailprice AS retailprice
+              FROM part)
+        UNPIVOT (val FOR metric IN (size, retailprice))
+        """
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.com/p/'
+               || CAST(doc_id % 37 AS VARCHAR) || '/?utm_campaign=c'
+               || CAST(doc_id % 5 AS VARCHAR) || '&ref=r'
+               || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               url, '^https?://', ''), '^www\\.', ''), '\\?.*$', ''),
+               '/$', '') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           min(doc_id)                 AS keeper_id,
+           CAST(count(*) AS BIGINT)    AS n_docs
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — stage 0 of a web-corpus pipeline
+    (before any content dedup): strip scheme, leading www., the query
+    string (here all-tracking: utm_*/ref), and the trailing slash; group
+    by the canonical key; keep the smallest doc_id. The URLs are
+    synthesized deterministically from (source, doc_id) since the
+    fixture's `source` is not a URL — the canonicalization chain and the
+    one hash-groupBy at canonical-key grain are the real operator. At
+    100 TB this is a projection (4 RE2-safe regexes, whole-stage
+    codegen) + one shuffle, embarrassingly scalable."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 37).cast("string"), F.lit("/?utm_campaign=c"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("&ref=r"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, r"^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keeper_id"), bi(F.count(F.lit(1))).alias("n_docs"))
+    )
+
+
+_RP_OUT_DIMS = 8
+
+
+@query(
+    "emb_random_projection",
+    oracle="""
+    SELECT vec_id,
+    """
+    + ",\n".join(
+        f"""       round(list_sum(list_transform(range(0, 64), j ->
+             CAST(embedding[j + 1] AS DOUBLE)
+             * (CAST((j * 131 + {k} * 17) % 7 AS DOUBLE) - 3) / 3.0)), 6)
+             AS proj_{k}"""
+        for k in range(_RP_OUT_DIMS)
+    )
+    + """
+    FROM embeddings
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss-style random projection 64 → 8 with a
+    deterministic hash-derived coefficient matrix c(j,k) =
+    ((131·j + 17·k) mod 7 − 3)/3 — no RNG, no broadcast state, fully
+    reproducible across engines and runs (the same portability argument
+    as split_train_test's hash buckets). Eight in-row fold expressions,
+    shuffle-free: the cheap distance-preserving pre-filter in front of
+    exact-cosine reranking when 64-d exact scoring is too expensive at
+    corpus scale."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def proj(k: int):
+        weighted = F.transform(
+            F.col("e"),
+            lambda x, j: x * ((F.pmod(j * 131 + k * 17, F.lit(7)) - 3).cast("double") / 3.0),
+        )
+        return r6(F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x))
+
+    return e.select(
+        "vec_id", *[proj(k).alias(f"proj_{k}") for k in range(_RP_OUT_DIMS)]
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@query("agg_countmin_mergeable")  # rows-only: buckets derive from engine xxhash64
+def agg_countmin_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch in MERGEABLE long form. Per (month, event_type),
+    each event contributes one row per depth d ∈ [0,4):
+    (bucket = xxhash64(user_id, seed_d) mod 256, n); the per-month
+    sketch table is persisted to parquet (what you'd store per
+    day/partition at 100 TB), read back, and merged by plain SUM over
+    months — count-min is a linear sketch, so vector addition IS the
+    merge, the same algebra as agg_histogram_fixed. Probes: the 10
+    most-active (user_id, event_type) pairs; estimate = min over the 4
+    depth counters, which upper-bounds the true count (est ≥ exact
+    pinned in pytest; equality whenever no bucket collision). Rows-only
+    lane: bucket values are xxhash64-specific."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.month("ts").alias("mth")
+    )
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64("user_id", F.lit(d)), F.lit(_CMS_WIDTH))
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        e.select("mth", "event_type", F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("mth", "event_type", "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    path = _scratch(sf_dir, "cms_sketches")
+    sketch.write.mode("overwrite").parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("event_type", "depth", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    probes = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"), F.asc("event_type"))
+        .limit(10)
+        .select(
+            "user_id", "event_type", "exact_n",
+            F.posexplode(buckets).alias("depth", "bucket"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(merged.alias("m")), ["event_type", "depth", "bucket"])
+        .groupBy("user_id", "event_type", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "event_type",
+        bi(F.col("exact_n")).alias("exact_n"),
+        bi(F.col("cms_est")).alias("cms_est"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("est_ge_exact"),
+    )
