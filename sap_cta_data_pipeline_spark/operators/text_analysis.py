@@ -9,6 +9,7 @@ lane, everything else carries a full DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -366,6 +367,29 @@ _SIMHASH_BITS = 32
 _SIM_BANDS = 4
 _SIM_BAND_BITS = 8
 
+_UDF_CACHE: dict = {}
+
+
+def _simhash_sig_udf():
+    """32-bit simhash from the token-hash array, vectorized: built lazily
+    (pandas_udf registration needs an active session) and memoized."""
+    if "simhash_sig" not in _UDF_CACHE:
+
+        @F.pandas_udf("long")
+        def sig_udf(th: pd.Series) -> pd.Series:
+            import numpy as np
+
+            bits = np.arange(_SIMHASH_BITS, dtype=np.int64)
+            out = []
+            for h in th:
+                hh = np.asarray(h, dtype=np.int64)
+                w = (((hh[:, None] >> bits[None, :]) & 1) * 2 - 1).sum(axis=0)
+                out.append(int(((w > 0).astype(np.int64) << bits).sum()))
+            return pd.Series(out)
+
+        _UDF_CACHE["simhash_sig"] = sig_udf
+    return _UDF_CACHE["simhash_sig"]
+
 
 @query("dedup_simhash")  # rows-only: simhash bits derive from engine xxhash64
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,25 +420,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     th_arr = F.transform(
         F.filter(F.split("fp", " "), lambda x: x != ""), lambda tk: F.xxhash64(tk)
     )
-
-    def _bit_weight(j: int):
-        return F.aggregate(
-            F.col("th"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    simhash = None
-    for j in range(_SIMHASH_BITS):
-        term = (
-            F.when(_bit_weight(j) > 0, F.lit(1 << j).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        simhash = term if simhash is None else simhash + term
+    # the 32 bit-weight folds are ONE Arrow-batched pandas_udf (round 3,
+    # same move as dedup_minhash_lsh's signature pass): per doc,
+    # weight_j = Σ_tokens (bit_j(h)·2 − 1), bit set iff weight > 0 —
+    # identical int64 arithmetic to the interpreted HOF fold it replaces
+    # (numpy >> is arithmetic like Spark's shiftright), vectorized over
+    # the (tokens × 32) bit matrix instead of 32·t lambda evaluations.
     sigs = (
         groups.select("rep_id", th_arr.alias("th"))
         .filter(F.size("th") > 0)
-        .select("rep_id", simhash.alias("simhash"))
+        .select("rep_id", _simhash_sig_udf()(F.col("th")).alias("simhash"))
         .cache()
     )
 
