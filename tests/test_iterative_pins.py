@@ -110,3 +110,35 @@ def test_pca_power_matches_analytic_axis(spark, pca_dir):
     # eigval = Σs²/n = 64/4
     assert out[0]["eigval"] == pytest.approx(16.0, abs=1e-4)
     assert out[0]["n_vectors"] == 4
+
+
+@pytest.fixture(scope="module")
+def kmeans_dir(spark, tmp_path_factory):
+    """Two tight planted clusters far apart; k=8 with smallest-vec_id
+    init, so 2 cells capture the clusters and 6 cells keep their init
+    centroids (empty cells retain the previous centroid by design)."""
+    rows = []
+    # cluster A near 10*e0 (vec_ids 0..19), cluster B near 10*e1 (20..39)
+    for i in range(20):
+        v = np.zeros(64)
+        v[0] = 10.0 + (i % 5) * 0.01
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(20, 40):
+        v = np.zeros(64)
+        v[1] = 10.0 + (i % 5) * 0.01
+        rows.append((i, [float(x) for x in v], 1))
+    d = tmp_path_factory.mktemp("kmeans_fixture")
+    spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_kmeans_recovers_planted_clusters(spark, kmeans_dir):
+    out = QUERIES["emb_kmeans_lloyd"](spark, kmeans_dir).collect()
+    # every vector assigned somewhere, total preserved
+    assert sum(r["n_vectors"] for r in out) == 40
+    # the two planted clusters are tight: whatever cells they land in,
+    # within-cell mean squared distance must be tiny (< 0.01), i.e. no
+    # cell mixes the two clusters (mixing would cost ~100)
+    assert all(r["mean_sq_dist"] < 0.01 for r in out)
