@@ -403,12 +403,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # signature-estimate scoring: broadcast the signature arrays to both
     # sides; similarity = fraction of matching slots (shuffle-free).
-    # Score BEFORE deduplicating candidates: scoring in the band-join
-    # stage keeps full parallelism and lets the sub-threshold pairs die
-    # before the distinct, whose input is then narrow scored rows — the
-    # distinct-first ordering shuffled narrow pairs, AQE coalesced them
-    # to a handful of partitions, and the array-materializing scoring
-    # stage then ran under-parallelized (measured 16.3s vs 6s at sf0.1).
+    # DISTINCT the candidates FIRST, then repartition on doc_a before
+    # scoring (round 3): a pair surfaces in up to n_bands buckets, so
+    # dedup cuts the scored stream ~44% (2.85M → 1.6M at sf0.1), and the
+    # EXPLICIT repartition defeats the failure mode that killed
+    # distinct-first in round 2 — AQE coalescing the narrow pair shuffle
+    # to a handful of partitions and under-parallelizing the
+    # array-materializing score stage (16.3s then; 1.6–2.3s now,
+    # including cold runs, vs 1.8–8.2s for score-first).
     siga = sigs.select(
         F.col("rep_id").alias("doc_a"),
         F.col("sig").alias("sig_a"),
@@ -424,11 +426,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comparison expression defeats codegen, measured at sf0.1)
     n_match = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     est = n_match.cast("double") / F.lit(float(_N_HASHES))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    unique_pairs = raw_pairs.repartition(n_parts, "doc_a").distinct()
     return (
-        raw_pairs.join(F.broadcast(siga), "doc_a")
+        unique_pairs.join(F.broadcast(siga), "doc_a")
         .join(F.broadcast(sigb), "doc_b")
         .withColumn("est_jaccard", r6(est))
         .filter(F.col("est_jaccard") >= 0.75)
         .select("doc_a", "doc_b", "est_jaccard", "n_members_a", "n_members_b")
-        .distinct()
     )

@@ -65,13 +65,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood → argmax (rounded score + lang tiebreak for
     cross-engine-deterministic ranking).
 
-    Shuffle contract (round 2): per-doc term frequencies aggregate FIRST
-    (one corpus shuffle keyed (doc, term)), and each distinct (doc, term)
-    row contributes tf·log-prob — so the |langs|× expansion applies to
-    distinct-terms-per-doc, not token occurrences, and feeds a second
-    (doc, lang)-keyed aggregation. The round-1 plan crossJoined every
-    token OCCURRENCE with the language list — a |langs|× blow-up of the
-    corpus-sized token stream. The per-term profile map
+    Shuffle contract (round 3): per-doc term frequencies aggregate FIRST
+    (one corpus shuffle keyed (doc, term)); each distinct (doc, term) row
+    then feeds |langs| per-language score COLUMNS inside ONE doc-keyed
+    aggregation, and the argmax is an in-row array_sort — no |langs|× row
+    expansion, no crossJoin, no per-doc rank window (round 2 expanded
+    distinct-terms ×|langs| and windowed; round 1 expanded raw token
+    occurrences). The language list/totals/vocab size are a bounded
+    dimension-grain discovery collect (|langs|+1 scalars). The per-term profile map
     (term → {lang: count}) is vocab-sized and broadcasts; above ~10M
     distinct terms it would need a shuffle-join fallback."""
     docs = t(spark, sf_dir, "documents")
@@ -84,36 +85,58 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap"))
     )
-    tot = tok.groupBy(F.col("lang").alias("t_lang")).agg(F.count(F.lit(1)).alias("n"))
-    vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
-    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
+    # bounded discovery: |langs| totals + vocab size — scalars, not data
+    # (the same documented dimension-grain collect class as
+    # agg_pivot_dynamic's pivot-value discovery)
+    n_by_lang = {
+        row["lang"]: row["n"]
+        for row in tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    v = tok.select("term").distinct().count()
+    langs = sorted(n_by_lang)
 
+    def lang_score(lang: str):
+        return r6(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.element_at("cmap", F.lit(lang)), F.lit(0)) + 1.0)
+                    / F.lit(float(n_by_lang[lang] + v))
+                )
+            )
+        )
+
+    # |langs| score COLUMNS in ONE doc-keyed agg (round 3) — no |langs|×
+    # row expansion, no crossJoin, no per-doc rank window (round 2
+    # expanded distinct (doc, term) rows ×|langs| and windowed; round 1
+    # expanded raw token occurrences). Argmax is an in-row array_sort of
+    # (−score, lang) structs — same (score desc, lang asc) tiebreak.
     scored = (
         tf.join(F.broadcast(cnt), "term")
-        .crossJoin(F.broadcast(langs))
-        .join(F.broadcast(tot), F.col("cand_lang") == F.col("t_lang"))
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id", "cand_lang")
-        .agg(
-            r6(
-                F.sum(
-                    F.col("tf")
-                    * F.log(
-                        (F.coalesce(F.element_at("cmap", F.col("cand_lang")), F.lit(0)) + 1.0)
-                        / (F.col("n") + F.col("v"))
-                    )
-                )
-            ).alias("score")
+        .groupBy("doc_id")
+        .agg(*[lang_score(lang).alias(f"s_{i}") for i, lang in enumerate(langs)])
+    )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-F.col(f"s_{i}")).alias("neg"), F.lit(lang).alias("lg"))
+                for i, lang in enumerate(langs)
+            ]
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = scored.select(
+        "doc_id",
+        F.element_at(ranked, 1)["lg"].alias("predicted_lang"),
+        (-F.element_at(ranked, 1)["neg"]).alias("best_score"),
+    )
     return best.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
-        F.col("cand_lang").alias("predicted_lang"),
-        F.col("score").alias("best_score"),
+        "predicted_lang",
+        "best_score",
         F.col("lang").alias("actual_lang"),
-        bi(F.when(F.col("cand_lang") == F.col("lang"), 1).otherwise(0)).alias("is_correct"),
+        bi(F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)).alias(
+            "is_correct"
+        ),
     )
 
 
