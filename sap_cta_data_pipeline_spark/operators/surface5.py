@@ -148,9 +148,12 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-dialect PIVOT clause (agg_pivot/agg_pivot_dynamic cover
     the DataFrame API form): revenue by priority × pinned year columns.
-    Catalyst rewrites PIVOT into exactly the conditional-aggregate plan
-    of the oracle — one partial+final hash agg, no extra shuffle — so
-    the clause is free; it exists for migrated-SQL parity."""
+    Catalyst plans PIVOT as two stacked keyed aggregations — (priority,
+    year) partial+final sums, then a pivotfirst gather keyed on
+    priority — i.e. TWO keyed shuffles where the oracle's conditional
+    agg needs one; both are partial+final and key-partitioned, so the
+    extra exchange is post-aggregation-sized (|groups|×|years| rows)
+    and harmless at scale. Declared for migrated-SQL parity."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """

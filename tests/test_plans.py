@@ -426,3 +426,41 @@ def test_pareto_cumsum_is_range_partitioned(q):
     plan = plan_text(q("lineitem_abc_pareto"), "simple")
     assert "Exchange rangepartitioning" in plan
     assert _data_windows_are_pid_partitioned(plan, ["rev4"])
+
+
+def test_percentile_bands_no_rank_window(q):
+    plan = plan_text(q("agg_percentile_bands"), "simple")
+    # banding must be threshold-based: no window function anywhere
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_url_canonical_single_shuffle(q):
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("dedup_url_canonical"))
+    # one hash-groupBy at canonical-key grain; regex chain is projection
+    assert d.n_exchanges == 1 and d.global_windows == 0
+
+
+def test_ewma_fold_single_shuffle_no_window(q):
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    plan = plan_text(q("ts_ewma_fold"), "simple")
+    d = digest(q("ts_ewma_fold"))
+    assert d.n_exchanges == 1
+    assert "windowspecdefinition" not in plan
+
+
+def test_natural_join_broadcasts(q):
+    assert "BroadcastHashJoin" in plan_text(q("sql_natural_join"), "simple")
+
+
+def test_pivot_native_two_keyed_agg_shuffles(q):
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    # Spark plans SQL PIVOT as (prio, yr) agg + pivotfirst gather:
+    # two keyed exchanges, the second over post-agg rows; never a
+    # single-partition collapse
+    d = digest(q("sql_pivot_native"))
+    assert d.n_exchanges == 2 and d.n_single_partition == 0
