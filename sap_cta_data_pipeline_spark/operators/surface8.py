@@ -1,0 +1,103 @@
+"""§2 round-3 addendum AA — global id assignment and rolling distinct
+windows.
+
+- ids_assign_global — dense global row ids (1..N) under a total order,
+  the ubiquitous "number my corpus" primitive, expressed with the
+  functions/ranks.py range-partitioned layout: local row_numbers +
+  broadcast per-partition offsets, NO single-partition sort anywhere
+  (monotonically_increasing_id gives non-dense ids; a global window
+  gives dense ids but funnels the corpus through one partition — this
+  is the scalable third way).
+- events_rolling_dau — trailing-7-day distinct active users per day:
+  distinct (day, user) FIRST (the corpus-sized shuffle), then a
+  day×7 window-expansion join at POST-AGGREGATION grain — the
+  distinct-counting-over-sliding-windows shape where the expansion
+  happens after cardinality reduction, never on raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..functions.parity import bi
+from ..functions.ranks import with_global_row_number
+from ..registry import query
+
+
+@query(
+    "ids_assign_global",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY lang ASC, doc_id ASC) AS BIGINT)
+             AS global_id
+    FROM documents
+    """,
+)
+def ids_assign_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global ids 1..N under (lang, doc_id) order — the
+    range-partitioned rank helper (functions/ranks.py) as a first-class
+    operator: repartitionByRange on the sort key, per-partition
+    row_number at full parallelism, broadcast offset join. The oracle
+    states the semantics with a global window; the Spark plan never
+    funnels data through one partition (plan-asserted in
+    tests/test_plans.py). monotonically_increasing_id is the cheaper
+    cousin when ids may be sparse; THIS is what you use when downstream
+    needs density (array indexing, matrix row ids, shard-stable
+    sampling frames)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = with_global_row_number(
+        d, [F.asc("lang"), F.asc("doc_id")], "_rn"
+    )
+    return ranked.select("doc_id", "lang", bi(F.col("_rn")).alias("global_id"))
+
+
+@query(
+    "events_rolling_dau",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM day_users
+    ), expanded AS (
+      SELECT d.day, du.user_id
+      FROM days d
+      JOIN day_users du
+        ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
+    FROM expanded
+    GROUP BY day
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Distinct counting
+    does NOT compose over sliding windows (users active on several days
+    must count once), so the shape is: collapse to distinct (day, user)
+    FIRST — the only corpus-sized shuffle — then expand each (day,
+    user) into the ≤7 window-end days it serves via a broadcast
+    day-range join at post-aggregation grain, then count distinct per
+    window. The ×7 expansion applies to |days|·|daily actives|, never
+    to raw events; at true scale the same question is answered
+    incrementally by agg_bitmap_mergeable / agg_hll_mergeable partials
+    (union 7 daily sketches), which this exact lane calibrates."""
+    e = t(spark, sf_dir, "events")
+    day_users = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = day_users.select("day").distinct().select(F.col("day").alias("win_day"))
+    expanded = day_users.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("win_day"))
+        & (F.col("day") >= F.date_sub(F.col("win_day"), 6)),
+    )
+    return (
+        expanded.groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            bi(F.col("rolling_7d_users")).alias("rolling_7d_users"),
+        )
+    )

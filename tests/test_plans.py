@@ -464,3 +464,9 @@ def test_pivot_native_two_keyed_agg_shuffles(q):
     # single-partition collapse
     d = digest(q("sql_pivot_native"))
     assert d.n_exchanges == 2 and d.n_single_partition == 0
+
+
+def test_global_ids_are_range_partitioned(q):
+    plan = plan_text(q("ids_assign_global"), "simple")
+    assert "Exchange rangepartitioning" in plan
+    assert _data_windows_are_pid_partitioned(plan, ["lang", "doc_id"])
