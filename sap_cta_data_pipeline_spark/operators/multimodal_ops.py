@@ -246,3 +246,123 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= 8)
         .select("asset_a", "asset_b", bi(hamming).alias("hamming"))
     )
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    SELECT vec_id                             AS asset_id,
+           f.f                                AS frame_idx,
+           round(sqrt(list_sum(list_transform(
+             embedding[f.f * 16 + 1 : f.f * 16 + 16],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 16.0), 6)
+             AS rms,
+           round(list_max(list_transform(
+             embedding[f.f * 16 + 1 : f.f * 16 + 16],
+             x -> abs(CAST(x AS DOUBLE)))), 6) AS peak
+    FROM embeddings, LATERAL (SELECT unnest(range(0, 4)) AS f) f
+    WHERE CAST(label AS INTEGER) % 3 = 1
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing: each (synthetic raw-f32-pcm) waveform is decoded
+    in an Arrow-batched mapInPandas stage and cut into 4 non-overlapping
+    16-sample frames; per frame, RMS energy and absolute peak — the
+    front end of every audio feature pipeline (VAD, loudness
+    normalization, silence trimming). Zero shuffle: decode + frame +
+    reduce all happen inside one pass over the binary column; at 100 TB
+    the only knobs are Arrow batch size and a pre-decode repartition.
+    The oracle recomputes frames straight from the embeddings table
+    because payload == float32-packed embedding (same certification
+    logic as multimodal_features)."""
+    import numpy as np
+    import pandas as pd
+
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "audio")
+
+    def frame_stats(batches):
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.float32).astype(np.float64)
+                for f in range(4):
+                    fr = x[f * 16 : (f + 1) * 16]
+                    out.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": f,
+                            "rms": float(np.sqrt((fr * fr).mean())),
+                            "peak": float(np.abs(fr).max()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    framed = media.select("asset_id", "payload").mapInPandas(
+        frame_stats,
+        schema="asset_id bigint, frame_idx bigint, rms double, peak double",
+    )
+    # rounding lives JVM-side (parity.r6 = HALF_UP like the oracle);
+    # python round() is banker's and diverges on .xxxxxx5 boundaries
+    return framed.select(
+        "asset_id", "frame_idx", r6(F.col("rms")).alias("rms"),
+        r6(F.col("peak")).alias("peak"),
+    )
+
+
+@query(
+    "multimodal_video_motion",
+    oracle="""
+    WITH fr AS (
+      SELECT vec_id AS asset_id, f.f AS frame_idx,
+             list_transform(embedding[f.f * 16 + 1 : f.f * 16 + 16],
+                            x -> CAST(x AS DOUBLE)) AS frame
+      FROM embeddings, LATERAL (SELECT unnest(range(0, 4)) AS f) f
+      WHERE CAST(label AS INTEGER) % 3 = 2
+    )
+    SELECT a.asset_id, a.frame_idx,
+           round(list_sum(a.frame) / 16.0, 6) AS frame_mean,
+           round(list_sum(list_transform(range(1, 17),
+             i -> abs(a.frame[i] - b.frame[i]))) / 16.0, 6) AS motion
+    FROM fr a JOIN fr b
+      ON b.asset_id = a.asset_id AND b.frame_idx = a.frame_idx - 1
+    """,
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video inter-frame motion proxy: decode the (synthetic raw-f32)
+    4-frame clip in one mapInPandas pass, emit per-frame mean plus the
+    mean absolute difference against the PREVIOUS frame (frames 1..3) —
+    the scene-cut / motion-magnitude signal a video curation pipeline
+    thresholds on. The temporal join happens INSIDE the decode pass
+    (frames of one clip are colocated in its payload), so no shuffle
+    exists at any scale; the oracle recomputes from the embeddings
+    table via a frame self-join."""
+    import numpy as np
+    import pandas as pd
+
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "video")
+
+    def motion(batches):
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.float32).astype(np.float64)
+                frames = x.reshape(4, 16)
+                for f in range(1, 4):
+                    out.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": f,
+                            "frame_mean": float(frames[f].mean()),
+                            "motion": float(np.abs(frames[f] - frames[f - 1]).mean()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    framed = media.select("asset_id", "payload").mapInPandas(
+        motion,
+        schema="asset_id bigint, frame_idx bigint, frame_mean double, motion double",
+    )
+    return framed.select(
+        "asset_id", "frame_idx", r6(F.col("frame_mean")).alias("frame_mean"),
+        r6(F.col("motion")).alias("motion"),
+    )
