@@ -42,8 +42,10 @@ from .sources import _scratch
     "win_percent_cume",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,12)), 6)
+                AS DOUBLE) AS pct_rank,
+           CAST(round(CAST(cume_dist()    OVER w AS DECIMAL(18,12)), 6)
+                AS DOUBLE) AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal DESC, c_custkey ASC)
@@ -52,16 +54,28 @@ from .sources import _scratch
 def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per nation over account balance — the
     relative-standing window pair (§2-E completion). One keyed window
-    (partition = nation), deterministic via the custkey tiebreak."""
+    (partition = nation), deterministic via the custkey tiebreak.
+
+    Rounding goes THROUGH DECIMAL(18,12) on both engines: cume_dist and
+    percent_rank are rationals k/n whose decimal expansions frequently
+    terminate exactly ON a .xxxxxx5 boundary, where double-based
+    round() implementations disagree at the last ulp (observed at
+    sf0.1: 3/15000 cells off by 1e-6). The 12-digit decimal capture is
+    identical across engines, and decimal HALF_UP at digit 6 is then
+    deterministic."""
     c = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
+
+    def rdec(col):
+        return F.round(col.cast("decimal(18,12)"), 6).cast("double")
+
     return c.select(
         "c_custkey",
         "c_nationkey",
-        r6(F.percent_rank().over(w)).alias("pct_rank"),
-        r6(F.cume_dist().over(w)).alias("cume"),
+        rdec(F.percent_rank().over(w)).alias("pct_rank"),
+        rdec(F.cume_dist().over(w)).alias("cume"),
     )
 
 
