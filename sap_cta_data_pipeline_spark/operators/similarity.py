@@ -65,26 +65,48 @@ def _l2(a: Column) -> Column:
     """,
 )
 def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for probe set vec_id < 10: broadcast the
-    probes, one corpus scan computes every dot product in the JVM, then a
-    probe-partitioned window keeps the top-k. Ranking orders by the ROUNDED
-    score (+ cand_id) so tie order matches the oracle."""
+    """Brute-force cosine top-5 for probe set vec_id < 10. Round 3: the
+    scoring pass is a mapInPandas BLAS multiply — each Arrow batch
+    computes (batch × 64) @ (64 × n_probes) in one GEMM instead of a
+    per-pair JVM fold (the near_embedding move; identical doubles, the
+    scores are the same IEEE dot products). The probe matrix rides in
+    the UDF closure from a BOUNDED discovery collect (n_probes×64
+    doubles — the agg_pivot_dynamic class). Scoring emits all
+    (probe, cand, raw score) rows; Spark-side r6 + the probe-keyed
+    top-5 window keep ranking semantics byte-identical to the oracle
+    (rounded score desc, cand_id asc)."""
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
-    withnorm = e.select("vec_id", "e", _l2(F.col("e")).alias("nrm"))
-    probes = withnorm.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+    probe_rows = sorted(
+        e.filter(F.col("vec_id") < 10).collect(), key=lambda r: r["vec_id"]
     )
-    pairs = (
-        withnorm.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("cand_id"),
-            r6(_dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cos_sim"),
-        )
-    )
+    pids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    P = np.array([r["e"] for r in probe_rows], dtype=np.float64)
+    Pn = np.sqrt((P * P).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Cn = np.sqrt((C * C).sum(axis=1))
+            G = (C @ P.T) / (Cn[:, None] * Pn[None, :])
+            n, k = G.shape
+            out = pd.DataFrame(
+                {
+                    "probe_id": np.tile(pids, n),
+                    "cand_id": np.repeat(ids, k),
+                    "cos_raw": G.ravel(),
+                }
+            )
+            yield out[out["probe_id"] != out["cand_id"]]
+
+    pairs = e.mapInPandas(
+        score, schema="probe_id bigint, cand_id bigint, cos_raw double"
+    ).select("probe_id", "cand_id", r6(F.col("cos_raw")).alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
     return pairs.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
 
