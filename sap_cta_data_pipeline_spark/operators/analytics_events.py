@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi
+from ..functions.parity import bi, um
 from ..registry import query
 
 
@@ -420,4 +420,65 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg(lat_s)).alias("avg_latency_s"),
         r6(F.min(lat_s)).alias("min_latency_s"),
         r6(F.max(lat_s)).alias("max_latency_s"),
+    )
+
+
+@query(
+    "events_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'v' END, '' ORDER BY ts, event_id) AS s,
+             count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           regexp_matches(s, 's.*v.*p') AS signup_view_purchase,
+           CAST(len(regexp_extract_all(s, 'vp')) AS BIGINT) AS n_direct_view_purchase,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS n_error_bursts
+    FROM seq
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection, the
+    composable-DataFrame way: each user's event history collapses to a
+    compact symbol string under the deterministic (ts, event_id) total
+    order — one char per event — and patterns become ordinary regexes
+    over that string: an ordered signup→…→view→…→purchase funnel
+    (subsequence match), direct view→purchase adjacencies, and error
+    bursts (runs of ≥ 2). ONE user-keyed agg builds the sequence
+    (array_sort on (epoch, id, symbol) structs → in-row projection to
+    chars), regexes run in the same codegen stage — no window, no join,
+    no reparse per pattern. Per-user state is bounded by per-user event
+    count, the natural partition grain; a 10⁸-event user wants the
+    streaming stateful twin instead (same boundary as ts_ewma_fold)."""
+    e = t(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("v")
+    )
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(um("ts").alias("t"), F.col("event_id").alias("i"), sym.alias("ch")).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.transform(F.array_sort(F.collect_list("ev")), lambda s: s["ch"]), "").alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        bi(F.col("n_events")).alias("n_events"),
+        F.col("s").rlike("s.*v.*p").alias("signup_view_purchase"),
+        bi(F.size(F.regexp_extract_all(F.col("s"), F.lit("vp"), F.lit(0)))).alias("n_direct_view_purchase"),
+        bi(F.size(F.regexp_extract_all(F.col("s"), F.lit("ee+"), F.lit(0)))).alias("n_error_bursts"),
     )

@@ -221,3 +221,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 4 == 3:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", r6(F.col("rank") * n_nodes).alias("rank_scaled"))
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+    common AS (
+      SELECT a.u AS u, b.u AS v, count(*) AS n_common
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+      CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+      round(COALESCE(c.n_common, 0) / (du.d + dv.d - COALESCE(c.n_common, 0)), 6) AS jaccard
+    FROM e
+    LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural edge similarity: for every co-purchase edge (u, v), the
+    common-neighbor count and neighborhood Jaccard |N(u)∩N(v)| /
+    |N(u)∪N(v)| — the link-prediction / graph-dedup primitive (edges with
+    high neighborhood overlap are redundant or community-internal).
+    Common neighbors come from ONE wedge self-join on the symmetrized
+    edge list keyed by the shared endpoint — the same O(Σ deg²) bound the
+    triangle count manages, here without orientation because the (u < v)
+    output grain already halves the wedge space. Degrees are a
+    node-keyed dimension joined in; all shuffles are edge/node-keyed —
+    nothing materializes a neighborhood list."""
+    e = _edges(spark, sf_dir)
+    sym = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("u").alias("cu"), F.col("v").alias("w"))
+    b = sym.select(F.col("u").alias("cv"), F.col("v").alias("w2"))
+    common = (
+        a.join(b, (F.col("w") == F.col("w2")) & (F.col("cu") < F.col("cv")))
+        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        e.join(common, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            bi(nc).alias("n_common"),
+            r6(nc / (F.col("du") + F.col("dv") - nc)).alias("jaccard"),
+        )
+    )

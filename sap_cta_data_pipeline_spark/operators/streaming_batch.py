@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
 from ..functions.parity import bi, r2, r6, um
-from ..registry import query
+from ..registry import QUERIES, query
 
 _10_MIN_US = 600 * 1_000_000
 _30_MIN_US = 1_800 * 1_000_000
@@ -299,3 +299,40 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
     ).select("purchase_id", "click_id")
+
+
+@query(
+    "stream_join_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >  p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch declaration of a stream-stream LEFT OUTER interval join:
+    every purchase with its same-user clicks from the preceding 30
+    minutes, or a NULL click row if none — the "did this conversion have
+    a trigger?" query, where the outer rows are exactly the organic
+    purchases. Matched pairs reuse stream_join_interval's bucketed
+    equi-join (30-minute epochs, 2-bucket explode — never per-user
+    quadratic); outer rows come from ONE anti-join of purchases against
+    the matched ids, NOT from outer-joining the exploded frame (which
+    would emit one null per bucket). The streaming twin runs the same
+    predicate as a watermarked leftOuter stream-stream join, where the
+    time bound + watermark are what let Spark both expire click state
+    AND know when an unmatched purchase is final."""
+    inner = QUERIES["stream_join_interval"](spark, sf_dir)
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id")
+    )
+    unmatched = p.join(
+        inner.select("purchase_id").distinct(), "purchase_id", "left_anti"
+    ).withColumn("click_id", F.lit(None).cast("long"))
+    return inner.unionByName(unmatched)

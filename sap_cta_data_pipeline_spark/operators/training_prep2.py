@@ -318,3 +318,53 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.array_sort(F.array_distinct(matches)), 1, 3)
         ).alias("distinct_head"),
     )
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_discount,
+             sum(l_discount) OVER (PARTITION BY l_suppkey) AS s,
+             count(*)        OVER (PARTITION BY l_suppkey) AS n
+      FROM lineitem
+    ),
+    prior AS (SELECT avg(l_discount) AS p FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+      CASE WHEN n > 1 THEN round((s - l_discount) / (n - 1), 6) END AS loo_enc,
+      round((s - l_discount + 10 * (SELECT p FROM prior)) / (n - 1 + 10), 6) AS loo_enc_smoothed
+    FROM g
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (supplier),
+    target = discount: each row's encoding is its group mean EXCLUDING
+    the row itself — the standard leakage-safe mean encoding — plus the
+    m-estimate smoothed variant (m = 10 pseudo-observations of the
+    global prior) that keeps rare categories from memorizing their few
+    targets. One supplier-keyed window pass computes (group sum, group
+    count); the per-row exclusion is then arithmetic — no per-row
+    re-aggregation, no self-join, which is what makes LOO encoding
+    linear at any scale. The global prior is a 1-row broadcast.
+    Singleton groups yield NULL unsmoothed (no other rows to average)
+    and fall back to pure prior territory in the smoothed column."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey")
+    prior = li.agg(F.avg("l_discount").alias("p"))
+    g = li.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_discount",
+        F.sum("l_discount").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return g.crossJoin(F.broadcast(prior)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.when(
+            F.col("n") > 1, r6((F.col("s") - F.col("l_discount")) / (F.col("n") - 1))
+        ).alias("loo_enc"),
+        r6(
+            (F.col("s") - F.col("l_discount") + 10 * F.col("p"))
+            / (F.col("n") - 1 + 10)
+        ).alias("loo_enc_smoothed"),
+    )

@@ -218,3 +218,39 @@ def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             "AND c_ts > p_ts - INTERVAL 30 MINUTES"
         ),
     ).select("purchase_id", "click_id")
+
+
+def click_purchase_pairs_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Twin of stream_join_left_outer: the same watermarked interval join
+    run leftOuter. The event-time bound lets Spark expire click state;
+    the watermark additionally tells it when a buffered purchase can be
+    declared UNMATCHED and emitted with nulls — outer results are only
+    final once the watermark passes the purchase's join window, so rows
+    near the end of a bounded run stay withheld (the twin test compares
+    on the watermark-finalized prefix)."""
+    c = (
+        _with_event_time(clicks)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        _with_event_time(purchases)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts "
+            "AND c_ts > p_ts - INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_ts")

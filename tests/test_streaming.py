@@ -144,3 +144,45 @@ def test_stream_join_interval_twin(spark, stream_source):
     want = QUERIES["stream_join_interval"](spark, SF_SMALL).toPandas()
     problems = frames_match(got, want)
     assert not problems, "; ".join(problems)
+
+
+def test_stream_join_left_outer_twin(spark, stream_source):
+    """leftOuter stream-stream twin frame-matches the batch declaration on
+    the watermark-finalized prefix: outer (null-click) results only emit
+    once the watermark passes the purchase's join window, so purchases in
+    the final hour of the bounded fixture are excluded from the compare
+    (their outer verdict is legitimately still pending at stream end)."""
+    import pyspark.sql.functions as F
+
+    clicks = stream_source.where("event_type = 'click'")
+    purchases = stream_source.where("event_type = 'purchase'")
+    out = twins.click_purchase_pairs_outer(clicks, purchases)
+    got = _run_stream(spark, out, "join_left_outer_twin", "append")
+
+    events = load_table(spark, SF_SMALL, "events")
+    # The twin's watermark derives from the click/purchase streams only
+    # (min of the two stream watermarks), so the finalized prefix must be
+    # measured from the EARLIER of the two stream maxima, not the global
+    # event max: outer emission needs watermark > p_ts + 30 min window
+    # + 10 min delay; 1 h leaves margin.
+    cutoff = events.where(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.max("ts").alias("m")).agg(
+        (F.min("m") - F.expr("INTERVAL 1 HOUR")).alias("c")
+    ).collect()[0]["c"]
+
+    got_pdf = (
+        got.where(F.col("p_ts") <= F.lit(cutoff))
+        .select("purchase_id", "click_id")
+        .toPandas()
+    )
+    purchases_before_cutoff = events.where(
+        (F.col("event_type") == "purchase") & (F.col("ts") <= F.lit(cutoff))
+    ).select(F.col("event_id").alias("purchase_id"))
+    want = (
+        QUERIES["stream_join_left_outer"](spark, SF_SMALL)
+        .join(purchases_before_cutoff, "purchase_id")
+        .toPandas()
+    )
+    problems = frames_match(got_pdf, want)
+    assert not problems, "; ".join(problems)
