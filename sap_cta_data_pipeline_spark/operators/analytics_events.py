@@ -482,3 +482,48 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.size(F.regexp_extract_all(F.col("s"), F.lit("vp"), F.lit(0)))).alias("n_direct_view_purchase"),
         bi(F.size(F.regexp_extract_all(F.col("s"), F.lit("ee+"), F.lit(0)))).alias("n_error_bursts"),
     )
+
+
+@query(
+    "events_active_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, min(day) AS streak_start, max(day) AS streak_end, count(*) AS streak_days
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(streak_start AS VARCHAR) AS streak_start,
+           CAST(streak_end AS VARCHAR) AS streak_end,
+           CAST(streak_days AS BIGINT) AS streak_days
+    FROM runs
+    WHERE streak_days >= 3
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    (reported at ≥ 3 days) — the retention-streak query every product
+    analytics stack ships, and the canonical SQL islands idiom: group
+    key = day − row_number(), constant exactly while days are
+    consecutive. Everything is user-keyed — the dedup, the window, the
+    run agg — so one shuffle partitioning serves all three stages and
+    per-user state is bounded by active-day counts (≤ 1 row per
+    calendar day after the distinct)."""
+    e = t(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("string").alias("streak_start"),
+            F.max("day").cast("string").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .where(F.col("streak_days") >= 3)
+        .select("user_id", "streak_start", "streak_end", bi(F.col("streak_days")).alias("streak_days"))
+    )

@@ -460,3 +460,55 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(schema).option("rowTag", "nation").format("xml").load(path)
     )
+
+
+@query(
+    "sink_clustered_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, CAST(floor(o_orderkey / 2000) AS BIGINT) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           CAST(1 AS BIGINT) AS n_files
+    FROM b GROUP BY bucket
+    """,
+)
+def sink_clustered_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-range clustering sink — the data-skipping layout
+    contract, verified from the files themselves: orders are bucketed by
+    a FIXED key width (floor(key/2k) — constant boundaries, unlike
+    repartitionByRange's sampled ones, so any two runs produce identical
+    layouts), shuffled so each bucket is written by one task, sorted
+    within, and written `partitionBy(bucket)`. The result is read back
+    with `_metadata.file_path` and the per-bucket (row count, key
+    min/max, file count) is computed from the PERSISTED layout — the
+    oracle then certifies disjoint key ranges and exactly one file per
+    bucket. This is the layout under scan_dpp_partitioned /
+    sink_compact_files' pruning claims: min/max row-group stats only
+    prune when ranges don't overlap, and 'one file per bucket' is what
+    keeps file listings O(buckets) at 100 TB."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    bucketed = o.withColumn(
+        "bucket", F.floor(F.col("o_orderkey") / 2_000).cast("long")
+    )
+    path = _scratch(sf_dir, "orders_clustered")
+    (
+        bucketed.repartition("bucket")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "o_orderkey", "bucket", F.col("_metadata.file_path").alias("fp")
+    )
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.countDistinct("fp").alias("n_files"),
+    )
