@@ -278,3 +278,55 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(nc / (F.col("du") + F.col("dv") - nc)).alias("jaccard"),
         )
     )
+
+
+@query("graph_k_core")  # no SQL oracle: iterative peeling fixpoint (rows-only lane)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition of the co-purchase graph: iteratively peel
+    nodes of degree < 2 until the remaining subgraph has minimum degree
+    ≥ 2 (every tree/tendril appendage cascades away, only cyclic
+    structure survives — k chosen so the core is non-trivial at every
+    fixture scale; the loop is k-generic) — the density filter community detection and spam-graph
+    pruning both start from (a k-core survives only on mutually
+    well-connected nodes; degree alone does not). Each round is one
+    degree agg + one semi-join edge filter — both edge-keyed shuffles,
+    no neighborhood materialization; lineage is truncated with
+    localCheckpoint() every round since surviving-edge plans nest.
+    Termination is a 1-scalar count check per round (same driver-side
+    convergence pattern as dedup_cluster_cc); the k-core is unique, so
+    the fixpoint is deterministic regardless of peel order. Output:
+    surviving nodes with their within-core degrees. Rows-only lane:
+    iterative deletion has no ANSI-SQL twin; values pinned in
+    tests/test_iterative_pins.py on a planted core-plus-tendrils
+    fixture."""
+    k = 2
+    # the peeled graph shrinks monotonically: 4 partitions keep per-round
+    # task overhead proportional to the (small) surviving graph, and the
+    # convergence check IS the post-peel edge count — one action per
+    # round, not a separate emptiness probe
+    edges = _edges(spark, sf_dir).select("u", "v").coalesce(4).localCheckpoint()
+    n_prev = edges.count()
+    while True:
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        survivors = deg.where(F.col("d") >= k).select("node")
+        edges = (
+            edges.join(survivors.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(survivors.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n = edges.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(bi(F.count(F.lit(1))).alias("core_degree"))
+    )

@@ -337,3 +337,94 @@ def events_purge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.sum(1 - F.col("purged"))).alias("n_after"),
         bi(F.sum("purged")).alias("n_purged"),
     )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE arm = 'A') AS n_a,
+             count(*) FILTER (WHERE arm = 'B') AS n_b
+      FROM assigned GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(power(n_a - n_b, 2) / (n_a + n_b), 6) AS chi2,
+           power(n_a - n_b, 2) / (n_a + n_b) > 3.841 AS srm_flag
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing an A/B platform
+    checks before reading any metric: with a 50/50 split by user-id
+    parity (deterministic, engine-portable), the per-stream arm counts
+    feed a 1-df chi-square against equal expectation ((n_a−n_b)²/(n_a+n_b)
+    — the two-cell Pearson statistic in closed form) and flag at the
+    0.05 critical value 3.841. One scan, one conditional agg at
+    event-type grain; no randomness, no per-user state. A real
+    assignment hash would swap the parity for a salted hash — the SRM
+    algebra is unchanged (events_ab_ttest is the downstream metric
+    test this guards)."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    chi2 = F.pow(F.col("n_a") - F.col("n_b"), 2) / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        r6(chi2).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+@query(
+    "dq_freshness_sla",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS global_max FROM events),
+    s AS (
+      SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           s.last_ts,
+           CAST(epoch_us(g.global_max) - epoch_us(s.last_ts) AS BIGINT) AS lag_us,
+           epoch_us(g.global_max) - epoch_us(s.last_ts) > 3600000000 AS stale
+    FROM s CROSS JOIN g
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitoring — the ops report that pages
+    someone: each event stream's last-seen timestamp, its lag behind
+    the most advanced stream, and a 1-hour SLA verdict. Two aggregates
+    (per-stream max, global max — the global is a 1-row broadcast
+    cross-joined in) over one scan; at 100 TB this is the query you run
+    on the last partition only, and the mergeable-max algebra means
+    per-partition freshness rolls up exactly (same argument as
+    agg_incremental_merge). Lag is integer microseconds (um parity
+    discipline, SURVEY §5.3)."""
+    from ..functions.parity import um
+
+    e = t(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("global_max"))
+    s = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    lag = um("global_max") - um("last_ts")
+    return s.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "last_ts",
+        lag.alias("lag_us"),
+        (lag > 3_600_000_000).alias("stale"),
+    )

@@ -380,3 +380,85 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_rev"),
         r6(F.col("avg_rev") / F.col("grand")).alias("seasonality_idx"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, year(min(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_year, count(*) AS cohort_size FROM first_order GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_year,
+             year(o.o_orderdate) - f.cohort_year AS age_years,
+             sum(o.o_totalprice) AS revenue
+      FROM orders o JOIN first_order f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_year, CAST(r.age_years AS BIGINT) AS age_years,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(r.revenue, 2) AS revenue,
+           round(sum(r.revenue) OVER (PARTITION BY r.cohort_year
+                                      ORDER BY r.age_years), 2) AS cum_revenue,
+           ((2 * CAST(round(sum(r.revenue) OVER (PARTITION BY r.cohort_year
+                                                 ORDER BY r.age_years) * 100) AS BIGINT)
+             + s.cohort_size) // (2 * s.cohort_size)) / 100.0 AS ltv_per_customer
+    FROM rev r JOIN sizes s USING (cohort_year)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    year, revenue accumulated by cohort age, normalized per cohort
+    member — the LTV triangle finance teams read off every subscription
+    dashboard. Fact-grain work is two customer-keyed aggs (first order,
+    then (cohort, age) revenue — the window that computes first-order
+    year rides the same user-keyed shuffle pattern as
+    events_cohort_retention); the cumulative sum then runs at COHORT
+    grain (years × ages ≤ dozens of rows — post-agg, the documented
+    acceptable-global-window class in SCALE.md §R)."""
+    o = t(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("yr"),
+        F.year(F.min("o_orderdate").over(w_cust)).alias("cohort_year"),
+    )
+    sizes = (
+        base.select("o_custkey", "cohort_year")
+        .distinct()
+        .groupBy("cohort_year")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    rev = base.groupBy(
+        "cohort_year", (F.col("yr") - F.col("cohort_year")).alias("age_years")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w_cum = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("revenue").over(w_cum)
+    # ltv = cum/size rounded to cents goes through EXACT integer-cents
+    # math: o_totalprice is an exact multiple of 0.01, so round(cum*100)
+    # recovers integer cents losslessly, and half-up division
+    # (2x + n) div (2n) is engine-portable — a double quotient would
+    # terminate on .xx5 boundaries where engine round()s disagree
+    # (SURVEY §5.3 rationals-on-boundaries hazard; win_percent_cume's
+    # decimal route solves the same class for k/n rationals)
+    cents = F.round(cum * 100).cast("long")
+    return rev.join(F.broadcast(sizes), "cohort_year").select(
+        "cohort_year",
+        bi(F.col("age_years")).alias("age_years"),
+        bi(F.col("cohort_size")).alias("cohort_size"),
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.round(cum, 2).alias("cum_revenue"),
+        (2 * cents + F.col("cohort_size")).cast("long").alias("_num"),
+    ).withColumn(
+        "ltv_per_customer",
+        F.expr("_num div (2 * cohort_size)") / 100.0,
+    ).drop("_num")

@@ -142,3 +142,37 @@ def test_kmeans_recovers_planted_clusters(spark, kmeans_dir):
     # within-cell mean squared distance must be tiny (< 0.01), i.e. no
     # cell mixes the two clusters (mixing would cost ~100)
     assert all(r["mean_sq_dist"] < 0.01 for r in out)
+
+
+@pytest.fixture(scope="module")
+def kcore_dir(spark, tmp_path_factory):
+    """lineitem fixture planting K4 on {1,2,3,4} (the 2-core) plus a
+    tendril 4-5, 5-6: node 6 (degree 1) peels in round one, which drops
+    node 5 to degree 1 so it peels next — the fixture exercises
+    multi-round cascading peeling, not just a one-shot degree filter. Node 6 gets a singleton booster
+    order to clear the popularity >= 3 filter."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    rows = []
+    okey = 0
+    for u, v in edges:
+        for _ in range(2):
+            okey += 1
+            rows.append((okey, u))
+            rows.append((okey, v))
+    okey += 1
+    rows.append((okey, 6))
+    d = tmp_path_factory.mktemp("kcore_fixture")
+    spark.createDataFrame(
+        rows, schema="l_orderkey bigint, l_partkey bigint"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_k_core_planted_fixpoint(spark, kcore_dir):
+    """graph_k_core (k=2) on the planted graph returns exactly the K4
+    nodes, each with within-core degree 3 (tendril fully cascaded away)."""
+    out = {
+        r["node"]: r["core_degree"]
+        for r in QUERIES["graph_k_core"](spark, kcore_dir).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
