@@ -410,3 +410,48 @@ def agg_boolean_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 50.0).alias("n_over_50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_exact,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money aggregation discipline: prices are cast to
+    DECIMAL(18,2) BEFORE summation, so the group sums are exact integers
+    of cents — no float summation-order error, no rounding policy needed,
+    and the result is bit-identical on ANY partitioning/merge order
+    (decimal addition is associative; float addition is not). This is
+    the finance-grade twin of agg_pricing_summary's float lane: the
+    float lane needs the r2-dominates-error argument (parity.py), the
+    decimal lane needs none. The discounted sum multiplies in decimal
+    too (DECIMAL(18,2) × DECIMAL(4,2) widens losslessly). Final cast to
+    DOUBLE is for cross-engine dtype parity and is exact below 2⁵³
+    cents. At 100 TB decimal aggregation is also the MERGEABLE form:
+    per-partition cent-sums recombine exactly (agg_incremental_merge's
+    algebra), which float partials only do approximately."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("sp"),
+            F.sum(price * (1 - disc)).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("sp").cast("double").alias("sum_price_exact"),
+            F.col("sd").cast("double").alias("sum_disc_exact"),
+            bi(F.col("n")).alias("n"),
+        )
+    )

@@ -428,3 +428,65 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_us"),
         (lag > 3_600_000_000).alias("stale"),
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT user_id, max(c) AS top_c, sum(c) AS n_events
+      FROM per_type GROUP BY 1
+    ),
+    activity AS (
+      SELECT user_id,
+             count(DISTINCT date_trunc('hour', ts)) AS active_hours,
+             count(*) FILTER (WHERE hour(ts) < 6) AS night_events
+      FROM events GROUP BY 1
+    )
+    SELECT s.user_id,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           CAST(a.active_hours AS BIGINT) AS active_hours,
+           round(s.n_events / CAST(a.active_hours AS DOUBLE), 6) AS events_per_hour,
+           round(s.top_c / CAST(s.n_events AS DOUBLE), 6) AS top_type_share,
+           round(a.night_events / CAST(s.n_events AS DOUBLE), 6) AS night_share,
+           (s.n_events / CAST(a.active_hours AS DOUBLE) > 3.0
+            OR s.top_c / CAST(s.n_events AS DOUBLE) > 0.6) AS bot_flag
+    FROM shares s JOIN activity a USING (user_id)
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot scoring — the abuse gate a training-data pipeline
+    runs before user-generated content enters a corpus: per-user event
+    rate (events per distinct active hour), repetitiveness (top event
+    type's share), and night-activity share, combined into a rule flag
+    (rate > 3/h OR top-type share > 0.6). Two aggregations, BOTH keyed
+    on user_id — the (user, type) count rolls up to the share stats and
+    joins the activity agg on the same key, so one shuffle partitioning
+    serves the whole query and no per-user history is materialized.
+    Thresholds are deliberately legible rules, not a model: this op is
+    the feature+gate plumbing; swapping in learned weights changes the
+    projection, not the shape."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    shares = per_type.groupBy("user_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_events")
+    )
+    activity = e.groupBy("user_id").agg(
+        F.countDistinct(F.date_trunc("hour", "ts")).alias("active_hours"),
+        F.sum(F.when(F.hour("ts") < 6, 1).otherwise(0)).alias("night_events"),
+    )
+    rate = F.col("n_events") / F.col("active_hours").cast("double")
+    top_share = F.col("top_c") / F.col("n_events").cast("double")
+    return shares.join(activity, "user_id").select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("active_hours").cast("long").alias("active_hours"),
+        r6(rate).alias("events_per_hour"),
+        r6(top_share).alias("top_type_share"),
+        r6(F.col("night_events") / F.col("n_events").cast("double")).alias("night_share"),
+        ((rate > 3.0) | (top_share > 0.6)).alias("bot_flag"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table as t
+from ..catalog import load_table as t, register_views
 from ..functions.parity import bi
 from ..functions.ranks import with_global_row_number
 from ..registry import query
@@ -100,4 +100,26 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("timestamp_ntz").alias("day"),
             bi(F.col("rolling_7d_users")).alias("rolling_7d_users"),
         )
+    )
+
+
+@query(
+    "sql_select_except",
+    oracle="""
+    SELECT * EXCLUDE (c_name, c_acctbal) FROM customer WHERE c_nationkey < 5
+    """,
+)
+def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(cols) — the wide-table ergonomics surface (Spark 4
+    UnresolvedStarExceptOrReplace; DuckDB spells it EXCLUDE): project
+    everything but the named columns, resolved at ANALYSIS time so
+    column pruning still reaches the scan (ReadSchema drops the excluded
+    columns exactly as an explicit select would — this is sugar, not a
+    post-scan drop). The 100-TB relevance is real: on 1000-column
+    feature tables, 'everything except the 3 raw blobs' is how wide
+    projections are actually written, and it must not cost a full-width
+    scan."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM customer WHERE c_nationkey < 5"
     )

@@ -368,3 +368,97 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1 + 10)
         ).alias("loo_enc_smoothed"),
     )
+
+
+_PQ_M = 8   # subspaces
+_PQ_D = 8   # dims per subspace (M*D = 64, the corpus width)
+_PQ_K = 16  # codes per subspace -> 4 bits; 8 subspaces = 8 bytes/vector
+
+
+@query("emb_pq_quantize")  # rows-only: iterative codebook learning (k-means per subspace)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory backbone of billion-scale ANN
+    (IVF-PQ): the 64-d vector splits into 8 subvectors of 8 dims; each
+    subspace learns a 16-centroid codebook (2 Lloyd iterations,
+    deterministic smallest-vec_id init), and every vector encodes as 8
+    4-bit codes — 256-byte float vectors become 8 bytes (32× compression,
+    ADC distance tables at query time). Structure: ONE in-row explode to
+    (vec, subspace, subvec) grain, then k-means exactly as
+    emb_kmeans_lloyd but with the codebook axis indexed by subspace —
+    per iteration ONE broadcast of all 8×16×8 centroid floats (a literal,
+    ~4 KB), in-row argmin (zero shuffle), one (subspace, code, dim)-keyed
+    average whose result is the only driver transfer (1024 doubles/iter,
+    corpus never leaves executors). Output: per-subspace member counts,
+    mean within-code squared error (the PQ distortion that ADC recall
+    tracks), and live-code counts. Rows-only lane (iterative); exactness
+    pinned in tests/test_iterative_pins.py on a planted ≤16-patterns-per-
+    subspace corpus that PQ must encode losslessly."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .cache()
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("e", m * _PQ_D + 1, _PQ_D),
+            )
+        ).alias("sub", "sv"),
+    )
+    seed = emb.orderBy("vec_id").limit(_PQ_K).collect()
+    codebooks = [
+        [row["e"][m * _PQ_D : (m + 1) * _PQ_D] for row in seed] for m in range(_PQ_M)
+    ]
+    for _ in range(2):
+        cb_lit = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+                for cb in codebooks
+            ]
+        )
+        dists = F.transform(
+            F.element_at(cb_lit, F.col("sub") + 1),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        coded = sub.withColumn("ds", dists).select(
+            "vec_id",
+            "sub",
+            "sv",
+            (F.array_position(F.col("ds"), F.array_min("ds")) - 1)
+            .cast("int")
+            .alias("code"),
+            F.array_min("ds").alias("d2"),
+        )
+        upd = (
+            coded.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+            .select("sub", "code", F.transform("sm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_key = {(r["sub"], r["code"]): r["c"] for r in upd}
+        codebooks = [
+            [by_key.get((m, j), codebooks[m][j]) for j in range(_PQ_K)]
+            for m in range(_PQ_M)
+        ]
+    return (
+        coded.groupBy("sub")
+        .agg(
+            bi(F.count(F.lit(1))).alias("n_subvectors"),
+            r6(F.avg("d2")).alias("mean_sq_err"),
+            bi(F.countDistinct("code")).alias("n_codes_used"),
+        )
+        .orderBy("sub")
+        .select(bi(F.col("sub")).alias("subspace"), "n_subvectors", "mean_sq_err", "n_codes_used")
+    )

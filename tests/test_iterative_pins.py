@@ -176,3 +176,33 @@ def test_k_core_planted_fixpoint(spark, kcore_dir):
         for r in QUERIES["graph_k_core"](spark, kcore_dir).collect()
     }
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+@pytest.fixture(scope="module")
+def pq_dir(spark, tmp_path_factory):
+    """embeddings fixture with exactly 2 distinct subvector patterns per
+    subspace (vector parity selects pattern A or B in every subspace):
+    the first 16 vectors used for codebook init contain both patterns,
+    so PQ must encode the corpus LOSSLESSLY — mean_sq_err pins to 0.0
+    and exactly 2 codes stay live per subspace."""
+    rows = []
+    for vid in range(32):
+        base = 1.0 if vid % 2 == 0 else -1.0
+        emb = []
+        for m in range(8):
+            emb.extend([base * (m + 1.0 + d * 0.125) for d in range(8)])
+        rows.append((vid, [float(x) for x in emb], vid % 2))
+    d = tmp_path_factory.mktemp("pq_fixture")
+    spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_pq_quantize_lossless_on_planted_patterns(spark, pq_dir):
+    out = QUERIES["emb_pq_quantize"](spark, pq_dir).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_subvectors"] == 32
+        assert r["mean_sq_err"] == 0.0
+        assert r["n_codes_used"] == 2
