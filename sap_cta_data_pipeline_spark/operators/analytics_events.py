@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi, um
+from ..functions.parity import bi, r6, um
 from ..registry import query
 
 
@@ -526,4 +526,55 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("streak_days") >= 3)
         .select("user_id", "streak_start", "streak_end", bi(F.col("streak_days")).alias("streak_days"))
+    )
+
+
+@query(
+    "events_power_users_hhi",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(c) AS n, max(c) AS top_c, count(*) AS n_users
+      FROM per_user GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(t.n_users AS BIGINT) AS n_users,
+           CAST(t.n AS BIGINT) AS n_events,
+           round(sum(power(p.c / CAST(t.n AS DOUBLE), 2)), 6) AS hhi,
+           round(t.top_c / CAST(t.n AS DOUBLE), 6) AS top_user_share
+    FROM per_user p JOIN tot t USING (event_type)
+    GROUP BY p.event_type, t.n_users, t.n, t.top_c
+    """,
+)
+def events_power_users_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration per stream — the Herfindahl–Hirschman index
+    over user shares (1/n_users = perfectly even, 1.0 = single-user
+    stream) plus the top user's share: the diagnostic that tells a
+    training-data pipeline when a 'popular' source is really three bots
+    (pairs with events_bot_detection — that op flags users, this one
+    flags STREAMS). Two aggregations both keyed by (event_type[, user]):
+    the per-user counts reduce to stream grain, totals broadcast back as
+    a dimension — no window, no global state; shares are squared and
+    summed in one keyed agg."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_user.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    joined = per_user.join(F.broadcast(tot), "event_type")
+    return (
+        joined.groupBy("event_type", "n_users", "n", "top_c")
+        .agg(F.sum(F.pow(F.col("c") / F.col("n").cast("double"), 2)).alias("h"))
+        .select(
+            "event_type",
+            bi(F.col("n_users")).alias("n_users"),
+            bi(F.col("n")).alias("n_events"),
+            r6(F.col("h")).alias("hhi"),
+            r6(F.col("top_c") / F.col("n").cast("double")).alias("top_user_share"),
+        )
     )

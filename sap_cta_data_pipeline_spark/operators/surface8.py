@@ -123,3 +123,38 @@ def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (c_name, c_acctbal) FROM customer WHERE c_nationkey < 5"
     )
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(rank() OVER w AS BIGINT) AS bal_rank,
+           round(sum(c_acctbal) OVER w, 2) AS run_bal,
+           round(avg(c_acctbal) OVER w2, 6) AS nation_avg
+    FROM customer
+    WINDOW w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_nationkey)
+    """,
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-window SQL surface (the WINDOW clause): two named specs
+    shared by three window functions — rank + running sum over the
+    ordered spec, partition average over the unordered one. Beyond
+    ergonomics, the named form makes spec REUSE visible to the planner:
+    all three functions key on c_nationkey, so Catalyst evaluates them
+    over ONE exchange (two Window operators, one shuffle — same physical
+    plan the DataFrame API would produce from shared Window objects).
+    Runs through spark.sql for SQL-surface parity (SURVEY §3.2)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               round(sum(c_acctbal) OVER w, 2) AS run_bal,
+               round(avg(c_acctbal) OVER w2, 6) AS nation_avg
+        FROM customer
+        WINDOW w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+               w2 AS (PARTITION BY c_nationkey)
+        """
+    )

@@ -435,3 +435,109 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.75)
         .select("doc_a", "doc_b", "est_jaccard", "n_members_a", "n_members_b")
     )
+
+
+@query("dedup_minhash_incremental")  # rows-only: minhash signatures are hash-impl-specific
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH — dedup_minhash_lsh's batch-vs-store form,
+    the one production runs daily at 100 TB: the EXISTING corpus (even
+    doc_ids) exists only as its persisted signature store (rep_id, 64
+    minima, band buckets — kilobytes per thousand docs, written once);
+    the NEW batch (odd doc_ids) computes signatures for ITS docs only,
+    joins its band buckets against the store's, and scores candidates by
+    broadcast signature zip-compare. The corpus TEXT is never re-read,
+    re-tokenized, or re-hashed — per-day cost scales with the batch, not
+    the corpus, which is the whole point (dedup_incremental_exact is the
+    exact-duplicate analogue; this is the near-dup one). Per batch rep:
+    best store match, estimated Jaccard, near-dup verdict at the 0.75
+    signature threshold. Rows-only lane (xxhash64-specific signatures);
+    end-to-end behavior pinned in tests/test_iterative_pins.py on a
+    planted near-dup/disjoint fixture."""
+    from .sources import _scratch
+
+    docs = t(spark, sf_dir, "documents")
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    th_arr = F.transform(
+        F.filter(F.split("fp", " "), lambda x: x != ""),
+        lambda tk: F.pmod(F.xxhash64(tk), F.lit(_MINHASH_P)),
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(band), F.slice("sig", band * _BAND_ROWS + 1, _BAND_ROWS))
+            for band in range(_N_BANDS)
+        ]
+    )
+
+    def sig_table(side):
+        groups = (
+            side.select("doc_id", fingerprint.alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+        )
+        return (
+            groups.select("rep_id", "n_members", th_arr.alias("th"))
+            .filter(F.size("th") > 0)
+            .select("rep_id", "n_members", _minhash_sig_udf()(F.col("th")).alias("sig"))
+        )
+
+    # ---- store build (the once-per-corpus step; daily runs only READ it)
+    store_path = _scratch(sf_dir, "minhash_store")
+    sig_table(docs.filter(F.col("doc_id") % 2 == 0)).write.mode("overwrite").parquet(
+        store_path
+    )
+    store = spark.read.parquet(store_path)
+    store_bands = store.select(
+        F.col("rep_id").alias("corpus_id"),
+        F.posexplode(band_hashes).alias("band", "bucket"),
+    )
+
+    # ---- daily batch: signatures for batch docs only
+    batch = sig_table(docs.filter(F.col("doc_id") % 2 == 1)).cache()
+    batch_bands = batch.select(
+        F.col("rep_id").alias("batch_id"),
+        F.posexplode(band_hashes).alias("band", "bucket"),
+    )
+    cands = (
+        batch_bands.join(store_bands, ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    est = (
+        cands.join(
+            F.broadcast(batch.select(F.col("rep_id").alias("batch_id"), F.col("sig").alias("sig_b"))),
+            "batch_id",
+        )
+        .join(
+            F.broadcast(store.select(F.col("rep_id").alias("corpus_id"), F.col("sig").alias("sig_c"))),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.size(F.filter(F.zip_with("sig_b", "sig_c", lambda a, b: a == b), lambda x: x))
+                / F.lit(64.0)
+            ).alias("est_jaccard"),
+        )
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.desc("est_jaccard"), F.asc("corpus_id")
+    )
+    best = (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("batch_id", F.col("corpus_id").alias("best_match"), "est_jaccard")
+    )
+    return (
+        batch.select(F.col("rep_id").alias("batch_id"), "n_members")
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            bi(F.col("n_members")).alias("n_members"),
+            "best_match",
+            r6(F.col("est_jaccard")).alias("est_jaccard"),
+            F.coalesce(F.col("est_jaccard") >= 0.75, F.lit(False)).alias("is_near_dup"),
+        )
+    )

@@ -250,3 +250,52 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal_c").cast("double") / F.sum("bal_c").over(w).cast("double")
         ).alias("share_of_nation"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, revenue,
+           round(median(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM daily
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily revenue — the robust
+    (outlier-immune) twin of win_moving_avg_range, and a window Spark has
+    no native aggregate for: the frame's values are collected per row
+    (collect_list over ROWS BETWEEN 6 PRECEDING AND CURRENT ROW — frame
+    size is a CONSTANT 7, so per-row state is bounded by the frame, not
+    the series) and the exact interpolating median computed in-row from
+    the sorted frame. Runs at DAY grain — post-aggregation,
+    calendar-bounded rows (SCALE.md §R class 3); the fact-grain work is
+    the keyed daily agg. Window input is pre-rounded r2 so the median's
+    operands are engine-identical; even-frame interpolation (a+b)/2 then
+    matches bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    frame = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(frame)
+    med = F.when(
+        n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(frame, (n / 2).cast("int"))
+            + F.element_at(frame, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "revenue",
+        F.round(med, 4).alias("med7"),
+    )

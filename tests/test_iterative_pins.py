@@ -206,3 +206,34 @@ def test_pq_quantize_lossless_on_planted_patterns(spark, pq_dir):
         assert r["n_subvectors"] == 32
         assert r["mean_sq_err"] == 0.0
         assert r["n_codes_used"] == 2
+
+
+@pytest.fixture(scope="module")
+def minhash_inc_dir(spark, tmp_path_factory):
+    """documents fixture for the incremental near-dup lane: even doc 0 is
+    the corpus; odd doc 1 differs from it by 1 of 40 tokens (J = 39/41
+    ≈ 0.95 — must flag), odd doc 3 shares nothing (must not flag)."""
+    toks = [f"tok{i:02d}" for i in range(40)]
+    near = toks[:-1] + ["changed"]
+    other = [f"zzz{i:02d}" for i in range(40)]
+    rows = [
+        (0, " ".join(toks), "en", "s", len(" ".join(toks))),
+        (1, " ".join(near), "en", "s", len(" ".join(near))),
+        (3, " ".join(other), "en", "s", len(" ".join(other))),
+    ]
+    d = tmp_path_factory.mktemp("minhash_inc_fixture")
+    spark.createDataFrame(
+        rows, schema="doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_incremental_planted_verdicts(spark, minhash_inc_dir):
+    out = {
+        r["batch_id"]: r
+        for r in QUERIES["dedup_minhash_incremental"](spark, minhash_inc_dir).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["is_near_dup"] and out[1]["best_match"] == 0
+    assert out[1]["est_jaccard"] >= 0.75
+    assert not out[3]["is_near_dup"] and out[3]["best_match"] is None
