@@ -470,3 +470,76 @@ def test_global_ids_are_range_partitioned(q):
     plan = plan_text(q("ids_assign_global"), "simple")
     assert "Exchange rangepartitioning" in plan
     assert _data_windows_are_pid_partitioned(plan, ["lang", "doc_id"])
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(q):
+    """agg_heavy_hitters: the phase-2 recount must join the (≤ k·P row)
+    candidate set by BROADCAST — a shuffled recount join would defeat
+    the whole no-vocabulary-shuffle design."""
+    plan = plan_text(q("agg_heavy_hitters"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_take_ordered(q):
+    """text_bpe_pair_counts: global top-30 must be TakeOrderedAndProject
+    (per-partition heaps), never a full sort."""
+    plan = plan_text(q("text_bpe_pair_counts"), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_feature_hashing_single_shuffle(q):
+    """ml_feature_hashing: in-row hashing + ONE (doc,bucket) partial agg —
+    exactly one exchange in the whole plan."""
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("ml_feature_hashing"))
+    assert d.n_exchanges == 1
+    assert d.n_hash_aggregates >= 2  # partial + final
+
+
+def test_asof_nearest_single_user_shuffle_no_join(q):
+    """join_asof_nearest: both direction candidates from ONE union-tag
+    window pass — no join operator at all, one user-keyed exchange."""
+    plan = plan_text(q("join_asof_nearest"), "simple")
+    assert "Join" not in plan
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    assert digest(q("join_asof_nearest")).n_exchanges == 1
+
+
+def test_association_rules_score_by_broadcast(q):
+    """orders_association_rules: support dims and the 1-row total join by
+    broadcast — rule scoring must add no shuffles beyond pair counting."""
+    plan = plan_text(q("orders_association_rules"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_encoding_no_self_join(q):
+    """ml_target_encoding: LOO via one window pass + arithmetic — any join
+    in the plan would mean the self-join formulation crept back (the
+    1-row prior broadcast is the only allowed join)."""
+    plan = plan_text(q("ml_target_encoding"), "simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_confusion_threshold_broadcast_grid_single_scan(q):
+    """ml_confusion_threshold: the 9-point grid joins by broadcast and the
+    events table is scanned once."""
+    plan = plan_text(q("ml_confusion_threshold"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_streaks_single_user_partitioning(q):
+    """events_active_streaks: dedup, window, and run agg all share the
+    user-keyed partitioning — no more than 2 exchanges (distinct needs
+    (user, day); the window/agg reuse user-range)."""
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("events_active_streaks"))
+    assert d.n_exchanges <= 2
+    assert d.global_windows == 0
