@@ -455,3 +455,35 @@ def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             bi(F.col("n")).alias("n"),
         )
     )
+
+
+@query(
+    "agg_count_distinct_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) on DIFFERENT columns in one aggregate —
+    the surface every KPI query uses and the planner case worth pinning:
+    Catalyst compiles n distinct-columns via EXPAND (each input row
+    replicated once per distinct spec with a grouping id), then a
+    two-level aggregate — one scan, not n self-joins, at the cost of an
+    n× shuffle expansion. At 100 TB that expansion is the documented
+    trade: if it hurts, the swap is one approx_count_distinct per
+    column (agg_countd_approx's sketch lane) which needs NO expand —
+    exact-and-expand vs approximate-and-linear is the distinct-count
+    scale decision in one query."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        bi(F.countDistinct("o_custkey")).alias("n_customers"),
+        bi(F.countDistinct(F.to_date("o_orderdate"))).alias("n_days"),
+        bi(F.count(F.lit(1))).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("revenue"),
+    )

@@ -756,3 +756,69 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.log(p_ab / (p_a * p_b))).alias("pmi"),
         )
     )
+
+
+@query(
+    "text_vocab_growth_heaps",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    milestones AS (
+      SELECT CAST(m AS BIGINT) AS milestone
+      FROM (SELECT ((SELECT max(doc_id) FROM documents) * k) // 10 AS m
+            FROM range(1, 11) t(k))
+    )
+    SELECT m.milestone,
+           CAST(count(f.token) AS BIGINT) AS vocab_size,
+           CAST((SELECT count(*) FROM tok t2
+                 WHERE t2.doc_id <= m.milestone) AS BIGINT) AS n_tokens
+    FROM milestones m
+    LEFT JOIN first_seen f ON f.first_doc <= m.milestone
+    GROUP BY m.milestone
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size vs corpus size at 10 doc-id
+    milestones — the corpus statistic that answers 'is more data still
+    buying new vocabulary?' (sub-linear growth V ≈ K·nᵝ is healthy text;
+    a linear curve means boilerplate/noise). Computed WITHOUT replaying
+    the corpus per milestone: each token's FIRST-occurrence doc (one
+    token-keyed min-agg over the corpus) makes vocab-at-milestone a
+    count of first_docs ≤ m — the milestone×token range join runs
+    against the (vocab-sized, broadcastable) first-seen table and token
+    totals against a 10-row milestone dim, never corpus × milestones.
+    Milestones derive from max(doc_id) so the curve is scale-free."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"),
+    )
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    max_doc = docs.agg(F.max("doc_id").alias("mx"))
+    milestones = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(max_doc))
+        .select(F.expr("(mx * id) div 10").alias("milestone"))
+    )
+    vocab = (
+        F.broadcast(milestones)
+        .join(first_seen, F.col("first_doc") <= F.col("milestone"), "left")
+        .groupBy("milestone")
+        .agg(F.count("token").alias("vocab_size"))
+    )
+    tokens_at = (
+        toks.crossJoin(F.broadcast(milestones))
+        .where(F.col("doc_id") <= F.col("milestone"))
+        .groupBy("milestone")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return vocab.join(tokens_at, "milestone").select(
+        bi(F.col("milestone")).alias("milestone"),
+        bi(F.col("vocab_size")).alias("vocab_size"),
+        bi(F.col("n_tokens")).alias("n_tokens"),
+    )

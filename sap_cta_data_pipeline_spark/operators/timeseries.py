@@ -462,3 +462,72 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ltv_per_customer",
         F.expr("_num div (2 * cohort_size)") / 100.0,
     ).drop("_num")
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(rev_cents) AS total_cents, count(*) AS n FROM daily
+    ),
+    c AS (
+      SELECT day, rev_cents,
+             sum(rev_cents) OVER (ORDER BY day) AS cum_cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           rev_cents / 100.0 AS revenue,
+           round((tot.n * c.cum_cents - c.t * tot.total_cents)
+                 / (tot.n * 100.0), 2) AS cusum,
+           20 * abs(tot.n * c.cum_cents - c.t * tot.total_cents)
+             > tot.n * tot.n * (tot.total_cents // 100) AS regime_shift
+    FROM c CROSS JOIN tot
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series: the
+    cumulative sum of deviations from the global mean drifts near zero
+    under a stable regime and runs away after a level shift (the classic
+    Page-test shape, online-able with one float of state —
+    stream_stateful_running is the streaming twin). Flagged when |CUSUM|
+    exceeds 5% of total revenue.
+
+    Arithmetic is EXACT-INTEGER end to end (SURVEY §5.3
+    rationals-on-boundaries hazard, caught by the sf0.001 sweep): daily
+    revenue becomes integer cents, and CUSUM_t = cum_t − t·mean is
+    computed as the integer n·cum_cents − t·total_cents — identical
+    BIGINTs on both engines — so the final double division and the
+    threshold comparison see bit-identical operands (a float mean would
+    differ at the last ulp by summation order and amplify through the
+    running sum; one boundary cell DID flip). Fact-grain work is the
+    keyed daily agg; the running sum is day-grain (§R class 3)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents")
+    )
+    tot = daily.agg(
+        F.sum("rev_cents").alias("total_cents"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    num = F.col("n") * F.col("cum_cents") - F.col("t") * F.col("total_cents")
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("day").cast("string").alias("day"),
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(num / (F.col("n") * 100.0), 2).alias("cusum"),
+        (
+            20 * F.abs(num)
+            > F.col("n") * F.col("n") * F.expr("total_cents div 100")
+        ).alias("regime_shift"),
+    )

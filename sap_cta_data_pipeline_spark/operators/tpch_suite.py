@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import r2
+from ..functions.parity import bi, r2, r6
 from ..functions.ranks import ntile_expr, with_global_cumsum, with_global_row_number
 from ..registry import query
 
@@ -325,4 +325,58 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(100 * F.col("cum4") <= 95 * F.col("tot4"), "B")
         .otherwise("C")
         .alias("abc_class"),
+    )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(min(l.l_shipdate) AS DATE)) AS first_ship_days,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(max(l.l_shipdate) AS DATE)) AS last_ship_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(first_ship_days), 6) AS avg_first_ship_days,
+           round(avg(last_ship_days), 6) AS avg_last_ship_days,
+           CAST(quantile_disc(last_ship_days, 0.9) AS BIGINT) AS p90_last_ship_days
+    FROM per_order
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time: per order, days from order date to first
+    and last line shipment (the order isn't done until its LAST line
+    ships), rolled up per priority class with a discrete p90 — the
+    fulfillment SLA report. One fact-fact join on the natural key
+    (lineitem⋈orders on orderkey — bucket-bounded at 100 TB per
+    SCALE.md §C), one order-grain agg, one small priority-grain agg
+    with an exact discrete percentile (percentile_disc picks a REAL
+    observed latency, never an interpolated fraction of a day)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.to_date(F.min("l_shipdate")), F.to_date("o_orderdate")).alias(
+                "first_ship_days"
+            ),
+            F.datediff(F.to_date(F.max("l_shipdate")), F.to_date("o_orderdate")).alias(
+                "last_ship_days"
+            ),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        bi(F.count(F.lit(1))).alias("n_orders"),
+        r6(F.avg("first_ship_days")).alias("avg_first_ship_days"),
+        r6(F.avg("last_ship_days")).alias("avg_last_ship_days"),
+        bi(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY last_ship_days)")
+        ).alias("p90_last_ship_days"),
     )
