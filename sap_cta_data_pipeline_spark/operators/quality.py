@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import r6
+from ..functions.parity import bi, r6
 from ..registry import query
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
@@ -489,4 +489,78 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(top_share).alias("top_type_share"),
         r6(F.col("night_events") / F.col("n_events").cast("double")).alias("night_share"),
         ((rate > 3.0) | (top_share > 0.6)).alias("bot_flag"),
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer->nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+    )
+    SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           n_orphans = 0 AS fk_holds
+    FROM checks
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for the four FK relations (lineitem→orders, orders→customer,
+    customer→nation, lineitem→part) — the first report a warehouse
+    onboarding runs, and the one that catches a bad backfill before any
+    query does. Each check is ONE left-anti join aggregated to a count:
+    anti joins broadcast when the parent's key column fits (nation
+    always; orders/part per AQE) and otherwise shuffle on the key — no
+    EXISTS-per-row evaluation, no parent table materialized wider than
+    its key. Child-side counts reuse the same scans; output is one row
+    per relation with a pass verdict."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part")
+
+    def check(name, child, key, parent, pkey):
+        orphans = child.select(key).join(
+            parent.select(F.col(pkey).alias(key)), key, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relation"),
+                bi(F.col("n_child")).alias("n_child"),
+                bi(F.col("n_orphans")).alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("fk_holds"),
+            )
+        )
+
+    return (
+        check("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(check("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(check("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+        .unionAll(check("lineitem->part", li, "l_partkey", p, "p_partkey"))
     )

@@ -401,3 +401,89 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             um("ts").alias("last_t_us"),
         )
     )
+
+
+@query(
+    "join_scd2_pit_lookup",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), runs AS (
+      SELECT user_id, event_type AS state, island, min(ts) AS valid_from
+      FROM islands GROUP BY user_id, event_type, island
+    ), dim AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM runs
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           d.state AS state_at_purchase, d.valid_from
+    FROM events p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension — the CONSUMER of
+    scd2_intervals' build: every purchase joined to the state interval
+    covering its timestamp (ts ∈ [valid_from, valid_to)), i.e. 'which
+    run was this user in when they bought'. The dimensional-join twin of
+    join_asof: as-of answers it with a window over the union, this
+    answers it the way a star schema does — equi-join on the entity key,
+    interval predicate on the version rows, exactly one match per fact
+    because SCD2 intervals PARTITION time. At 100 TB the dimension is
+    versions-per-entity sized (joins broadcast or bucket on user);
+    per-fact work is the handful of version rows for its key, never a
+    range scan. ml_pit_features is the feature-store variant of the same
+    discipline (no future leakage); this is the classic warehouse
+    lookup."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = islands.groupBy("user_id", F.col("event_type").alias("state"), "island").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w_dim = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = runs.select(
+        "user_id", "state", "valid_from", F.lead("valid_from").over(w_dim).alias("valid_to")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    return p.join(
+        dim,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("state").alias("state_at_purchase"),
+        "valid_from",
+    )

@@ -822,3 +822,90 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.col("vocab_size")).alias("vocab_size"),
         bi(F.col("n_tokens")).alias("n_tokens"),
     )
+
+
+_RAKE_STOPWORDS = ("a", "the")
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, toksarr[i] AS tok
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toksarr
+        FROM documents
+      ), unnest(range(1, len(toksarr) + 1)) AS t(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+             tok IN ('a', 'the') AS is_stop
+      FROM toks
+    ),
+    phrase_words AS (
+      SELECT doc_id, phrase_id, tok,
+             count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+      FROM marked WHERE NOT is_stop
+    ),
+    word_stats AS (
+      SELECT tok AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(phrase_len) AS BIGINT) AS degree
+      FROM phrase_words GROUP BY tok
+    )
+    SELECT word, freq, degree,
+           round(degree / CAST(freq AS DOUBLE), 6) AS rake_score
+    FROM word_stats
+    ORDER BY degree / CAST(freq AS DOUBLE) DESC, word
+    LIMIT 30
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rapid Automatic Keyword Extraction): token
+    runs between stopwords form candidate phrases; each word scores
+    degree/frequency, where degree sums the lengths of every phrase the
+    word appears in — words that live in LONG phrases outrank equally
+    frequent words from short ones, which is RAKE's whole trick. Top 30
+    words under the deterministic (score desc, word asc) order. The
+    phrase segmentation is a running stopword count (one doc-keyed
+    window — phrase ids are per-document, so the window partitions by
+    doc and state is per-doc bounded); stats are one (doc, phrase)
+    window + one word-keyed agg. freq and degree are exact INTEGERS, so
+    the score quotient sees bit-identical operands on both engines
+    (SURVEY §5.3 discipline — no float accumulation anywhere)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    is_stop = F.col("tok").isin(*_RAKE_STOPWORDS)
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(is_stop.cast("int")).over(w_doc).alias("phrase_id"),
+        is_stop.alias("is_stop"),
+    )
+    pw = marked.where(~F.col("is_stop")).withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+    )
+    stats = pw.groupBy(F.col("tok").alias("word")).agg(
+        bi(F.count(F.lit(1))).alias("freq"),
+        bi(F.sum("phrase_len")).alias("degree"),
+    )
+    score = F.col("degree") / F.col("freq").cast("double")
+    return (
+        stats.orderBy(score.desc(), F.asc("word"))
+        .limit(30)
+        .select("word", "freq", "degree", F.round(score, 6).alias("rake_score"))
+    )
