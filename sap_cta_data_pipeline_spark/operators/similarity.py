@@ -451,3 +451,51 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
         )
     )
+
+
+@query(
+    "emb_norm_audit",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    ),
+    med AS (SELECT quantile_cont(nrm, 0.5) AS m FROM norms)
+    SELECT n.vec_id, n.label,
+           round(n.nrm, 6) AS norm,
+           n.nrm < 0.5 * med.m OR n.nrm > 2.0 * med.m AS norm_outlier
+    FROM norms n CROSS JOIN med
+    """,
+)
+def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene audit: L2 norms per vector with outlier flags at
+    <0.5× / >2× the corpus MEDIAN norm — the check that catches zeroed,
+    truncated, or un-normalized vectors before they poison cosine math
+    downstream (sim_knn/ann assume comparable norms). The norm is an
+    in-row left fold — identical sequential arithmetic on both engines,
+    so the median (exact, interpolating) and the threshold comparisons
+    operate on bit-identical doubles: flags carry no float-order hazard
+    (a mean/σ-based flag would — summation order differs; the
+    median-relative form is the §5.3-clean one). One scan + a 1-row
+    median broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norms = emb.select("vec_id", "label", nrm.alias("nrm"))
+    med = norms.agg(F.expr("percentile(nrm, 0.5)").alias("m"))
+    return norms.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        "label",
+        r6(F.col("nrm")).alias("norm"),
+        ((F.col("nrm") < 0.5 * F.col("m")) | (F.col("nrm") > 2.0 * F.col("m"))).alias(
+            "norm_outlier"
+        ),
+    )

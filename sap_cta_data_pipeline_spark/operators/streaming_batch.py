@@ -336,3 +336,50 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         inner.select("purchase_id").distinct(), "purchase_id", "left_anti"
     ).withColumn("click_id", F.lit(None).cast("long"))
     return inner.unionByName(unmatched)
+
+
+@query(
+    "events_lateness_report",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE ts < frontier) AS BIGINT) AS n_out_of_order,
+           CAST(count(*) FILTER (
+             WHERE epoch_us(frontier) - epoch_us(ts) > 600000000
+           ) AS BIGINT) AS n_late_beyond_wm,
+           CAST(max(epoch_us(frontier) - epoch_us(ts)) AS BIGINT) AS max_lateness_us
+    FROM arr
+    GROUP BY event_type
+    """,
+)
+def events_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing report — the measurement that DECIDES the 10-minute
+    delay every streaming op here assumes: replaying the stream in
+    arrival order (event_id, FIXTURES.md), track the event-time frontier
+    (running max), and per stream count out-of-order events, events later
+    than the 10-minute watermark (these are exactly what
+    stream_late_drop discards), and the worst observed lateness. One
+    global arrival-order window — justified here because ARRIVAL order
+    is the thing being audited (it has no partition key by definition);
+    at 100 TB this runs per ingest partition/hour and the per-stream
+    counters merge (max/sum algebra), never as one global replay."""
+    e = t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    arr = e.select(
+        "event_type", "ts", F.max("ts").over(w).alias("frontier")
+    )
+    late_us = um("frontier") - um("ts")
+    return arr.groupBy("event_type").agg(
+        bi(F.count(F.lit(1))).alias("n_events"),
+        bi(F.sum((F.col("ts") < F.col("frontier")).cast("int"))).alias("n_out_of_order"),
+        bi(F.sum((late_us > 600_000_000).cast("int"))).alias("n_late_beyond_wm"),
+        bi(F.max(late_us)).alias("max_lateness_us"),
+    )

@@ -909,3 +909,52 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("word", "freq", "degree", F.round(score, 6).alias("rake_score"))
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(s, CAST(i AS INT), 1) AS ch
+      FROM (SELECT doc_id, replace(text, ' ', '') AS s FROM documents),
+           unnest(range(1, length(s) + 1)) AS t(i)
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           round(sum(-(c.c / CAST(t.n AS DOUBLE))
+                     * log2(c.c / CAST(t.n AS DOUBLE))), 6) AS entropy_bits
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (bits/char over the space-stripped
+    text) — the cheapest compressibility signal a corpus pipeline has:
+    natural text sits near the alphabet's entropy, boilerplate and
+    generated spam sit far below it (pairs with text_repetition_gopher —
+    that op catches repeated n-grams, this one catches skewed symbol
+    distributions, e.g. base64 blobs score HIGH). One (doc, char) count
+    agg (key space = docs × alphabet) reduced to doc grain; the
+    entropy terms are computed from identical integer counts on both
+    engines, so the only float hazard is the ≤|alphabet|-term sum,
+    comfortably inside r6 (SURVEY §5.3)."""
+    docs = t(spark, sf_dir, "documents")
+    stripped = F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    chars = docs.select(
+        "doc_id", F.explode(F.split(stripped, "(?!^)")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(r6(F.sum(-p * F.log2(p))).alias("entropy_bits"))
+        .select("doc_id", bi(F.col("n")).alias("n_chars"), "entropy_bits")
+    )

@@ -380,3 +380,56 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY last_ship_days)")
         ).alias("p90_last_ship_days"),
     )
+
+
+@query(
+    "orders_price_index_laspeyres",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey, year(l_shipdate) AS yr,
+             sum(l_extendedprice) AS ext, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, ext / qty AS p0, qty AS q0 FROM py WHERE yr = 1995
+    )
+    SELECT py.yr,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum((py.ext / py.qty) * base.q0) / sum(base.p0 * base.q0), 6)
+             AS laspeyres_index
+    FROM py JOIN base USING (l_partkey)
+    WHERE py.yr <> 1995
+    GROUP BY py.yr
+    """,
+)
+def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship-year: Σ p_t·q₀ / Σ p₀·q₀ over the
+    basket of parts traded in the base year (1995), with p = quantity-
+    weighted unit price per (part, year) — the inflation-tracking
+    aggregate finance and pricing teams compute, and a nice composite of
+    two keyed aggs + one part-keyed join: the (part, year) agg reduces
+    the fact table before any join, the base-year basket is a part-grain
+    dimension (broadcastable), and the index itself is a year-grain
+    agg — three shuffles total, all keyed, none fact-sized after the
+    first."""
+    li = t(spark, sf_dir, "lineitem")
+    py = li.groupBy("l_partkey", F.year("l_shipdate").alias("yr")).agg(
+        F.sum("l_extendedprice").alias("ext"), F.sum("l_quantity").alias("qty")
+    )
+    base = py.where(F.col("yr") == 1995).select(
+        "l_partkey",
+        (F.col("ext") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    return (
+        py.where(F.col("yr") != 1995)
+        .join(base, "l_partkey")
+        .groupBy("yr")
+        .agg(
+            bi(F.count(F.lit(1))).alias("n_parts"),
+            r6(
+                F.sum((F.col("ext") / F.col("qty")) * F.col("q0"))
+                / F.sum(F.col("p0") * F.col("q0"))
+            ).alias("laspeyres_index"),
+        )
+    )
