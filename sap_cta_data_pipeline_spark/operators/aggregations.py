@@ -487,3 +487,35 @@ def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.count(F.lit(1))).alias("n_orders"),
         r2(F.sum("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on ROLLUP — the surface that makes subtotal rows
+    DISTINGUISHABLE from genuine NULL group values (agg_rollup's NULLs
+    are ambiguous the moment a grouping column is nullable; grouping()=1
+    says 'this NULL means ALL'). Report writers and OLAP cube consumers
+    key on exactly these markers. Same single-pass expand+agg plan as
+    agg_rollup; the markers are free metadata of the grouping-set id."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            bi(F.grouping("l_returnflag")).alias("g_flag"),
+            bi(F.grouping("l_linestatus")).alias("g_status"),
+            bi(F.count(F.lit(1))).alias("n"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+    )

@@ -158,3 +158,33 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                w2 AS (PARTITION BY c_nationkey)
         """
     )
+
+
+@query(
+    "sql_identifier_indirection",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_identifier_indirection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() indirection (Spark 4): table AND column names arrive
+    as string PARAMETERS, resolved safely at analysis time — the
+    SQL-injection-proof way to template 'count per <dim> from <table>'
+    dashboards (string-concatenated SQL is the unsafe alternative this
+    surface exists to kill; sql_parameterized covers value parameters,
+    this covers identifier parameters). The oracle is the resolved
+    query — indirection is syntax, not semantics, and the plan is
+    identical to writing the names inline (broadcast dim join +
+    keyed count)."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dimcol) AS n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM IDENTIFIER(:facttbl) c JOIN IDENTIFIER(:dimtbl) n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY IDENTIFIER(:dimcol)
+        """,
+        args={"dimcol": "n_name", "facttbl": "customer", "dimtbl": "nation"},
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table as t
+from ..catalog import load_table as t, register_views
 from ..functions.parity import bi, r2, r6, um
 from ..registry import query
 
@@ -298,4 +298,51 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         "revenue",
         F.round(med, 4).alias("med7"),
+    )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, revenue,
+           round(sum(revenue) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+             AS rev_7d,
+           CAST(count(*) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_days_present
+    FROM daily
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: trailing 7 CALENDAR days of revenue
+    per day — the frame that stays correct when days are MISSING from the
+    series, which a ROWS BETWEEN 6 PRECEDING frame silently is not
+    (it would reach back across gaps; win_moving_avg_range is the
+    value-range sibling, this is the time-range one). n_days_present
+    exposes exactly where the two frames would diverge. Runs through
+    spark.sql because interval range frames are a SQL-syntax surface;
+    day grain, calendar-bounded (§R class 3)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT to_date(o_orderdate) AS day,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(day AS STRING) AS day, revenue,
+               round(sum(revenue) OVER (ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+                 AS rev_7d,
+               CAST(count(*) OVER (ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_days_present
+        FROM daily
+        """
     )
