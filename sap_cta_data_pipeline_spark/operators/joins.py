@@ -496,3 +496,61 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.col("nk").isNull().alias("via_null"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT
+      p.event_id,
+      p.user_id,
+      p.ts AS purchase_ts,
+      CASE WHEN epoch_us(p.ts) - (SELECT epoch_us(max(c.ts)) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+           <= 3600000000
+           THEN (SELECT max(c.ts) FROM events c
+                 WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+      END AS last_click_ts,
+      (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+        IS NOT NULL
+      AND epoch_us(p.ts) - (SELECT epoch_us(max(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+          > 3600000000 AS dropped_by_tolerance
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's `tolerance`,
+    QuestDB/kdb ASOF ... WITHIN): the backward match only counts if the
+    click is within 1 hour of the purchase — staler state is worse than
+    no state for attribution and feature-join use cases, and the
+    tolerance is also what lets a STREAMING as-of expire its state
+    (unbounded as-of state never frees; join_asof documents the
+    unbounded form). Same one-shuffle union-tag window as join_asof —
+    the tolerance is a post-window projection, not a join predicate, so
+    the plan is identical plus one filter; dropped_by_tolerance reports
+    exactly the matches the bound discarded."""
+    e = t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "tag", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = tagged.withColumn(
+        "raw_click_ts", F.max(F.when(F.col("tag") == 0, F.col("ts"))).over(w)
+    )
+    gap = um("ts") - um("raw_click_ts")
+    return with_click.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(gap <= 3_600_000_000, F.col("raw_click_ts")).alias("last_click_ts"),
+        (F.col("raw_click_ts").isNotNull() & (gap > 3_600_000_000)).alias(
+            "dropped_by_tolerance"
+        ),
+    )

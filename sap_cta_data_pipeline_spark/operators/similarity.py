@@ -499,3 +499,46 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_outlier"
         ),
     )
+
+
+@query(
+    "emb_dedup_exact",
+    oracle="""
+    WITH canon AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS key
+      FROM embeddings
+    ),
+    grp AS (
+      SELECT key, min(vec_id) AS keeper, count(*) AS n_members
+      FROM canon GROUP BY key
+    )
+    SELECT c.vec_id, g.keeper, CAST(g.n_members AS BIGINT) AS n_members,
+           c.vec_id <> g.keeper AS is_duplicate
+    FROM canon c JOIN grp g USING (key)
+    """,
+)
+def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding removal — the vector-store hygiene pass
+    that runs BEFORE any ANN index build (exact dups inflate index size
+    and make top-k degenerate: k slots filled by one point). The dedup
+    key is the vector itself, rounded to 1e-6 per dimension so
+    serialization round-trips (float32 ↔ parquet ↔ engine) cannot split
+    a true duplicate pair; one hash-groupBy ON THE ARRAY (Spark and
+    DuckDB both hash arrays natively — no string serialization), keeper
+    = min vec_id, verdict per vector. The 100-TB form groups on
+    xxhash64(key) to keep shuffle rows narrow (dedup_exact's note
+    applies verbatim); here the array key keeps the oracle exact.
+    dedup_near_embedding handles the near-dup twin."""
+    emb = t(spark, sf_dir, "embeddings")
+    key = F.transform("embedding", lambda x: F.round(x.cast("double"), 6))
+    canon = emb.select("vec_id", key.alias("key"))
+    grp = canon.groupBy("key").agg(
+        F.min("vec_id").alias("keeper"), F.count(F.lit(1)).alias("n_members")
+    )
+    return canon.join(grp, "key").select(
+        "vec_id",
+        "keeper",
+        bi(F.col("n_members")).alias("n_members"),
+        (F.col("vec_id") != F.col("keeper")).alias("is_duplicate"),
+    )
