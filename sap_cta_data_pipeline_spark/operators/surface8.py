@@ -188,3 +188,35 @@ def sql_identifier_indirection(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"dimcol": "n_name", "facttbl": "customer", "dimtbl": "nation"},
     )
+
+
+@query(
+    "sql_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination surface: ORDER BY ... LIMIT 20 OFFSET 40
+    (page 3) — deterministic because the sort key (c_acctbal, c_custkey)
+    is a total order. Spark 4 supports OFFSET natively and plans the
+    pair as a single global top-(limit+offset) — per-partition heaps of
+    60 rows, driver drops the first 40 — so a page deep in the corpus
+    still never materializes a full sort. The known cliff is documented
+    honestly: OFFSET 10⁹ makes the heap 10⁹ deep; past shallow pages the
+    keyset form (WHERE (bal, key) < last_seen ORDER BY ... LIMIT 20,
+    i.e. filter_range + topk_limit's shapes composed) is the scalable
+    pagination — this op is the SQL-surface page, not the deep-scroll
+    recommendation."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40
+        """
+    )

@@ -433,3 +433,66 @@ def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("laspeyres_index"),
         )
     )
+
+
+@query(
+    "customer_segment_migration",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CASE WHEN sum(o_totalprice) >= 400000 THEN 'high'
+                  WHEN sum(o_totalprice) >= 150000 THEN 'mid'
+                  ELSE 'low' END AS segment
+      FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.yr AS from_year, a.segment AS from_segment, b.segment AS to_segment
+      FROM yearly a JOIN yearly b
+        ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+    )
+    SELECT from_year, from_segment, to_segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM paired
+    GROUP BY 1, 2, 3
+    """,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration matrix: customers banded by yearly spend (fixed
+    thresholds — the quantile-banded variant is agg_percentile_bands'
+    documented swap) and counted across consecutive-year transitions
+    (high→mid, low→high churn/upgrade flows — the Sankey behind every
+    retention deck). The year-over-year pairing is a SELF-join on
+    (customer, adjacent year) — equi-keyed on the customer, so pair
+    generation is local to each customer's handful of year rows; the
+    fact table reduces to (customer, year) grain BEFORE the join. A lag
+    window over yr would do the same with one shuffle — the join form
+    is kept because the oracle and the plan both stay obvious, and both
+    sides are the same post-agg frame (self-join reuses the exchange)."""
+    o = t(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .select(
+            "o_custkey",
+            "yr",
+            F.when(F.col("spend") >= 400_000, "high")
+            .when(F.col("spend") >= 150_000, "mid")
+            .otherwise("low")
+            .alias("segment"),
+        )
+    )
+    a = yearly.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("yr").alias("from_year"),
+        F.col("segment").alias("from_segment"),
+    )
+    b = yearly.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("yr").alias("to_yr"),
+        F.col("segment").alias("to_segment"),
+    )
+    return (
+        a.join(b, (F.col("ck") == F.col("ck2")) & (F.col("to_yr") == F.col("from_year") + 1))
+        .groupBy("from_year", "from_segment", "to_segment")
+        .agg(bi(F.count(F.lit(1))).alias("n_customers"))
+    )
