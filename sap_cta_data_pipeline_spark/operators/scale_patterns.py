@@ -487,3 +487,113 @@ def join_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_purchase"),
         "valid_from",
     )
+
+
+@query(
+    "merge_scd2_apply",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), runs AS (
+      SELECT user_id, event_type, island,
+             min(ts)  AS valid_from,
+             count(*) AS n_events
+      FROM islands
+      GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM runs
+    """,
+)
+def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of SCD2 — incremental interval maintenance:
+    yesterday's dimension (built from events before 2024-01-16) receives
+    today's delta (events at/after), and the apply must (1) extend the
+    open interval when the user's state did NOT change across the
+    boundary — a naive append would split one true run into two
+    version rows — (2) close it and chain new intervals when it did,
+    (3) insert whole histories for brand-new users. The implementation
+    runs gaps-and-islands on EACH SIDE separately (each shuffles only
+    its own rows — the point of incremental: the old side would be read
+    from the dimension table, not recomputed, in production), offsets
+    delta island ids by the user's old island count MINUS the
+    boundary-merge flag, and re-aggregates (user, island) — merged
+    boundary runs recombine valid_from/n_events exactly. ORACLE = the
+    full-history rebuild (scd2_intervals' SQL verbatim): incremental
+    apply == rebuild is the correctness contract that makes nightly
+    SCD2 jobs trustworthy at 100 TB, where rebuild is unaffordable."""
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    e = t(spark, sf_dir, "events")
+
+    def runs_of(df):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        marked = df.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+            ).otherwise(0).alias("is_start"),
+        )
+        islands = marked.withColumn(
+            "island",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return islands.groupBy("user_id", F.col("event_type").alias("state"), "island").agg(
+            F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+        )
+
+    old_runs = runs_of(e.where(F.col("ts") < cutoff))
+    delta_runs = runs_of(e.where(F.col("ts") >= cutoff))
+
+    old_last = old_runs.groupBy("user_id").agg(
+        F.max("island").alias("n_old"),
+        F.max_by("state", "island").alias("last_state"),
+    )
+    delta_first = delta_runs.where(F.col("island") == 1).select(
+        "user_id", F.col("state").alias("first_state")
+    )
+    boundary = old_last.join(delta_first, "user_id", "left").select(
+        "user_id",
+        "n_old",
+        (F.col("first_state").isNotNull() & (F.col("first_state") == F.col("last_state")))
+        .cast("int")
+        .alias("merge_flag"),
+    )
+    adjusted_delta = delta_runs.join(F.broadcast(boundary), "user_id", "left").select(
+        "user_id",
+        "state",
+        (
+            F.col("island") + F.coalesce(F.col("n_old"), F.lit(0)) - F.coalesce(F.col("merge_flag"), F.lit(0))
+        ).alias("island"),
+        "valid_from",
+        "n_events",
+    )
+    combined = old_runs.unionByName(adjusted_delta)
+    merged = combined.groupBy("user_id", "island").agg(
+        F.min("state").alias("event_type"),
+        F.min("valid_from").alias("valid_from"),
+        F.sum("n_events").alias("n_events"),
+    )
+    w_dim = Window.partitionBy("user_id").orderBy("valid_from")
+    return merged.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_dim).alias("valid_to"),
+        bi(F.col("n_events")).alias("n_events"),
+        F.when(F.lead("valid_from").over(w_dim).isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table as t
-from ..functions.parity import r2
+from ..functions.parity import bi, r2
 from ..registry import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -511,4 +511,56 @@ def sink_clustered_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
         F.countDistinct("fp").alias("n_files"),
+    )
+
+
+@query(
+    "scan_manifest_snapshot",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def scan_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pinned snapshot reads — the mechanism under every table
+    format's time travel (Iceberg/Delta), built from first principles on
+    plain parquet: version 1 commits files A (event_id%3=0), version 2
+    adds files B (the rest) and writes a NEW manifest listing A∪B; a
+    reader pinned to manifest v1 passes EXACTLY v1's file list to
+    spark.read.parquet and sees the v1 snapshot — regardless of what
+    lands in the directory afterward. That's the whole isolation
+    contract: readers name files via a manifest, never via directory
+    listing, so writers can commit concurrently and old snapshots stay
+    queryable. The manifest here is a one-line-per-file text file; the
+    driver-visible result aggregates the v1 snapshot (oracle = the v1
+    predicate on the source table). At 100 TB manifests also carry
+    per-file min/max stats for pruning — scan_file_metadata's
+    per-file stats are exactly what gets lifted into them."""
+    import os
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    root = _scratch(sf_dir, "manifest_table")
+    v1_dir, v2_dir = os.path.join(root, "data_v1"), os.path.join(root, "data_v2")
+    e.where(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(v1_dir)
+    e.where(F.col("event_id") % 3 != 0).write.mode("overwrite").parquet(v2_dir)
+
+    def files_of(d):
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "manifest_v1.txt"), "w") as fh:
+        fh.write("\n".join(files_of(v1_dir)))
+    with open(os.path.join(root, "manifest_v2.txt"), "w") as fh:
+        fh.write("\n".join(files_of(v1_dir) + files_of(v2_dir)))
+
+    with open(os.path.join(root, "manifest_v1.txt")) as fh:
+        v1_files = [line for line in fh.read().splitlines() if line]
+    snapshot_v1 = spark.read.parquet(*v1_files)
+    return snapshot_v1.groupBy("event_type").agg(
+        bi(F.count(F.lit(1))).alias("n"),
+        bi(F.sum("user_id")).alias("sum_users"),
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table as t
 from ..functions.parity import bi, r6
 from ..functions.ranks import with_global_row_number
-from ..registry import query
+from ..registry import QUERIES, query
 
 #: MinHash parameters: 64 permutations in 8 bands of 8 rows. The LSH
 #: S-curve threshold (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77 sits just under the
@@ -540,4 +540,70 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("est_jaccard")).alias("est_jaccard"),
             F.coalesce(F.col("est_jaccard") >= 0.75, F.lit(False)).alias("is_near_dup"),
         )
+    )
+
+
+@query("dedup_recall_eval")  # rows-only: candidate side is xxhash64-signature-specific
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval harness for the near-dup lane — the loop a production corpus
+    pipeline actually runs before trusting MinHash verdicts at scale:
+    exact ground truth (all distinct-representative pairs with true
+    token-set Jaccard ≥ 0.8, via the inverted-index pair join) compared
+    against dedup_minhash_lsh's candidate set (band collision + signature
+    estimate ≥ 0.75), reporting recall (GT pairs surfaced) and precision
+    (candidates that are true ≥0.8 pairs). sim_recall_eval does this for
+    ANN neighbor search; this closes the loop for dedup. The GT side is
+    the quadratic oracle lane (affordable at eval scale ONLY — you run
+    this on a sample, never the corpus; the measured recall is what
+    licenses running ONLY minhash on the other 99.99%). One-row output;
+    both pair sets computed on the same exact-collapsed representatives
+    so the comparison is apples-to-apples."""
+    docs = t(spark, sf_dir, "documents")
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    groups = (
+        docs.select("doc_id", fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    toks = groups.select(
+        "rep_id", F.explode(F.filter(F.split("fp", " "), lambda x: x != "")).alias("term")
+    )
+    sizes = toks.groupBy("rep_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("rep_id").alias("da"), "term")
+    b = toks.select(F.col("rep_id").alias("db"), F.col("term").alias("term_b"))
+    inter = (
+        a.join(b, (F.col("term") == F.col("term_b")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    gt = (
+        inter.join(F.broadcast(sizes.select(F.col("rep_id").alias("da"), F.col("sz").alias("sa"))), "da")
+        .join(F.broadcast(sizes.select(F.col("rep_id").alias("db"), F.col("sz").alias("sb"))), "db")
+        .where(
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")) >= 0.8
+        )
+        .select("da", "db")
+        .cache()
+    )
+    cand = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+        .cache()
+    )
+    n_true = gt.count()
+    n_cand = cand.count()
+    n_hit = gt.join(cand, ["da", "db"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_true,
+                n_cand,
+                n_hit,
+                round(n_hit / n_true, 6) if n_true else None,
+                round(n_hit / n_cand, 6) if n_cand else None,
+            )
+        ],
+        schema="n_true_pairs bigint, n_candidates bigint, n_hits bigint, recall double, precision double",
     )
