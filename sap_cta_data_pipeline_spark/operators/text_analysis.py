@@ -958,3 +958,56 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r6(F.sum(-p * F.log2(p))).alias("entropy_bits"))
         .select("doc_id", bi(F.col("n")).alias("n_chars"), "entropy_bits")
     )
+
+
+@query(
+    "text_substring_vocab_seed",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    subs AS (
+      SELECT unnest(flatten(list_transform([2, 3, 4], L ->
+        CASE WHEN length(tok) >= L
+             THEN list_transform(range(1, length(tok) - L + 2),
+                                 i -> substr(tok, CAST(i AS INT), CAST(L AS INT)))
+             ELSE [] END))) AS sub
+      FROM tok
+    )
+    SELECT sub, CAST(length(sub) AS BIGINT) AS sub_len, count(*) AS n_occurrences
+    FROM subs GROUP BY sub
+    ORDER BY n_occurrences DESC, sub
+    LIMIT 30
+    """,
+)
+def text_substring_vocab_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer vocabulary seeding: every substring of length
+    2–4 inside every token, counted corpus-wide, top 30 — the candidate
+    inventory a SentencePiece-unigram trainer starts from before EM
+    pruning (text_bpe_pair_counts is the BPE sibling: that one counts
+    merge CANDIDATES, this one counts whole-piece candidates). The
+    ~3|token| substring expansion is generated in-row by nested
+    sequence/substring HOFs (no Python), the count reduces over a
+    bounded key space (alphabet^≤4), and the final is
+    TakeOrderedAndProject under the (count desc, piece asc) total
+    order. One scan per seeding round, the same per-round cost bound
+    the BPE lane documents."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    subs_expr = F.expr(
+        "flatten(transform(sequence(2, 4), L -> "
+        "case when length(tok) >= L "
+        "then transform(sequence(1, length(tok) - L + 1), i -> substring(tok, i, L)) "
+        "else array() end))"
+    )
+    return (
+        toks.select(F.explode(subs_expr).alias("sub"))
+        .groupBy("sub")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("sub"))
+        .limit(30)
+        .select("sub", bi(F.length("sub")).alias("sub_len"), bi(F.col("n_occurrences")).alias("n_occurrences"))
+    )

@@ -496,3 +496,60 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_year", "from_segment", "to_segment")
         .agg(bi(F.count(F.lit(1))).alias("n_customers"))
     )
+
+
+@query(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT s, CAST(row_number() OVER (ORDER BY s, o_custkey) AS BIGINT) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(s) AS total, sum(i * s) AS weighted
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(total, 2) AS total_spend,
+           round(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality number behind
+    'x% of revenue comes from y% of customers' (lineitem_abc_pareto
+    draws the curve; this is its scalar). Needs every customer's GLOBAL
+    rank by spend — computed with the functions/ranks.py
+    range-partitioned layout (local row_numbers + broadcast offsets),
+    NOT an unpartitioned window, so the rank pass parallelizes at any
+    cardinality; the Σ i·xᵢ reduction is then one keyed-free global agg
+    of 3 numbers. Spend is pre-rounded r2 (exact cents) so rank ties
+    break identically on both engines via the (spend, custkey) total
+    order; the Gini ratio itself is r6 (relative float error ~1e-13,
+    §5.3 policy)."""
+    from ..functions.ranks import with_global_row_number
+
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    ranked = with_global_row_number(
+        spend, [F.col("s"), F.col("o_custkey")], rn_col="i"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("total"),
+        F.sum(F.col("i").cast("double") * F.col("s")).alias("weighted"),
+    )
+    return agg.select(
+        bi(F.col("n")).alias("n_customers"),
+        F.round("total", 2).alias("total_spend"),
+        r6(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n")
+        ).alias("gini"),
+    )
