@@ -543,3 +543,50 @@ def test_streaks_single_user_partitioning(q):
     d = digest(q("events_active_streaks"))
     assert d.n_exchanges <= 2
     assert d.global_windows == 0
+
+
+def test_gini_rank_is_range_partitioned(q):
+    """customer_spend_gini: the global spend rank must come from the
+    range-partitioned helper (repartitionByRange visible), not an
+    unpartitioned data-path window."""
+    plan = plan_text(q("customer_spend_gini"), "simple")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_emb_dedup_exact_no_cartesian(q):
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("emb_dedup_exact"))
+    assert d.n_cartesian == 0
+
+
+def test_manifest_snapshot_reads_only_v1_files(q):
+    """scan_manifest_snapshot: the pinned reader must scan ONLY the files
+    the v1 manifest names — v2 data files must not appear anywhere in
+    the plan (that absence IS the snapshot-isolation property)."""
+    plan = plan_text(q("scan_manifest_snapshot"), "formatted")
+    assert "data_v1" in plan
+    assert "data_v2" not in plan
+
+
+def test_limit_offset_single_topk(q):
+    """sql_limit_offset: LIMIT+OFFSET plans as one global top-(k+offset)
+    (TakeOrdered...), never a full global sort."""
+    plan = plan_text(q("sql_limit_offset"), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_merge_scd2_apply_boundary_broadcast(q):
+    """merge_scd2_apply: the per-user boundary table joins by broadcast;
+    no cartesian anywhere in the apply."""
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(q("merge_scd2_apply"))
+    assert d.n_broadcast_joins >= 1
+    assert d.n_cartesian == 0
+
+
+def test_substring_seed_take_ordered(q):
+    plan = plan_text(q("text_substring_vocab_seed"), "simple")
+    assert "TakeOrderedAndProject" in plan
