@@ -578,3 +578,62 @@ def events_power_users_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("top_c") / F.col("n").cast("double")).alias("top_user_share"),
         )
     )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM day_users
+    ), m AS (
+      SELECT d.day,
+             count(DISTINCT du.user_id) FILTER (WHERE du.day = d.day) AS dau,
+             count(DISTINCT du.user_id) FILTER (
+               WHERE du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS wau,
+             count(DISTINCT du.user_id) FILTER (
+               WHERE du.day BETWEEN d.day - INTERVAL 27 DAY AND d.day) AS mau
+      FROM days d
+      JOIN day_users du ON du.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           round(dau / CAST(mau AS DOUBLE), 6) AS stickiness
+    FROM m
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/WAU/MAU triple + stickiness (DAU/MAU) per day — the
+    engagement dashboard's first row. One corpus-sized shuffle only (the
+    (day, user) DISTINCT); the 28-day expansion joins DAY-GRAIN
+    aggregates (events_rolling_dau's shape, widened to three windows
+    computed from ONE expansion with conditional distincts — not three
+    joins). DAU/MAU is an exact integer ratio → identical doubles both
+    engines. At 100 TB: day_users is the table you persist daily; each
+    day's triple merges 28 daily partitions, never raw events."""
+    e = t(spark, sf_dir, "events")
+    day_users = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = day_users.select("day").distinct()
+    d = days.select(F.col("day").alias("anchor"))
+    expanded = d.join(
+        day_users,
+        (F.col("day") >= F.date_sub(F.col("anchor"), 27))
+        & (F.col("day") <= F.col("anchor")),
+    )
+    m = expanded.groupBy("anchor").agg(
+        F.countDistinct(F.when(F.col("day") == F.col("anchor"), F.col("user_id"))).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day") >= F.date_sub(F.col("anchor"), 6), F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return m.select(
+        F.col("anchor").cast("string").alias("day"),
+        bi(F.col("dau")).alias("dau"),
+        bi(F.col("wau")).alias("wau"),
+        bi(F.col("mau")).alias("mau"),
+        r6(F.col("dau") / F.col("mau").cast("double")).alias("stickiness"),
+    )

@@ -564,3 +564,49 @@ def scan_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.count(F.lit(1))).alias("n"),
         bi(F.sum("user_id")).alias("sum_users"),
     )
+
+
+@query(
+    "gen_date_dimension",
+    oracle="""
+    SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day,
+           CAST(year(d) AS BIGINT) AS yr,
+           CAST(month(d) AS BIGINT) AS mth,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           isodow(d) >= 6 AS is_weekend,
+           CAST(strftime(d, '%Y-%m') AS VARCHAR) AS month_key
+    FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def gen_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension (calendar spine) generation — the one table every
+    warehouse has and no source system provides: two years of days with
+    the standard attributes (ISO weekday, weekend flag, quarter, month
+    key), generated ENGINE-SIDE from a sequence expression — no source
+    scan, no driver loop, and deterministic by construction. The spine
+    is what densifies sparse series (ts_gapfill_locf's day axis), what
+    calendar joins key on, and at 100 TB it is still ~40k rows for a
+    century — always broadcastable, generated at plan time. ISO weekday
+    (Mon=1..Sun=7) is used for engine parity: Spark's dayofweek() is
+    Sun=1-based, DuckDB's isodow is Mon=1 — the expression here
+    normalizes to ISO on both sides (SURVEY §5.3 calendar hazard)."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    iso_dow = ((F.dayofweek("d") + 5) % 7) + 1
+    return spine.select(
+        F.col("d").cast("string").alias("day"),
+        bi(F.year("d")).alias("yr"),
+        bi(F.month("d")).alias("mth"),
+        bi(F.quarter("d")).alias("qtr"),
+        bi(iso_dow).alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_format("d", "yyyy-MM").alias("month_key"),
+    )

@@ -553,3 +553,58 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1.0) / F.col("n")
         ).alias("gini"),
     )
+
+
+@query(
+    "customer_interpurchase_time",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, median(gap_days) AS med_gap, count(*) AS n_gaps
+      FROM gaps WHERE gap_days IS NOT NULL
+      GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(med_gap), 6) AS avg_median_gap_days,
+           round(quantile_cont(med_gap, 0.5), 6) AS p50_of_medians,
+           round(quantile_cont(med_gap, 0.9), 6) AS p90_of_medians,
+           CAST(count(*) FILTER (WHERE med_gap <= 30) AS BIGINT) AS n_monthly_buyers
+    FROM per_cust
+    """,
+)
+def customer_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time — THE repeat-buying cadence metric: per
+    customer, the median days between consecutive orders (lag over the
+    customer's order sequence; median, not mean, because one long
+    vacation gap shouldn't define a cadence), then the corpus-level
+    distribution of those medians and a ≤30-day 'monthly buyer' count.
+    Everything customer-keyed until the final 1-row reduction: the lag
+    window and the per-customer median share one shuffle key. Medians
+    of integer day-gaps interpolate on identical integers → identical
+    doubles both engines (§5.3)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.expr("percentile(gap_days, 0.5)").alias("med_gap"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+    return per_cust.agg(
+        bi(F.count(F.lit(1))).alias("n_customers"),
+        r6(F.avg("med_gap")).alias("avg_median_gap_days"),
+        r6(F.expr("percentile(med_gap, 0.5)")).alias("p50_of_medians"),
+        r6(F.expr("percentile(med_gap, 0.9)")).alias("p90_of_medians"),
+        bi(F.sum((F.col("med_gap") <= 30).cast("int"))).alias("n_monthly_buyers"),
+    )
