@@ -637,3 +637,47 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.col("mau")).alias("mau"),
         r6(F.col("dau") / F.col("mau").cast("double")).alias("stickiness"),
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    new_per_day AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+             AS cumulative_users
+    FROM days d LEFT JOIN new_per_day n ON n.day = d.day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users to date — the growth curve, and the
+    classic 'running COUNT(DISTINCT) window' problem that has no native
+    window form: a naive distinct-over-expanding-frame re-counts the
+    whole prefix per day (quadratic). The linear identity: each user
+    counts exactly once, on their FIRST day — so one user-keyed min, a
+    day-grain new-user count, and a day-grain running sum produce the
+    exact cumulative distinct. The only corpus-sized shuffle is the
+    user min; everything after is calendar-bounded (§R class 3). This
+    identity is also the streaming form (first-seen state per user)."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = days.join(new_per_day, "day", "left").select(
+        "day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    return joined.select(
+        F.col("day").cast("string").alias("day"),
+        bi(F.col("n_new")).alias("n_new_users"),
+        bi(F.sum("n_new").over(w)).alias("cumulative_users"),
+    )

@@ -1011,3 +1011,64 @@ def text_substring_vocab_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("sub", bi(F.length("sub")).alias("sub_len"), bi(F.col("n_occurrences")).alias("n_occurrences"))
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rk
+      FROM freq
+    ),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    sizes AS (SELECT CAST(k AS BIGINT) AS vocab_size FROM (VALUES (10), (25), (50), (100)) t(k))
+    SELECT s.vocab_size,
+           CAST(sum(r.c) AS BIGINT) AS covered_occurrences,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS total_occurrences,
+           round(sum(r.c) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS coverage,
+           round(1.0 - sum(r.c) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS oov_rate
+    FROM sizes s JOIN ranked r ON r.rk <= s.vocab_size
+    GROUP BY s.vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: token-occurrence share covered by the
+    top-k vocabulary at k ∈ {10, 25, 50, 100} — the OOV-rate analysis
+    that sizes every closed-vocab model and tokenizer budget (pairs with
+    text_vocab_growth_heaps: that one asks 'how fast does vocab grow',
+    this one 'how much does a FIXED vocab cover'). Frequency table is
+    one token-keyed agg; the rank is over the VOCAB-sized table (ranked
+    by (count, token) total order — at web scale this is where the
+    range-partitioned rank helper would slot in, per text_wordcount);
+    coverage sums join the 4-row size dim against rank prefixes. The
+    coverage ratio divides identical integers → identical doubles."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))).alias("rk")
+    )
+    tot = freq.agg(F.sum("c").alias("n"))
+    sizes = spark.createDataFrame([(10,), (25,), (50,), (100,)], "vocab_size long")
+    cov = (
+        F.broadcast(sizes)
+        .join(ranked, F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("c").alias("covered"))
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        bi(F.col("covered")).alias("covered_occurrences"),
+        bi(F.col("n")).alias("total_occurrences"),
+        r6(F.col("covered") / F.col("n").cast("double")).alias("coverage"),
+        r6(1.0 - F.col("covered") / F.col("n").cast("double")).alias("oov_rate"),
+    )

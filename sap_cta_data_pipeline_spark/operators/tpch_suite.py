@@ -608,3 +608,42 @@ def customer_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.expr("percentile(med_gap, 0.9)")).alias("p90_of_medians"),
         bi(F.sum((F.col("med_gap") <= 30).cast("int"))).alias("n_monthly_buyers"),
     )
+
+
+@query(
+    "orders_basket_profile",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+             count(DISTINCT l_partkey) AS n_parts,
+             round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS BIGINT) AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(n_parts), 6) AS avg_distinct_parts,
+           round(avg(total_qty), 6) AS avg_total_qty
+    FROM baskets
+    GROUP BY n_lines
+    """,
+)
+def orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders histogrammed by line count, with
+    average distinct parts and quantity per size bucket — the
+    merchandising profile that sizes the co-purchase self-join
+    (orders_copurchase_pairs' pair expansion is Σ basket² — THIS
+    histogram is where you check that bound before running it). Two
+    keyed aggs: order grain then size grain; the distinct-part count
+    rides the order-grain agg. Output is ≤ max-basket-size rows at any
+    corpus size."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    return baskets.groupBy(bi(F.col("n_lines")).alias("basket_size")).agg(
+        bi(F.count(F.lit(1))).alias("n_orders"),
+        r6(F.avg("n_parts")).alias("avg_distinct_parts"),
+        r6(F.avg("total_qty")).alias("avg_total_qty"),
+    )
