@@ -681,3 +681,57 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.col("n_new")).alias("n_new_users"),
         bi(F.sum("n_new").over(w)).alias("cumulative_users"),
     )
+
+
+@query(
+    "events_conversion_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 3) OVER w AS p3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat(COALESCE(p3, '_'), '>', COALESCE(p2, '_'), '>',
+                  COALESCE(p1, '_')) AS path,
+           CAST(count(*) AS BIGINT) AS n_conversions
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY n_conversions DESC, path
+    LIMIT 15
+    """,
+)
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top paths-to-conversion: the exact 3-event sequence preceding each
+    purchase (start-of-history padded with '_'), counted and ranked —
+    the attribution view that answers 'what do users DO right before
+    buying' at path grain, where events_pathing_transitions answers it
+    at single-step grain and events_attribution_lasttouch at channel
+    grain. One user-keyed window (three lags share one sort), path
+    cardinality is |types|³-bounded so the count agg is tiny, final is
+    TakeOrderedAndProject under (count desc, path asc)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 3).over(w).alias("p3"),
+    )
+    path = F.concat_ws(
+        ">",
+        F.coalesce(F.col("p3"), F.lit("_")),
+        F.coalesce(F.col("p2"), F.lit("_")),
+        F.coalesce(F.col("p1"), F.lit("_")),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .select(path.alias("path"))
+        .groupBy("path")
+        .agg(bi(F.count(F.lit(1))).alias("n_conversions"))
+        .orderBy(F.desc("n_conversions"), F.asc("path"))
+        .limit(15)
+    )

@@ -199,3 +199,61 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("max_cnt").cast("double") / F.col("avg_cnt")).alias("skew_factor"),
         r6(F.col("cnt").cast("double") / F.col("n_rows")).alias("share_of_rows"),
     )
+
+
+@query(
+    "profile_histogram_auto",
+    oracle="""
+    WITH stats AS (
+      SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+             CAST(1 + floor(log2(count(*))) AS BIGINT) AS k
+      FROM customer
+    ),
+    binned AS (
+      SELECT least(CAST(floor((c_acctbal - s.lo) / ((s.hi - s.lo) / s.k)) AS BIGINT),
+                   s.k - 1) AS bin,
+             s.lo, s.hi, s.k
+      FROM customer CROSS JOIN stats s
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(lo + bin * ((hi - lo) / k), 6) AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / k), 6) AS bin_hi
+    FROM binned
+    GROUP BY bin, lo, hi, k
+    """,
+)
+def profile_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-binned numeric histogram — profile_table's distribution
+    companion: bin count from Sturges' rule (1 + ⌊log₂ n⌋), bounds from
+    one min/max/count pass, assignment a pure projection against the
+    broadcast 1-row stats (agg_histogram_fixed is the constant-bin
+    mergeable sibling; auto bins are data-dependent, hence the explicit
+    two-pass shape — the stats pass is what makes the bin spec
+    deterministic). Top bin closes the right edge (`least(..., k-1)`).
+    Bin ids and counts are integer-exact; edges derive from identical
+    (lo, hi, k) on both engines."""
+    c = t(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        (1 + F.floor(F.log2(F.count(F.lit(1))))).cast("long").alias("k"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.col("k")
+    binned = c.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("long"),
+            F.col("k") - 1,
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "k",
+    )
+    return binned.groupBy("bin", "lo", "hi", "k").agg(
+        bi(F.count(F.lit(1))).alias("n")
+    ).select(
+        "bin",
+        "n",
+        F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+    )

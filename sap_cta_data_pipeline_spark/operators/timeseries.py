@@ -531,3 +531,60 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n") * F.col("n") * F.expr("total_cents div 100")
         ).alias("regime_shift"),
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS opened,
+             CAST(max(l.l_shipdate) AS DATE) AS closed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT opened AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT closed, -1 FROM spans
+    ),
+    daily AS (
+      SELECT day, sum(d) AS net FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(net AS BIGINT) AS net_change,
+           CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — the operations burn-down: an order is
+    open from its order date until its last line ships; the count of
+    concurrently open orders per day comes from the sweep-line identity
+    (+1 on open, −1 on close, running sum) exactly as
+    events_max_concurrent — but here the intervals themselves are
+    DERIVED by a fact-fact join (order → last shipment), so the op
+    composes the §C join shape with the sweep. Delta stream is 2 rows
+    per order; the cumsum runs at day grain (§R class 3). A backlog
+    that trends up is the report; everything else is drill-down."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.to_date("o_orderdate").alias("opened"),
+            F.to_date("last_ship").alias("closed"),
+        )
+    )
+    deltas = spans.select(F.col("opened").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("closed").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        bi(F.col("net")).alias("net_change"),
+        bi(F.sum("net").over(w)).alias("open_orders"),
+    )
