@@ -201,3 +201,46 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type", bin_.cast("long").alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("quantile_accuracy_eval")  # rows-only: GK sketch estimates are impl-specific
+def quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy harness for the approximate-percentile lane: exact
+    percentiles of l_extendedprice (p50/p90/p99) against
+    approx_percentile at three relative-error budgets (1%, 0.1%,
+    0.01%), reporting absolute and rank-relative error per (quantile,
+    budget) — the measurement that licenses swapping agg_median_exact
+    for the one-pass mergeable sketch at 100 TB (same role
+    dedup_recall_eval plays for MinHash and sim_recall_eval for ANN:
+    every approximate lane here ships with its eval). Exact side is one
+    sort-based percentile pass — the thing you run ONCE on a sample to
+    calibrate; the sketch side is what production runs. Rows-only lane
+    (estimates are Spark-GK-specific); the GK ε-bound itself is pinned
+    in tests/test_iterative_pins.py."""
+    li = t(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99]
+    accs = [100, 1000, 10000]
+    exact = li.agg(
+        *[F.expr(f"percentile(l_extendedprice, {q})").alias(f"e{i}") for i, q in enumerate(qs)]
+    )
+    approx = li.agg(
+        *[
+            F.expr(f"approx_percentile(l_extendedprice, {q}, {a})").alias(f"a{i}_{a}")
+            for i, q in enumerate(qs)
+            for a in accs
+        ]
+    )
+    wide = exact.crossJoin(approx)
+    rows = []
+    for i, q in enumerate(qs):
+        for a in accs:
+            rows.append(
+                F.struct(
+                    F.lit(q).alias("quantile"),
+                    F.lit(a).cast("long").alias("accuracy_param"),
+                    F.round(F.col(f"e{i}"), 2).alias("exact_value"),
+                    F.round(F.col(f"a{i}_{a}"), 2).alias("approx_value"),
+                    F.round(F.abs(F.col(f"a{i}_{a}") - F.col(f"e{i}")), 2).alias("abs_err"),
+                )
+            )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

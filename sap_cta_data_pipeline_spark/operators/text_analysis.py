@@ -1072,3 +1072,88 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("covered") / F.col("n").cast("double")).alias("coverage"),
         r6(1.0 - F.col("covered") / F.col("n").cast("double")).alias("oov_rate"),
     )
+
+
+@query(
+    "text_lm_greedy_decode",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, i AS pos, toksarr[i] AS tok
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toksarr
+        FROM documents
+      ), unnest(range(1, len(toksarr) + 1)) AS t(i)
+    ),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    big AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+    nxt AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+        FROM big
+      ) WHERE rn = 1
+    ),
+    start AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 1
+      )
+    ),
+    dec AS (
+      SELECT CAST(1 AS BIGINT) AS step, (SELECT tok FROM start) AS token
+      UNION ALL
+      SELECT dec.step + 1, n.w2
+      FROM dec JOIN nxt n ON n.w1 = dec.token
+      WHERE dec.step < 12
+    )
+    SELECT step, token FROM dec
+    """,
+)
+def text_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy (argmax) decoding from the corpus bigram model: start at
+    the most frequent token, follow the highest-count transition for 12
+    steps (ties → lexicographic, so the walk is fully deterministic and
+    ORACLE-ABLE — the DuckDB twin is a recursive CTE). This is the
+    decode loop of text_lm_bigram_score's model, and the architectural
+    point is the asymmetry every LM pipeline lives on: the MODEL
+    (argmax transition table, vocab-sized) is collected to the driver —
+    models are small, corpora are big — while model ESTIMATION (the
+    bigram counts) stays a distributed corpus scan. A greedy walk
+    typically falls into a 2-cycle; that's the correct fixpoint of the
+    argmax chain, not a bug. Spark side: one corpus window pass for
+    pairs, vocab-grain argmax window, 12-step driver walk over the
+    collected dict, result returned as a 12-row frame."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2")
+    ).where(F.col("w1").isNotNull())
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w_arg = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    nxt = {
+        r["w1"]: r["w2"]
+        for r in big.withColumn("rn", F.row_number().over(w_arg))
+        .where(F.col("rn") == 1)
+        .select("w1", "w2")
+        .collect()
+    }
+    start = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(1)
+        .collect()[0]["tok"]
+    )
+    seq, cur = [(1, start)], start
+    for step in range(2, 13):
+        cur = nxt.get(cur)
+        if cur is None:
+            break
+        seq.append((step, cur))
+    return spark.createDataFrame(seq, schema="step bigint, token string")

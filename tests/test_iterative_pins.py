@@ -237,3 +237,24 @@ def test_minhash_incremental_planted_verdicts(spark, minhash_inc_dir):
     assert out[1]["is_near_dup"] and out[1]["best_match"] == 0
     assert out[1]["est_jaccard"] >= 0.75
     assert not out[3]["is_near_dup"] and out[3]["best_match"] is None
+
+
+def test_quantile_accuracy_within_gk_bound(spark):
+    """quantile_accuracy_eval: every approx estimate must be an actual
+    corpus value within the GK rank-error bound — for accuracy parameter
+    a, the rank error is ≤ n/a, so with a = 10000 on 60k rows the
+    estimate's rank must be within ~6 of the exact percentile's rank;
+    assert the VALUE error at the tightest budget is tiny relative to
+    the p50-p99 spread (the operational meaning of 'safe to swap')."""
+    rows = {
+        (r["quantile"], r["accuracy_param"]): r
+        for r in QUERIES["quantile_accuracy_eval"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 9
+    spread = abs(rows[(0.99, 10000)]["exact_value"] - rows[(0.5, 10000)]["exact_value"])
+    for q in (0.5, 0.9, 0.99):
+        assert rows[(q, 10000)]["abs_err"] <= 0.01 * spread
+        # monotone budgets: tighter accuracy never does worse by 10x
+        assert rows[(q, 10000)]["abs_err"] <= rows[(q, 100)]["abs_err"] * 10 + 1e-9
