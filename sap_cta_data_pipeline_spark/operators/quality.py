@@ -564,3 +564,63 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("customer->nation", c, "c_nationkey", n, "n_nationkey"))
         .unionAll(check("lineitem->part", li, "l_partkey", p, "p_partkey"))
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day,
+             isodow(CAST(ts AS DATE)) AS dow,
+             hour(ts) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+      SELECT dow, hr,
+             sum(n) AS tot_n, count(*) AS n_cells
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT CAST(h.day AS VARCHAR) AS day,
+           CAST(h.hr AS BIGINT) AS hr,
+           CAST(h.n AS BIGINT) AS n_events,
+           round((b.tot_n - h.n) / CAST(b.n_cells - 1 AS DOUBLE), 6) AS baseline_n,
+           h.n * (b.n_cells - 1) > 2 * (b.tot_n - h.n)
+             OR 2 * h.n * (b.n_cells - 1) < (b.tot_n - h.n) AS anomaly
+    FROM hourly h
+    JOIN baseline b ON b.dow = h.dow AND b.hr = h.hr
+    WHERE b.n_cells > 1
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (day, hour)'s event count
+    against the LEAVE-ONE-OUT average of the same weekday-hour cell
+    across the corpus — traffic has day-of-week × hour-of-day structure
+    that a global z-score (events_zscore_outliers) washes out, so the
+    baseline is seasonal and excludes the cell being judged (the
+    ml_target_encoding discipline applied to monitoring). Flag at ±2×
+    baseline, compared in EXACT INTEGER form (n·(cells−1) vs 2·Σothers —
+    no float thresholds, §5.3-clean). Two keyed aggs: (day, dow, hr)
+    then (dow, hr); the baseline is a 7×24-row broadcast dimension."""
+    e = t(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek(F.to_date("ts")) + 5) % 7) + 1
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"),
+        iso_dow.alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = hourly.groupBy("dow", "hr").agg(
+        F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    j = hourly.join(F.broadcast(baseline), ["dow", "hr"]).where(F.col("n_cells") > 1)
+    others = F.col("tot_n") - F.col("n")
+    cells1 = F.col("n_cells") - 1
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        bi(F.col("hr")).alias("hr"),
+        bi(F.col("n")).alias("n_events"),
+        r6(others / cells1.cast("double")).alias("baseline_n"),
+        ((F.col("n") * cells1 > 2 * others) | (2 * F.col("n") * cells1 < others)).alias(
+            "anomaly"
+        ),
+    )

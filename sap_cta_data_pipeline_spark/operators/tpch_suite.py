@@ -647,3 +647,80 @@ def orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("n_parts")).alias("avg_distinct_parts"),
         r6(F.avg("total_qty")).alias("avg_total_qty"),
     )
+
+
+@query(
+    "orders_mix_shift_decomposition",
+    oracle="""
+    WITH yr AS (
+      SELECT o_orderpriority AS prio, year(o_orderdate) AS y,
+             count(*) AS n, sum(o_totalprice) AS rev
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT y, sum(n) AS n_tot FROM yr GROUP BY y
+    ),
+    m AS (
+      SELECT p.prio,
+             a.n / CAST(ta.n_tot AS DOUBLE) AS share0,
+             b.n / CAST(tb.n_tot AS DOUBLE) AS share1,
+             a.rev / a.n AS rate0,
+             b.rev / b.n AS rate1
+      FROM (SELECT DISTINCT prio FROM yr) p
+      JOIN yr a ON a.prio = p.prio AND a.y = 1996
+      JOIN yr b ON b.prio = p.prio AND b.y = 1997
+      JOIN tot ta ON ta.y = 1996
+      JOIN tot tb ON tb.y = 1997
+    )
+    SELECT prio,
+           round(share0, 6) AS share_1996, round(share1, 6) AS share_1997,
+           round(rate0, 2) AS avg_order_1996, round(rate1, 2) AS avg_order_1997,
+           round((share1 - share0) * rate0, 2) AS mix_effect,
+           round(share0 * (rate1 - rate0), 2) AS rate_effect,
+           round((share1 - share0) * (rate1 - rate0), 2) AS interaction
+    FROM m
+    """,
+)
+def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition 1996→1997 per order priority: the change
+    in per-order revenue contribution split into MIX effect (share
+    moved), RATE effect (average order value moved), and the
+    interaction term — the FP&A analysis that answers 'did revenue/order
+    change because customers changed WHAT they buy or HOW MUCH each
+    bucket pays'. Both years aggregate in ONE scan (year ∈ filter pushes
+    down); the per-year totals are 2-row broadcasts; the decomposition
+    is arithmetic over the |priority|-grain join. Shares and rates are
+    ratios of exact integers/cent-sums → §5.3-clean."""
+    o = t(spark, sf_dir, "orders").where(F.year("o_orderdate").isin(1996, 1997))
+    yr = o.groupBy(
+        F.col("o_orderpriority").alias("prio"), F.year("o_orderdate").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+    tot = yr.groupBy("y").agg(F.sum("n").alias("n_tot"))
+    a = yr.where(F.col("y") == 1996).select(
+        "prio", F.col("n").alias("n0"), F.col("rev").alias("rev0")
+    )
+    b = yr.where(F.col("y") == 1997).select(
+        F.col("prio").alias("prio_b"), F.col("n").alias("n1"), F.col("rev").alias("rev1")
+    )
+    t0 = tot.where(F.col("y") == 1996).select(F.col("n_tot").alias("t0"))
+    t1 = tot.where(F.col("y") == 1997).select(F.col("n_tot").alias("t1"))
+    m = (
+        a.join(b, a.prio == b.prio_b)
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    share0 = F.col("n0") / F.col("t0").cast("double")
+    share1 = F.col("n1") / F.col("t1").cast("double")
+    rate0 = F.col("rev0") / F.col("n0")
+    rate1 = F.col("rev1") / F.col("n1")
+    return m.select(
+        "prio",
+        r6(share0).alias("share_1996"),
+        r6(share1).alias("share_1997"),
+        F.round(rate0, 2).alias("avg_order_1996"),
+        F.round(rate1, 2).alias("avg_order_1997"),
+        F.round((share1 - share0) * rate0, 2).alias("mix_effect"),
+        F.round(share0 * (rate1 - rate0), 2).alias("rate_effect"),
+        F.round((share1 - share0) * (rate1 - rate0), 2).alias("interaction"),
+    )
