@@ -735,3 +735,52 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_conversions"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "events_churn_flags",
+    oracle="""
+    WITH g AS (SELECT max(CAST(ts AS DATE)) AS corpus_max FROM events),
+    u AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_day,
+             min(CAST(ts AS DATE)) AS first_day,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(u.n_events AS BIGINT) AS n_events,
+           CAST(u.last_day AS VARCHAR) AS last_day,
+           CAST(date_diff('day', u.last_day, g.corpus_max) AS BIGINT) AS inactive_days,
+           date_diff('day', u.last_day, g.corpus_max) > 7 AS churned,
+           date_diff('day', u.first_day, g.corpus_max) <= 7 AS is_new
+    FROM u CROSS JOIN g
+    """,
+)
+def events_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle flags against the corpus frontier: inactive days
+    since last activity, churned (> 7 idle days), and new (first seen
+    within the last week) — the segmentation every lifecycle email/
+    re-engagement system keys on, and dq_freshness_sla's shape moved to
+    USER grain. One user-keyed agg + a 1-row frontier broadcast; flags
+    compare exact integer day differences (§5.3-clean). At 100 TB the
+    per-user (first, last, n) triple is a mergeable daily rollup —
+    min/max/sum algebra — so the daily job merges yesterday's triple
+    with today's partition, never re-scanning history."""
+    e = t(spark, sf_dir, "events")
+    g = e.agg(F.max(F.to_date("ts")).alias("corpus_max"))
+    u = e.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    j = u.crossJoin(F.broadcast(g))
+    inactive = F.datediff("corpus_max", "last_day")
+    return j.select(
+        "user_id",
+        bi(F.col("n_events")).alias("n_events"),
+        F.col("last_day").cast("string").alias("last_day"),
+        bi(inactive).alias("inactive_days"),
+        (inactive > 7).alias("churned"),
+        (F.datediff("corpus_max", "first_day") <= 7).alias("is_new"),
+    )

@@ -1157,3 +1157,53 @@ def text_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         seq.append((step, cur))
     return spark.createDataFrame(seq, schema="step bigint, token string")
+
+
+@query(
+    "text_common_prefixes",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:3], ' ')
+               AS prefix
+      FROM documents
+    ),
+    tot AS (SELECT source, count(*) AS n_docs FROM p GROUP BY source)
+    SELECT p.source, p.prefix,
+           CAST(count(*) AS BIGINT) AS n_docs_with_prefix,
+           CAST(t.n_docs AS BIGINT) AS n_docs_in_source,
+           round(count(*) / CAST(t.n_docs AS DOUBLE), 6) AS prefix_share
+    FROM p JOIN tot t USING (source)
+    GROUP BY p.source, p.prefix, t.n_docs
+    HAVING count(*) >= 2
+    """,
+)
+def text_common_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-head mining: repeated 3-token document OPENINGS per
+    source, with within-source share — the CCNet-style signal that a
+    crawler template ('subscribe to our newsletter…') is polluting a
+    source (text_span_dedup removes repeated spans ANYWHERE; this
+    cheaply localizes the head-template case and attributes it to a
+    source, which is what you act on — drop the template per source,
+    not per document). One projection (slice + join of the first 3
+    tokens) and two source-keyed aggs; shares are exact-integer
+    ratios."""
+    docs = t(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.filter(F.split("text", " "), lambda x: x != ""), 1, 3), " "
+    )
+    p = docs.select("doc_id", "source", prefix.alias("prefix"))
+    tot = p.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        p.groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "prefix",
+            bi(F.col("c")).alias("n_docs_with_prefix"),
+            bi(F.col("n_docs")).alias("n_docs_in_source"),
+            r6(F.col("c") / F.col("n_docs").cast("double")).alias("prefix_share"),
+        )
+    )

@@ -724,3 +724,68 @@ def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(share0 * (rate1 - rate0), 2).alias("rate_effect"),
         F.round((share1 - share0) * (rate1 - rate0), 2).alias("interaction"),
     )
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_suppkey,
+             l.l_extendedprice * (1 - l.l_discount) AS net,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    s AS (
+      SELECT l_suppkey,
+             count(*) AS n_lines,
+             round(sum(net), 2) AS revenue,
+             round(avg(ret), 6) AS return_share,
+             round(avg(late), 6) AS late_share
+      FROM li GROUP BY 1
+    )
+    SELECT l_suppkey, CAST(n_lines AS BIGINT) AS n_lines, revenue,
+           return_share, late_share,
+           round(0.5 * (1 - return_share) + 0.5 * (1 - late_share), 6) AS composite_score
+    FROM s
+    ORDER BY round(0.5 * (1 - return_share) + 0.5 * (1 - late_share), 6) DESC,
+             revenue DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite supplier scorecard — the multi-metric ranking procurement
+    actually runs: per supplier, net revenue, return share, late-shipment
+    share (> 90 days order-to-ship), combined into a weighted composite
+    and top-20 ranked under a deterministic total order. One fact-fact
+    join (orderkey — the §C bucketable shape) feeding ONE supplier-keyed
+    agg that computes every metric in a single pass (conditional
+    averages, no per-metric re-scan); the ranking is
+    TakeOrderedAndProject. Shares are exact-integer ratios; the
+    composite rounds AFTER the weighted sum and the ORDER BY uses the
+    ROUNDED score so the rank-20 cutoff is engine-identical (§5.3)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+        ).cast("int").alias("late"),
+    )
+    s = j.groupBy("l_suppkey").agg(
+        bi(F.count(F.lit(1))).alias("n_lines"),
+        F.round(F.sum("net"), 2).alias("revenue"),
+        r6(F.avg("ret")).alias("return_share"),
+        r6(F.avg("late")).alias("late_share"),
+    )
+    composite = F.round(
+        0.5 * (1 - F.col("return_share")) + 0.5 * (1 - F.col("late_share")), 6
+    )
+    return (
+        s.withColumn("composite_score", composite)
+        .orderBy(F.desc("composite_score"), F.desc("revenue"), F.asc("l_suppkey"))
+        .limit(20)
+    )
