@@ -1207,3 +1207,51 @@ def text_common_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("c") / F.col("n_docs").cast("double")).alias("prefix_share"),
         )
     )
+
+
+from ..registry import ORACLES as _ORACLES, QUERIES  # noqa: E402  (composition below)
+
+
+@query(
+    "lang_id_confusion_eval",
+    oracle=f"""
+    WITH pred AS (
+    {_ORACLES["text_lang_id"]}
+    ),
+    tot AS (SELECT count(*) AS n, sum(is_correct) AS n_correct FROM pred)
+    SELECT p.actual_lang, p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (SELECT CAST(n_correct AS BIGINT) FROM tot) AS n_correct_total,
+           round((SELECT n_correct / CAST(n AS DOUBLE) FROM tot), 6) AS accuracy
+    FROM pred p
+    GROUP BY p.actual_lang, p.predicted_lang
+    """,
+)
+def lang_id_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy for the language-ID classifier —
+    text_lang_id evaluated against the labeled `lang` column, the eval
+    that belongs next to every heuristic gate (the fourth eval lane:
+    sim_recall_eval for ANN, dedup_recall_eval for MinHash,
+    quantile_accuracy_eval for sketches, this for classification). The
+    op COMPOSES the registered operator: Spark side calls
+    QUERIES['text_lang_id'] and aggregates its per-doc verdicts; the
+    oracle embeds ORACLES['text_lang_id'] as a CTE — evaluator and
+    evaluated can never drift apart because they ARE the same
+    definition. Aggregation is (actual, predicted)-keyed — |langs|²
+    cells at any corpus size."""
+    pred = QUERIES["text_lang_id"](spark, sf_dir)
+    tot = pred.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_correct").alias("n_correct")
+    )
+    return (
+        pred.groupBy("actual_lang", "predicted_lang")
+        .agg(bi(F.count(F.lit(1))).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "actual_lang",
+            "predicted_lang",
+            "n_docs",
+            bi(F.col("n_correct")).alias("n_correct_total"),
+            r6(F.col("n_correct") / F.col("n").cast("double")).alias("accuracy"),
+        )
+    )

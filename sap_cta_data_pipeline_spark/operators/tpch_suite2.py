@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
+from ..functions.parity import bi
 from ..registry import query
 
 
@@ -913,4 +914,65 @@ def tpch_q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.join(F.broadcast(tot), 10000 * F.col("val4") > 8 * F.col("tot4"))
         .select("l_partkey", (F.col("val4").cast("double") / 10000).alias("part_value"))
+    )
+
+
+@query(
+    "part_price_dispersion",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_extendedprice) / sum(l_quantity) AS unit_price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT l_partkey,
+             count(*) AS n_suppliers,
+             min(unit_price) AS min_price,
+             max(unit_price) AS max_price
+      FROM ps GROUP BY 1
+      HAVING count(*) >= 3
+    )
+    SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           round(min_price, 2) AS min_price,
+           round(max_price, 2) AS max_price,
+           round(max_price / min_price, 6) AS spread_ratio
+    FROM d
+    ORDER BY round(max_price / min_price, 6) DESC, l_partkey
+    LIMIT 25
+    """,
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-supplier price dispersion per part: quantity-weighted unit
+    prices per (part, supplier), then the min/max/spread across
+    suppliers for multi-sourced parts (≥ 3), top 25 by spread — the
+    procurement-arbitrage report (tpch_q2 finds THE min-cost supplier;
+    this quantifies how much choosing wrong costs). Two keyed aggs
+    — (part, supplier) then part — and a TakeOrdered final under the
+    rounded-spread + partkey total order. Unit prices are ratios of
+    exact cent/quantity sums → identical doubles both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price")
+    )
+    d = (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("unit_price").alias("min_price"),
+            F.max("unit_price").alias("max_price"),
+        )
+        .where(F.col("n_suppliers") >= 3)
+    )
+    spread = F.round(F.col("max_price") / F.col("min_price"), 6)
+    return (
+        d.select(
+            "l_partkey",
+            bi(F.col("n_suppliers")).alias("n_suppliers"),
+            F.round("min_price", 2).alias("min_price"),
+            F.round("max_price", 2).alias("max_price"),
+            spread.alias("spread_ratio"),
+        )
+        .orderBy(F.desc("spread_ratio"), F.asc("l_partkey"))
+        .limit(25)
     )
