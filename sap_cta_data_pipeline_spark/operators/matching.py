@@ -249,3 +249,38 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("name_a", "name_b", bi(dist).alias("dist"), "n_parts_a", "n_parts_b")
     )
+
+
+from ..registry import ORACLES as _ORACLES, QUERIES  # noqa: E402  (composition below)
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    SELECT n_docs AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs_in_size
+    FROM (
+    {_ORACLES["dedup_cluster_cc"]}
+    ) clusters
+    GROUP BY n_docs
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the report that decides
+    dedup POLICY: a corpus whose mass sits in 2-doc clusters needs a
+    different keeper strategy than one with a few 200-doc template
+    families (dedup_keep_best picks keepers; this says how much each
+    choice matters, and its tail is the early-warning for template
+    spam). COMPOSES the iterative connected-components op — Spark side
+    aggregates QUERIES['dedup_cluster_cc']'s fixpoint, the oracle wraps
+    ORACLES['dedup_cluster_cc'] (the recursive CTE) as a derived table —
+    the second composed-operator lane after lang_id_confusion_eval, and
+    proof the composition pattern also spans ITERATIVE ops when their
+    fixpoint carries an oracle. Output is size-grain (bounded by the
+    largest family)."""
+    clusters = QUERIES["dedup_cluster_cc"](spark, sf_dir)
+    return clusters.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        bi(F.count(F.lit(1))).alias("n_clusters"),
+        bi(F.sum("n_docs")).alias("n_docs_in_size"),
+    )
