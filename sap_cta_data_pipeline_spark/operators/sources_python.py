@@ -88,3 +88,104 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_parts", _N_PARTS)
         .load()
     )
+
+
+def _make_sink_datasource():
+    # deferred import: pyspark.sql.datasource exists only on Spark 4+
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _PartFile(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int) -> None:
+            self.path, self.n_rows = path, n_rows
+
+    class _JsonlWriter(DataSourceWriter):
+        """Executor-side writer: each partition streams its rows to its
+        own JSONL part file (written to a temp name, renamed on success —
+        the task-level atomicity half of the commit protocol), and
+        returns a commit message naming the file. The driver-side
+        commit() then writes the manifest listing exactly the committed
+        parts — the same manifest-names-files contract
+        scan_manifest_snapshot reads by, closing the write side of it."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def write(self, rows):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in rows:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            final = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            os.rename(tmp, final)
+            return _PartFile(final, n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "n_rows": sum(m.n_rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):
+            for m in messages:
+                if os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_manifest_sink"
+
+        def schema(self) -> str:
+            return "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+@query(
+    "sink_python_datasource",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource WRITER API — the
+    write-side twin of source_python_datasource ("export to a format /
+    system Spark has no writer for": a domain archiver, a bespoke
+    service ingest). Executors write per-partition JSONL part files
+    under temp-then-rename task atomicity and return commit messages;
+    the driver-side commit() materializes a manifest naming exactly the
+    committed files — the two-phase commit contract every real sink
+    (including FileCommitProtocol itself) implements, demonstrated here
+    end to end and READ BACK through the manifest (the
+    scan_manifest_snapshot discipline: readers trust the manifest, not
+    the directory). Round-trip identity on nation is the oracle."""
+    import json
+
+    from ..catalog import load_table as t
+    from .sources import _scratch
+
+    spark.dataSource.register(_make_sink_datasource())
+    out = _scratch(sf_dir, "pyds_sink")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.format("jsonl_manifest_sink").mode("append").option("path", out).save()
+
+    with open(f"{out}/_MANIFEST.json") as fh:
+        manifest = json.load(fh)
+    back = spark.read.schema("n_nationkey long, n_name string, n_regionkey long").json(
+        manifest["files"]
+    )
+    return back
