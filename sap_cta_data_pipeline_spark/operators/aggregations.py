@@ -519,3 +519,50 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(e.value), 6) AS raw_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS winsorized_mean,
+           CAST(count(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi) AS BIGINT)
+             AS n_clamped
+    FROM events e CROSS JOIN b
+    GROUP BY e.event_type
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per stream — the robust-metrics discipline for
+    heavy-tailed value columns (a handful of whale events should not own
+    an average that feeds alerting or A/B readouts; events_ab_ttest on
+    raw means is exactly where this bites): values clamp to the global
+    [p5, p95] band before averaging, with the clamp count reported so
+    the trim is auditable. Two-phase: one exact-percentile pass builds
+    the 1-row band (broadcast), then a single conditional agg — the
+    same stats-pass-then-projection shape as profile_histogram_auto;
+    at 100 TB swap the exact percentiles for the GK sketch
+    (quantile_accuracy_eval is the calibration that licenses it). The
+    band is computed on identical inputs both engines → identical
+    clamp boundaries (§5.3)."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = e.crossJoin(F.broadcast(b))
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        bi(F.count(F.lit(1))).alias("n"),
+        r6(F.avg("value")).alias("raw_mean"),
+        r6(F.avg(clamped)).alias("winsorized_mean"),
+        bi(
+            F.sum(((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("int"))
+        ).alias("n_clamped"),
+    )
