@@ -210,8 +210,10 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ),
     binned AS (
-      SELECT least(CAST(floor((c_acctbal - s.lo) / ((s.hi - s.lo) / s.k)) AS BIGINT),
-                   s.k - 1) AS bin,
+      SELECT CASE WHEN s.hi > s.lo
+                  THEN least(CAST(floor((c_acctbal - s.lo) / ((s.hi - s.lo) / s.k)) AS BIGINT),
+                             s.k - 1)
+                  ELSE 0 END AS bin,
              s.lo, s.hi, s.k
       FROM customer CROSS JOIN stats s
     )
@@ -240,11 +242,17 @@ def profile_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.floor(F.log2(F.count(F.lit(1))))).cast("long").alias("k"),
     )
     width = (F.col("hi") - F.col("lo")) / F.col("k")
+    # degenerate guard: a constant column makes width 0 and floor(0/0)
+    # NaN→NULL on Spark while DuckDB's CAST(NaN AS BIGINT) raises — both
+    # engines collapse to a single bin 0 instead.
     binned = c.crossJoin(F.broadcast(stats)).select(
-        F.least(
-            F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("long"),
-            F.col("k") - 1,
-        ).alias("bin"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("long"),
+                F.col("k") - 1,
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("bin"),
         "lo",
         "hi",
         "k",

@@ -231,6 +231,24 @@ def quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     wide = exact.crossJoin(approx)
+    # rank-relative error: the OBSERVED quantile of each approx value
+    # (fraction of rows ≤ it — one more conditional-agg scan against the
+    # broadcast 1-row estimate frame) vs the target quantile. abs_err says
+    # "how far in value"; rank_rel_err says "how far in rank" — the GK
+    # guarantee is stated in rank, so this is the column that checks the
+    # ε-bound directly.
+    observed = (
+        li.crossJoin(F.broadcast(wide)).agg(
+            *[
+                F.avg(
+                    (F.col("l_extendedprice") <= F.col(f"a{i}_{a}")).cast("double")
+                ).alias(f"o{i}_{a}")
+                for i in range(len(qs))
+                for a in accs
+            ]
+        )
+    )
+    wide = wide.crossJoin(F.broadcast(observed))
     rows = []
     for i, q in enumerate(qs):
         for a in accs:
@@ -241,6 +259,7 @@ def quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col(f"e{i}"), 2).alias("exact_value"),
                     F.round(F.col(f"a{i}_{a}"), 2).alias("approx_value"),
                     F.round(F.abs(F.col(f"a{i}_{a}") - F.col(f"e{i}")), 2).alias("abs_err"),
+                    F.round(F.abs(F.col(f"o{i}_{a}") - F.lit(q)), 6).alias("rank_rel_err"),
                 )
             )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

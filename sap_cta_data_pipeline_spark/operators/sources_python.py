@@ -130,6 +130,14 @@ def _make_sink_datasource():
             os.rename(tmp, final)
             return _PartFile(final, n)
 
+        def _sweep_tmp(self) -> None:
+            # orphaned temp files from aborted/retried tasks are never
+            # renamed; the driver-side commit/abort is the only safe
+            # place to sweep them (no task can still be writing).
+            for name in os.listdir(self.path):
+                if name.startswith(".tmp-"):
+                    os.remove(os.path.join(self.path, name))
+
         def commit(self, messages):
             manifest = {
                 "files": sorted(m.path for m in messages),
@@ -137,11 +145,13 @@ def _make_sink_datasource():
             }
             with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
                 json.dump(manifest, fh)
+            self._sweep_tmp()
 
         def abort(self, messages):
             for m in messages:
                 if os.path.exists(m.path):
                     os.remove(m.path)
+            self._sweep_tmp()
 
     class JsonlSinkDataSource(DataSource):
         @classmethod
@@ -180,6 +190,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(_make_sink_datasource())
     out = _scratch(sf_dir, "pyds_sink")
+    # the sink appends part files into the directory; clearing first makes
+    # repeated runs idempotent (reads were always correct via the manifest,
+    # but the directory would otherwise grow unboundedly).
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(out):
+        _shutil.rmtree(out)
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     n.write.format("jsonl_manifest_sink").mode("append").option("path", out).save()
 

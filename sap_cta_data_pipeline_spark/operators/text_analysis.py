@@ -769,7 +769,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
     ),
     milestones AS (
-      SELECT CAST(m AS BIGINT) AS milestone
+      SELECT DISTINCT CAST(m AS BIGINT) AS milestone
       FROM (SELECT ((SELECT max(doc_id) FROM documents) * k) // 10 AS m
             FROM range(1, 11) t(k))
     )
@@ -800,10 +800,15 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     max_doc = docs.agg(F.max("doc_id").alias("mx"))
+    # distinct(): when max(doc_id) < 10 integer division collapses
+    # milestones into duplicates (and zeros); without the collapse the
+    # n_tokens cross-join would multiply counts by the duplicate
+    # multiplicity while the oracle's DISTINCT CTE would not.
     milestones = (
         spark.range(1, 11)
         .crossJoin(F.broadcast(max_doc))
         .select(F.expr("(mx * id) div 10").alias("milestone"))
+        .distinct()
     )
     vocab = (
         F.broadcast(milestones)
