@@ -474,3 +474,98 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.array_sort(F.collect_list(F.when(F.col("rn") > 1, F.col("doc_id"))))
         ).alias("dropped_csv"),
     )
+
+
+@query(
+    "text_span_dedup_multi",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), widths AS (
+      SELECT unnest([8, 16, 32]) AS w
+    ), pos AS (
+      SELECT doc_id, toks, w, unnest(generate_series(1, len(toks) - w + 1)) AS i
+      FROM d, widths WHERE len(toks) >= w
+    ), spans AS (
+      SELECT doc_id, w, array_to_string(toks[i:i+w-1], ' ') AS sh FROM pos
+    ), stats AS (
+      SELECT w, sh, count(*) AS cnt FROM spans GROUP BY w, sh
+    ), per_doc AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN st.cnt > 1 AND s.w = 8  THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+             CAST(sum(CASE WHEN st.cnt > 1 AND s.w = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n16,
+             CAST(sum(CASE WHEN st.cnt > 1 AND s.w = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n32,
+             CAST(max(CASE WHEN st.cnt > 1 THEN s.w ELSE 0 END) AS BIGINT)             AS mx
+      FROM spans s JOIN stats st ON st.w = s.w AND st.sh = s.sh
+      GROUP BY s.doc_id
+    )
+    SELECT d0.doc_id,
+           coalesce(p.n8,  0) AS n_dup_spans_8,
+           coalesce(p.n16, 0) AS n_dup_spans_16,
+           coalesce(p.n32, 0) AS n_dup_spans_32,
+           coalesce(p.mx,  0) AS max_dup_width
+    FROM documents d0 LEFT JOIN per_doc p ON p.doc_id = d0.doc_id
+    """,
+)
+def text_span_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length span dedup: text_span_dedup's fixed n=8 extended by
+    length-doubling widths (8/16/32) — the geometric ladder that
+    approximates exact-substring dedup (Lee et al.'s suffix-array result)
+    without a suffix array: a duplicated substring of true length L ≥ 8
+    necessarily contains a duplicated window at the largest ladder width
+    ≤ L, so max_dup_width brackets the longest duplicated span per doc
+    within a factor of 2. Per doc: duplicated-window counts at each
+    width + the widest duplicated width (0 = clean).
+
+    Plan shape inherits the span_dedup contract: in-row shingling
+    (explode widths, then transform(sequence)+slice — no token explode),
+    ONE (width, span)-keyed window for global occurrence counts, one
+    per-doc agg; shuffle rows stay span-count-bounded (3× the n=8 lane's
+    rows; window count instead of a stats self-join). At 100 TB the
+    (w, xxhash64(span)) pair replaces the span string as the shuffle key,
+    and the ladder extends (64/128/...) while staying O(tokens) per
+    width — vs the suffix array's O(corpus log corpus) global sort."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("w"),
+        )
+        .where(F.size("toks") >= F.col("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - w + 1),"
+                    " i -> concat_ws(' ', slice(toks, i, w)))"
+                )
+            ).alias("sh"),
+        )
+    )
+    win = Window.partitionBy("w", "sh")
+    marked = spans.select(
+        "doc_id", "w", F.count(F.lit(1)).over(win).alias("cnt")
+    )
+    dup = F.col("cnt") > 1
+    per_doc = marked.groupBy("doc_id").agg(
+        bi(F.sum(F.when(dup & (F.col("w") == 8), 1).otherwise(0))).alias("n8"),
+        bi(F.sum(F.when(dup & (F.col("w") == 16), 1).otherwise(0))).alias("n16"),
+        bi(F.sum(F.when(dup & (F.col("w") == 32), 1).otherwise(0))).alias("n32"),
+        bi(F.max(F.when(dup, F.col("w")).otherwise(0))).alias("mx"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n8", F.lit(0)).alias("n_dup_spans_8"),
+            F.coalesce("n16", F.lit(0)).alias("n_dup_spans_16"),
+            F.coalesce("n32", F.lit(0)).alias("n_dup_spans_32"),
+            F.coalesce("mx", F.lit(0)).alias("max_dup_width"),
+        )
+    )

@@ -368,3 +368,93 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("n_ab") * F.col("n_orders_total") / (F.col("s_a") * F.col("s_b"))).alias("lift"),
         )
     )
+
+
+_BPE_LEARN_ROUNDS = 8
+
+
+@query("text_bpe_learn")  # rows-only: iterative merge-learning loop
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE merge LEARNING — the actual tokenizer-training loop
+    that text_bpe_pair_counts is one round of: for 8 deterministic rounds,
+    count adjacent symbol pairs (weighted by word frequency), pick the
+    best pair under the total order (count desc, left asc, right asc),
+    apply it greedily leftmost-first across the vocabulary, recount.
+    Output: one row per round — the merge table a tokenizer ships.
+
+    Distribution contract: BPE trains on the WORD-FREQUENCY table, not
+    the raw corpus (the standard Sennrich et al. shape) — one corpus
+    tokenize+groupBy up front collapses 100 TB of text to a
+    vocabulary-sized (word, count) frame, and every round after that
+    touches only it. The merge apply is an in-row JVM ``aggregate`` fold
+    over the symbol array (leftmost-first semantics exactly: a merged
+    symbol can never cascade into the next pair because merged != left
+    whenever right is non-empty); per round ONE alphabet²-bounded pair
+    agg crosses the shuffle, ONE best-pair row crosses the driver
+    (bounded literal, the k-means-centroid class), and the symbol frame
+    is localCheckpoint-ed so round R's plan stays flat. Rows-only lane
+    (iterative; no ANSI-SQL twin) — the merge sequence is pinned on a
+    hand-computed fixture in tests/test_iterative_pins.py."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = words.select(
+        "n",
+        F.expr(
+            "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+        ).alias("sym"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rnd in range(1, _BPE_LEARN_ROUNDS + 1):
+        pairs = syms.where(F.size("sym") >= 2).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1),"
+                    " i -> struct(element_at(sym, i) AS l,"
+                    "             element_at(sym, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merged = left + right
+        fold = F.aggregate(
+            "sym",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("n", fold.alias("sym")).localCheckpoint(eager=True)
+        n_symbols = (
+            syms.select(F.explode("sym").alias("s")).agg(
+                F.countDistinct("s").alias("v")
+            ).collect()[0]["v"]
+        )
+        merges.append((rnd, left, right, merged, cnt, int(n_symbols)))
+
+    return spark.createDataFrame(
+        merges,
+        schema="round bigint, left string, right string, merged string,"
+        " n_pairs bigint, vocab_size_after bigint",
+    )

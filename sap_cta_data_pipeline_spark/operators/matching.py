@@ -87,9 +87,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return labels
 
 
-@query(
-    "dedup_cluster_cc",
-    oracle="""
+#: min-reachable-label fixpoint oracle, shared by BOTH CC lanes — the
+#: algorithms differ (propagation rounds vs two-star), the answer cannot.
+_CC_ORACLE = """
     WITH RECURSIVE canon AS (
       SELECT doc_id, lang,
              array_to_string(list_sort(list_distinct(
@@ -130,8 +130,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     FROM comp JOIN groups g ON g.rep = comp.node
     GROUP BY comp.comp_id
     HAVING sum(g.n_docs) > 1
-    """,
-)
+    """
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS (not just pairs): exact-dup collapse →
     lang-blocked Jaccard ≥ 0.8 edges between representatives → connected
@@ -145,6 +147,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar convergence count per round crosses the driver. The oracle is
     the recursive-CTE min-reachable-label fixpoint — identical answer by
     induction on path length."""
+    groups, edges = _neardup_graph(spark, sf_dir)
+    labels = connected_components(
+        groups.select(F.col("rep").alias("node")), edges
+    )
+    return _cc_rollup(labels, groups)
+
+
+def _neardup_graph(spark: SparkSession, sf_dir: str):
+    """Shared near-dup graph: exact-collapse groups + symmetric Jaccard
+    ≥ 0.8 edges between representatives (the dedup_cluster_cc pipeline up
+    to the CC step, reused by the two-star variant)."""
     docs = t(spark, sf_dir, "documents")
     fp = F.concat_ws(
         " ",
@@ -185,12 +198,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges0.select(F.col("db").alias("src"), F.col("da").alias("dst"))
     )
     edges = edges.cache()
+    return groups, edges
 
-    labels = connected_components(
-        groups.select(F.col("rep").alias("node")), edges
-    )
 
-    out = (
+def _cc_rollup(labels: DataFrame, groups: DataFrame) -> DataFrame:
+    """Per-component roll-up shared by both CC lanes."""
+    return (
         labels.join(groups.select(F.col("rep").alias("node"), "n_docs"), "node")
         .groupBy(F.col("comp").alias("comp_id"))
         .agg(
@@ -200,7 +213,92 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
-    return out
+
+
+def connected_components_twostar(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 15
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the O(log n)-round
+    alternative to min-label propagation for graphs whose component
+    DIAMETER is large (web graphs, long duplicate chains): each round
+    rewires edges toward local minima (large-star: every neighbor v > u
+    connects to min(Γ(u) ∪ {u}); small-star: every neighbor v ≤ u
+    likewise), provably preserving connectivity while at least halving
+    tall structures, until the graph is a union of stars centered at the
+    component minima. Every step is an edge-keyed groupBy + join (no
+    label table at all — the edge list IS the state), localCheckpoint-ed
+    flat; one scalar convergence count per round crosses the driver.
+    Returns (labels(node, comp), rounds_used)."""
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        mins = edges.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
+        )
+        ls = (
+            edges.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        sym = (
+            ls.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(ls.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: for each u over its ≤-neighbors, m = min; emit
+        # (v, m) for every v ∈ Γ⁻(u) and (u, m)
+        down = sym.where(F.col("dst") < F.col("src"))
+        mins2 = down.groupBy("src").agg(F.min("dst").alias("m"))
+        ss_pairs = (
+            down.join(mins2, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .unionAll(
+                mins2.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+        )
+        new_edges = (
+            ss_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(ss_pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    comp = edges.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("comp"))
+    labels = (
+        nodes.join(comp, nodes.node == comp.src, "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    )
+    return labels, rounds
+
+
+@query("dedup_cluster_cc_twostar", oracle=_CC_ORACLE)
+def dedup_cluster_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_cc's exact output (identical oracle) computed with
+    the large-star/small-star algorithm instead of min-label
+    propagation — the web-scale swap the propagation lane's docstring
+    names: rounds scale with log(component size), not diameter, so a
+    100 TB duplicate graph with million-node chained components
+    converges in ~20 rounds where propagation would need the chain
+    length. Same near-dup graph (shared _neardup_graph), same roll-up;
+    the round-count advantage is pinned on a planted 64-node chain in
+    tests/test_iterative_pins.py (two-star ≤ 7 rounds; per-round label
+    propagation without pointer jumping would need 63)."""
+    groups, edges = _neardup_graph(spark, sf_dir)
+    labels, _ = connected_components_twostar(
+        groups.select(F.col("rep").alias("node")), edges
+    )
+    return _cc_rollup(labels, groups)
 
 
 @query(

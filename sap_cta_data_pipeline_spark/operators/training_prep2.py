@@ -144,18 +144,11 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-@query("emb_kmeans_lloyd")  # rows-only: iterative fixpoint, no ANSI-SQL twin
-def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus, k=8, 3 iterations,
-    deterministic init (the k smallest vec_ids). Each iteration:
-    centroids (k×64 doubles) BROADCAST as a literal array-of-arrays →
-    in-row argmin assignment (the sim_ann_ivf expression shape, zero
-    shuffle) → one cell-keyed average (posexplode + (cell,dim) agg).
-    Driver transfer per iteration is k×d doubles — bounded like
-    emb_pca_power's Gram rows, never corpus-sized. At 100 TB: identical
-    plan; iterations are the only sequential dimension. Output: per
-    cell, member count and mean within-cell cosine-free L2 inertia.
-    Rows-only lane; values pinned in pytest on planted clusters."""
+def kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Lloyd's-iteration engine (k=_KMEANS_K, _KMEANS_ITERS rounds,
+    deterministic init = the k smallest vec_ids): returns the final
+    assignment frame (vec_id, e, cell, d2). Consumed by emb_kmeans_lloyd
+    (inertia roll-up) and dedup_semantic (SemDeDup cells)."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).cache()
@@ -195,6 +188,22 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         by_cell = {row["cell"]: row["c"] for row in new_cents}
         centroids = [by_cell.get(i, centroids[i]) for i in range(_KMEANS_K)]
+    return assigned
+
+
+@query("emb_kmeans_lloyd")  # rows-only: iterative fixpoint, no ANSI-SQL twin
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, k=8, 3 iterations,
+    deterministic init (the k smallest vec_ids). Each iteration:
+    centroids (k×64 doubles) BROADCAST as a literal array-of-arrays →
+    in-row argmin assignment (the sim_ann_ivf expression shape, zero
+    shuffle) → one cell-keyed average (posexplode + (cell,dim) agg).
+    Driver transfer per iteration is k×d doubles — bounded like
+    emb_pca_power's Gram rows, never corpus-sized. At 100 TB: identical
+    plan; iterations are the only sequential dimension. Output: per
+    cell, member count and mean within-cell cosine-free L2 inertia.
+    Rows-only lane; values pinned in pytest on planted clusters."""
+    assigned = kmeans_assigned(spark, sf_dir)
     return (
         assigned.groupBy("cell")
         .agg(

@@ -258,3 +258,40 @@ def test_quantile_accuracy_within_gk_bound(spark):
         assert rows[(q, 10000)]["abs_err"] <= 0.01 * spread
         # monotone budgets: tighter accuracy never does worse by 10x
         assert rows[(q, 10000)]["abs_err"] <= rows[(q, 100)]["abs_err"] * 10 + 1e-9
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(spark, tmp_path_factory):
+    """documents fixture whose word-frequency table is
+    {banana: 2, bandana: 1} — small enough to hand-run the BPE loop."""
+    d = tmp_path_factory.mktemp("bpe_fixture")
+    spark.createDataFrame(
+        [(1, "banana banana bandana")], schema="doc_id bigint, text string"
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_learn_pinned_merge_sequence(spark, bpe_dir):
+    """Hand-computed merge table for {banana×2, bandana×1}:
+
+    r1 pairs: (a,n)=6 (2+2 per banana ×2 words... see counts below),
+       (n,a)=5, (b,a)=3, (n,d)=1, (d,a)=1 → merge (a,n)→an, 6.
+       banana→[b,an,an,a], bandana→[b,an,d,an,a]; symbols {a,an,b,d}=4.
+    r2 pairs: (b,an)=3, (an,a)=3, (an,an)=2, (an,d)=1, (d,an)=1 —
+       tie at 3 broken by left asc: "an" < "b" → merge (an,a)→ana, 3.
+       banana→[b,an,ana], bandana→[b,an,d,ana]; symbols {an,ana,b,d}=4.
+    r3 pairs: (b,an)=3, (an,ana)=2, (an,d)=1, (d,ana)=1 →
+       merge (b,an)→ban, 3. banana→[ban,ana], bandana→[ban,d,ana];
+       symbols {ana,ban,d}=3."""
+    rows = sorted(
+        QUERIES["text_bpe_learn"](spark, bpe_dir).collect(), key=lambda r: r.round
+    )
+    got = [
+        (r.round, r.left, r.right, r.merged, r.n_pairs, r.vocab_size_after)
+        for r in rows[:3]
+    ]
+    assert got == [
+        (1, "a", "n", "an", 6, 4),
+        (2, "an", "a", "ana", 3, 4),
+        (3, "b", "an", "ban", 3, 3),
+    ]

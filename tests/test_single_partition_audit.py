@@ -1,0 +1,100 @@
+"""Automated single-partition audit (SCALE.md §R, round-4 automation).
+
+§R's classification of every `Exchange SinglePartition` occurrence used to
+be hand-maintained prose; this test digests EVERY registered plan and
+fails on any single-partition exchange not in the allowlist below — a new
+unclassified global becomes a CI failure, not a doc drift.
+
+The three benign classes (§R):
+1. global-aggregate FINAL stages — 1 row after a distributed partial agg;
+2. scalar-subquery broadcasts — a 1-row threshold/total feeding a
+   broadcast join;
+3. documented deliberate post-agg globals — calendar/vocab/month-bounded
+   running windows and the n_partitions-row ranks-helper offset tables.
+
+Every allowlisted key carries its class so the doc and the gate are the
+same artifact. A key whose plan IMPROVES (drops its global) stays valid;
+a key that ACQUIRES one fails until classified here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import sap_cta_data_pipeline_spark.operators  # noqa: F401
+from sap_cta_data_pipeline_spark.plans import digest
+from sap_cta_data_pipeline_spark.registry import QUERIES
+
+#: key -> §R class (1 = 1-row global final, 2 = scalar broadcast,
+#: 3 = documented post-agg bounded global / ranks offset table)
+ALLOWED_SINGLE_PARTITION: dict[str, int] = {
+    "agg_global": 1,
+    "agg_heavy_hitters": 2,
+    "agg_hll_mergeable": 1,
+    "agg_percentile_bands": 2,
+    "agg_quantile_mergeable": 1,
+    "agg_winsorized_stats": 2,
+    "corpus_mix_exact": 2,
+    "customer_interpurchase_time": 1,
+    "customer_rfm_segments": 3,
+    "customer_spend_gini": 3,
+    "dedup_semantic_recall_eval": 1,
+    "dq_expectations": 1,
+    "dq_freshness_sla": 2,
+    "dq_referential_integrity": 1,
+    "emb_norm_audit": 2,
+    "events_ab_ttest": 1,
+    "events_churn_flags": 2,
+    "events_conversion_latency": 1,
+    "events_cumulative_users": 3,
+    "events_funnel_steps": 1,
+    "events_lateness_report": 3,
+    "graph_triangle_count": 1,
+    "ids_assign_global": 3,
+    "lang_id_confusion_eval": 1,
+    "lineitem_abc_pareto": 3,
+    "ml_target_encoding": 2,
+    "orders_association_rules": 2,
+    "orders_growth_mom_yoy": 3,
+    "orders_open_backlog_daily": 3,
+    "orders_seasonality_index": 3,
+    "profile_histogram_auto": 2,
+    "profile_join_key_skew": 1,
+    "profile_table": 1,
+    "quantile_accuracy_eval": 1,
+    "scan_parquet": 1,
+    "sim_ann_ivf": 2,
+    "sink_parquet_bloomfilter": 1,
+    "sort_multikey": 3,
+    "sort_nulls_explicit": 3,
+    "sub_not_in_nulls": 1,
+    "sub_scalar_global": 1,
+    "text_bm25_topk": 2,
+    "text_collocations_pmi": 3,
+    "text_tfidf_topk": 2,
+    "text_vocab_coverage": 2,
+    "text_vocab_growth_heaps": 2,
+    "text_wordcount": 3,
+    "tpch_q11_important_volume": 2,
+    "tpch_q14_promo_revenue": 1,
+    "tpch_q15_top_supplier": 2,
+    "tpch_q17_small_quantity_revenue": 2,
+    "tpch_q19_disjunctive_revenue": 1,
+    "tpch_q22_dormant_customers": 2,
+    "tpch_q6_forecast_revenue": 1,
+    "ts_changepoint_cusum": 3,
+    "win_ntile_pct": 3,
+    "win_rolling_median": 3,
+    "win_time_range_frame": 3,
+}
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_no_unclassified_single_partition_exchange(key, spark, sf_dir):
+    d = digest(QUERIES[key](spark, sf_dir))
+    if d.n_single_partition and key not in ALLOWED_SINGLE_PARTITION:
+        pytest.fail(
+            f"{key}: {d.n_single_partition} Exchange SinglePartition stage(s) "
+            "not classified in SCALE.md §R / ALLOWED_SINGLE_PARTITION — "
+            "classify it (class 1/2/3) or fix the plan"
+        )
