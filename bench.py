@@ -5,7 +5,17 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"<key>": sec, ...}, "sf": <sf>}
+     "queries": {"<key>": sec, ...}, "sf": <sf>,
+     "sf1": {"sf": <10x sf>, "value": ..., "queries": {...}}}
+
+The "sf1" section (round-4 verdict ask #1) re-runs the same headline at a
+synthesized 10× replication of the input (scripts/make_sf_scaled.py —
+~3 s, deterministic, reused across runs) so every BENCH_r{N}.json carries
+BOTH scales: sf0.1 measures Spark's fixed per-job floor, the 10× scale is
+where plan quality dominates (the round-3 ratio-vs-scale study, now a
+per-round artifact instead of an ad-hoc run). Disable with
+SPARK_GRAFT_BENCH_SF1=0; any sf1 failure degrades to the primary-only
+line rather than breaking the contract.
 
 Each query is fully materialized via a noop sink (executes the whole plan,
 no driver collect). Session startup is excluded; the session is warmed
@@ -47,11 +57,59 @@ HEADLINE = [
     "emb_centroid_by_label",
     "stream_session",
     "pipe_param_sweep",
+    "json_shred_materialized",
 ]
+
+_SF1_DIR = "/tmp/spark_graft_sf1"
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
 
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_sf1(src_dir: str) -> str | None:
+    """Synthesize (or reuse) the 10× replication of src_dir; None on any
+    failure so the primary bench line survives."""
+    import subprocess
+
+    try:
+        if not all(
+            os.path.exists(os.path.join(_SF1_DIR, f"{t}.parquet")) for t in _TABLES
+        ):
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "make_sf_scaled.py"),
+                    src_dir,
+                    _SF1_DIR,
+                    "10",
+                ],
+                check=True,
+                capture_output=True,
+                timeout=600,
+            )
+        return _SF1_DIR
+    except Exception as ex:  # noqa: BLE001 — degrade, never break the contract
+        print(f"sf1 synthesis failed: {ex}", file=sys.stderr)
+        return None
+
+
+def _run_headline(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _materialize(QUERIES[key](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
+        print(f"{key}: {timings[key]}s", file=sys.stderr)
+    return timings
 
 
 def main() -> int:
@@ -81,27 +139,31 @@ def main() -> int:
     # load-robust wall-clock estimator. Run 1 also pays one-time
     # plan-compile + Python-worker spawn; run 2 measures the plan.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            _materialize(QUERIES[key](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
-        print(f"{key}: {timings[key]}s", file=sys.stderr)
+    timings = _run_headline(spark, sf_dir, n_runs)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        sf1_dir = _ensure_sf1(sf_dir)
+        if sf1_dir is not None:
+            try:
+                print(f"== 10x scale ({sf1_dir}) ==", file=sys.stderr)
+                t1 = _run_headline(spark, sf1_dir, n_runs)
+                out["sf1"] = {
+                    "sf": round(sf * 10, 3),
+                    "value": round(sum(t1.values()), 3),
+                    "queries": t1,
+                }
+            except Exception as ex:  # noqa: BLE001
+                print(f"sf1 bench failed: {ex}", file=sys.stderr)
+
+    print(json.dumps(out))
     return 0
 
 

@@ -343,6 +343,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unboundedly worse at scale). Exact Jaccard lives in
     dedup_near_jaccard; this is the approximate lane.
 
+    Round 4 (the both-scale bench caught the dup-dense 10× case): pair
+    dedup is now the first-matching-band filter (no pair-stream
+    hash-agg distinct — that stage alone measured 137 s vs 53 s at the
+    10× scale), and the two explicit numbered repartitions (candidate
+    join DOP, pre-scoring rebalance) are gated on a measured corpus
+    statistic because AQE coalescing is right for small corpora and
+    catastrophically wrong once the bucket self-join output explodes
+    quadratically in duplicate-family size. The op is OUTPUT-bound on
+    dup-dense corpora — 10× data with 10-replica families means ~100×
+    true near-dup pairs (0.8M → 79.5M measured) — so wall grows with
+    output, not corpus; per-pair cost FELL ~4×. When pair enumeration
+    itself is the bottleneck at 100 TB, the swap is cluster-form output
+    (dedup_cluster_cc / dedup_cluster_cc_twostar emit one row per doc,
+    linear in corpus).
+
     100-TB path: stage 1 is one fingerprint hash-groupBy over the corpus;
     stage 2's cost scales with DISTINCT content, and band width controls
     bucket fan-out. Returns candidate representative pairs with estimated
@@ -378,39 +393,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sigs fans out into 4 plan branches (bands ×2 join sides + 2
     # broadcast lookups) — cache it or the parquet scan + fingerprint
     # groupBy re-runs per branch. Tiny: one row per DISTINCT document.
-    sigs = (
-        groups.select("rep_id", "n_members", th_arr.alias("th"))
-        .filter(F.size("th") > 0)
-        .select("rep_id", "n_members", sig.alias("sig"))
-        .cache()
-    )
-
-    # banding: single posexplode of the 8 band hashes (band = pos)
+    # band hashes ride along with the signature row: needed for banding
+    # AND for the first-matching-band dedup below
     band_hashes = F.array(
         *[
-            F.xxhash64(F.lit(band), F.slice("sig", band * _BAND_ROWS + 1, _BAND_ROWS))
+            F.xxhash64(F.lit(band), F.slice("sig2", band * _BAND_ROWS + 1, _BAND_ROWS))
             for band in range(_N_BANDS)
         ]
     )
-    bands = sigs.select("rep_id", F.posexplode(band_hashes).alias("band", "bucket"))
+    sigs = (
+        groups.select("rep_id", "n_members", th_arr.alias("th"))
+        .filter(F.size("th") > 0)
+        .select("rep_id", "n_members", sig.alias("sig2"))
+        .select(
+            "rep_id",
+            "n_members",
+            F.col("sig2").alias("sig"),
+            band_hashes.alias("bh"),
+        )
+        .cache()
+    )
+
+    # Candidate-stage parallelism is chosen from a MEASURED statistic
+    # (the cached signature count — one scalar, AQE-style): the band
+    # table is tiny (8 rows/doc) so AQE coalesces its shuffle to a
+    # handful of partitions, which is right when candidates are few but
+    # serializes the op when the self-join OUTPUT explodes quadratically
+    # in duplicate-family size (195M band hits / 133M candidate pairs at
+    # the 10× bench scale ran on 3 AQE-coalesced partitions). A
+    # user-NUMBERED repartition is exempt from AQE coalescing; it costs
+    # an extra (tiny) shuffle + 32-task stage overhead, so it is only
+    # applied past the corpus size where explosion dominates.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    big_corpus = sigs.count() > 15_000
+    bands = sigs.select("rep_id", F.posexplode("bh").alias("band", "bucket"))
+    if big_corpus:
+        bands = bands.repartition(n_parts, "band", "bucket")
     left = bands.select(F.col("rep_id").alias("doc_a"), "band", "bucket")
     right = bands.select(F.col("rep_id").alias("doc_b"), "band", "bucket")
     raw_pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band")
+    )
+
+    # Pair dedup (round 4): the FIRST-MATCHING-BAND filter, not a
+    # distinct. A pair surfaces in up to n_bands buckets; round 3 deduped
+    # with repartition+distinct — a pair-stream shuffle that goes
+    # quadratic in duplicate-cluster size (the round-4 both-scale bench
+    # caught it: 195M band hits / 133M candidate pairs at the 10× scale,
+    # distinct alone measured 137 s). With the band-hash arrays
+    # broadcast, "is this the first band where the pair collides?" is a
+    # map-side zip-compare + array_position — each pair survives exactly
+    # once and NO pair-stream shuffle exists anywhere. Two-phase on
+    # purpose: phase 1 touches only the SLIM 8-long bh arrays (a
+    # single-phase join that also attached the 64-long signatures
+    # measured 4× slower — 128 longs materialized per pre-filter row);
+    # phase 2 attaches signatures to survivors only.
+    bha = sigs.select(F.col("rep_id").alias("doc_a"), F.col("bh").alias("bh_a"))
+    bhb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("bh").alias("bh_b"))
+    first_band = (
+        F.array_position(
+            F.zip_with("bh_a", "bh_b", lambda x, y: x == y), F.lit(True)
+        )
+        - 1
+    )
+    # The explicit rebalance repartition before scoring is the OTHER half
+    # of the round-3 lesson: candidate volume is quadratic in bucket
+    # size, so the (band, bucket)-partitioned candidate stream is heavily
+    # skewed (one mega-bucket's pairs land in one task) and the scoring
+    # stage serializes on the biggest bucket without it. The shuffled
+    # rows are SLIM (two longs — the 64-long signatures attach after),
+    # so the rebalance costs ~2 GB at the 10× scale vs the minutes a
+    # skewed scoring tail costs. Same big-corpus gate as above.
+    unique_pairs = (
+        raw_pairs.join(F.broadcast(bha), "doc_a")
+        .join(F.broadcast(bhb), "doc_b")
+        .filter(first_band == F.col("band"))
         .select("doc_a", "doc_b")
     )
+    if big_corpus:
+        unique_pairs = unique_pairs.repartition(n_parts, "doc_a", "doc_b")
 
     # signature-estimate scoring: broadcast the signature arrays to both
     # sides; similarity = fraction of matching slots (shuffle-free).
-    # DISTINCT the candidates FIRST, then repartition on doc_a before
-    # scoring (round 3): a pair surfaces in up to n_bands buckets, so
-    # dedup cuts the scored stream ~44% (2.85M → 1.6M at sf0.1), and the
-    # EXPLICIT repartition defeats the failure mode that killed
-    # distinct-first in round 2 — AQE coalescing the narrow pair shuffle
-    # to a handful of partitions and under-parallelizing the
-    # array-materializing score stage (16.3s then; 1.6–2.3s now,
-    # including cold runs, vs 1.8–8.2s for score-first).
     siga = sigs.select(
         F.col("rep_id").alias("doc_a"),
         F.col("sig").alias("sig_a"),
@@ -426,8 +492,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comparison expression defeats codegen, measured at sf0.1)
     n_match = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     est = n_match.cast("double") / F.lit(float(_N_HASHES))
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    unique_pairs = raw_pairs.repartition(n_parts, "doc_a").distinct()
     return (
         unique_pairs.join(F.broadcast(siga), "doc_a")
         .join(F.broadcast(sigb), "doc_b")
