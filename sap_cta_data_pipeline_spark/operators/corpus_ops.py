@@ -569,3 +569,122 @@ def text_span_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mx", F.lit(0)).alias("max_dup_width"),
         )
     )
+
+
+_CHUNK_W = 16
+
+
+@query(
+    "text_chunk_dedup_blocks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) // {_CHUNK_W} - 1)) AS i
+      FROM d WHERE len(toks) >= {_CHUNK_W}
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(toks[i * {_CHUNK_W} + 1 : (i + 1) * {_CHUNK_W}], ' ') AS chunk
+      FROM pos
+    )
+    SELECT chunk,
+           CAST(count(*) AS BIGINT)              AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY chunk
+    HAVING count(*) > 1
+    ORDER BY n_occurrences DESC, chunk ASC
+    LIMIT 20
+    """,
+)
+def text_chunk_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (paragraph-style) dedup: documents split into
+    NON-overlapping 16-token chunks, top-20 most-repeated chunks with
+    occurrence and document counts — the boilerplate detector
+    (headers/footers/license blocks) that chunk-level REMOVAL pipelines
+    run, as opposed to text_span_dedup's overlapping-window MEASUREMENT
+    (n× fewer rows: one chunk per 16 tokens vs one span per token).
+    In-row chunking via transform(sequence)+slice, one chunk-keyed agg,
+    TakeOrdered final. At 100 TB the chunk string is xxhash64-keyed and
+    removal keeps each chunk's first (doc, position) occurrence."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _CHUNK_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) div {_CHUNK_W} - 1),"
+                    f" i -> concat_ws(' ', slice(toks, i * {_CHUNK_W} + 1, {_CHUNK_W})))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            bi(F.count(F.lit(1))).alias("n_occurrences"),
+            bi(F.countDistinct("doc_id")).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk"))
+        .limit(20)
+    )
+
+
+@query("corpus_dedup_pipeline")  # rows-only: composes two hash-specific lanes
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup verdict a corpus team actually ships: every
+    document gets ONE keep/drop decision with a reason, composing the
+    three registered dedup families in escalating cost order —
+    (1) exact (fingerprint collapse: non-representatives drop first,
+    zero similarity computation), (2) near (MinHash-LSH pairs between
+    representatives: the rep with a smaller est≥0.75 partner drops),
+    (3) semantic (SemDeDup cell-blocked embedding cosine, joined on
+    vec_id = doc_id where an embedding exists). First matching reason
+    wins, mirroring the real pipeline's short-circuit: a doc removed by
+    exact dedup never pays the minhash or GEMM cost. Output is
+    doc-grain (linear at any corpus size); each stage's own
+    recall/precision eval (dedup_recall_eval, dedup_semantic_recall_eval)
+    quantifies what the composition inherits."""
+    from ..registry import QUERIES
+
+    docs = t(spark, sf_dir, "documents")
+    fp = F.concat_ws(
+        " ",
+        F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))),
+    )
+    canon = docs.select("doc_id", fp.alias("fp"))
+    groups = canon.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    exact = canon.join(groups, "fp").select("doc_id", "rep_id")
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    # the larger id of each near pair drops (min-id keeper policy)
+    near_drops = pairs.select(F.col("doc_b").alias("rep_id")).distinct()
+
+    sem = QUERIES["dedup_semantic"](spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("is_duplicate").alias("sem_dup")
+    )
+
+    out = (
+        exact.join(
+            near_drops.withColumn("near_drop", F.lit(True)), "rep_id", "left"
+        )
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("rep_id"), "exact_dup")
+            .when(F.col("near_drop"), "near_dup")
+            .when(F.col("sem_dup"), "semantic_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.when(F.col("doc_id") != F.col("rep_id"), F.col("rep_id")).alias(
+                "exact_keeper"
+            ),
+        )
+    )
+    return out

@@ -59,9 +59,22 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5-shaped 5-way join. Catalyst reorders; the nation/region (and at
-    real scale even customer) sides fall under the broadcast threshold, so
-    only the lineitem⋈orders edge shuffles."""
+    """Q5-shaped 5-way join, associated for ONE fact shuffle (round 4):
+    the selective region filter reduces nation→customer FIRST (broadcast
+    chain — the reduced customer dim is region-fraction-sized and stays
+    broadcastable), that dim pushes into the filtered orders side, and
+    only THEN does lineitem join — so the single corpus-scale exchange
+    is lineitem⋈orders on the order key. The round-3 ordering joined
+    lineitem⋈orders first and then shuffled the fact stream AGAIN on
+    o_custkey against the (not-broadcastable-by-stats) customer table —
+    two fact shuffles. The orders⋈customer edge is deliberately
+    UNhinted: customer is unbounded at 100 TB, so whether that dim-scale
+    join broadcasts is AQE's runtime-stats call, not a hardcoded hint
+    (nation/region stay hinted — genuinely bounded). At 100 TB the same
+    ordering holds: dim reduction before the fact exchange is the
+    semi-join-push every optimizer with stats would pick; the one
+    orderkey shuffle that remains is the bucketing target
+    (join_bucketed_colocated)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -70,11 +83,16 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c_dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    o_keep = o.join(c_dim, o.o_custkey == c_dim.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        li.join(o_keep, li.l_orderkey == o_keep.o_orderkey)
         .groupBy("n_name")
         .agg(
             r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),

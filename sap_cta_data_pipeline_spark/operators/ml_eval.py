@@ -135,3 +135,254 @@ def ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tp + fn > 0, r6(tp / (tp + fn))).alias("recall"),
         F.when(2 * tp + fp + fn > 0, r6(2.0 * tp / (2 * tp + fp + fn))).alias("f1"),
     )
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), v AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT)     AS n_pos,
+             CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+      FROM s GROUP BY score
+    ), c AS (
+      SELECT score, n_pos, n_neg,
+             coalesce(sum(n_pos + n_neg) OVER (
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM v
+    ), agg AS (
+      SELECT sum(n_pos * (cum_before + (n_pos + n_neg + 1) / 2.0)) AS rank_sum,
+             sum(n_pos) AS p, sum(n_neg) AS n
+      FROM c
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos,
+           CAST(n AS BIGINT) AS n_neg,
+           round((rank_sum - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+    FROM agg
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum with midrank tie
+    handling — the eval a ranking model ships with, computed WITHOUT
+    materializing per-row ranks: the corpus collapses to the DISTINCT-
+    score grain first (per value: positive/negative counts — one keyed
+    hash agg), and average ranks fall out of a running count over that
+    value-grain table. AUC = (Σ_pos midrank − P(P+1)/2) / (P·N); ranks
+    are integers/half-integers so the arithmetic is exact on both
+    engines. The value-grain running window is single-partition by
+    construction (§R class 3: post-agg, bounded by distinct-score
+    cardinality, never row count); at 100 TB with unbounded-cardinality
+    scores the documented swap is fixed-resolution score binning
+    (ml_calibration_bins' projection shape) which bounds the grain and
+    gives AUC to bin precision."""
+    e = t(spark, sf_dir, "events")
+    s = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    v = s.groupBy("score").agg(
+        bi(F.sum("label")).alias("n_pos"),
+        bi(F.count(F.lit(1)) - F.sum("label")).alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum(F.col("n_pos") + F.col("n_neg")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    agg = c.agg(
+        F.sum(
+            F.col("n_pos")
+            * (F.col("cum_before") + (F.col("n_pos") + F.col("n_neg") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("n_pos").alias("p"),
+        F.sum("n_neg").alias("n"),
+    )
+    return agg.select(
+        bi(F.col("p")).alias("n_pos"),
+        bi(F.col("n")).alias("n_neg"),
+        r6(
+            (F.col("rank_sum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("n"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "ml_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END AS in_b
+      FROM events
+      WHERE event_type IN ('click', 'view')
+    ), v AS (
+      SELECT value,
+             CAST(sum(in_a) AS BIGINT) AS na,
+             CAST(sum(in_b) AS BIGINT) AS nb
+      FROM s GROUP BY value
+    ), c AS (
+      SELECT value,
+             sum(na) OVER (ORDER BY value) AS cum_a,
+             sum(nb) OVER (ORDER BY value) AS cum_b,
+             (SELECT sum(na) FROM v) AS tot_a,
+             (SELECT sum(nb) FROM v) AS tot_b
+      FROM v
+    ), d AS (
+      SELECT value,
+             abs(CAST(cum_a AS DOUBLE) / tot_a
+                 - CAST(cum_b AS DOUBLE) / tot_b) AS diff,
+             tot_a, tot_b
+      FROM c
+    )
+    SELECT CAST(max(tot_a) AS BIGINT) AS n_a,
+           CAST(max(tot_b) AS BIGINT) AS n_b,
+           round(max(diff), 6) AS ks_stat,
+           round(min(CASE WHEN diff = (SELECT max(diff) FROM d)
+                          THEN value END), 6) AS ks_at_value
+    FROM d
+    """,
+)
+def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (click-vs-view value
+    distributions): D = max over the merged support of |F_A − F_B|, plus
+    the location where the max is attained (smallest such value — the
+    deterministic tiebreak). Distribution-drift detection in one value-
+    grain pass: corpus → distinct-value counts (keyed agg), running
+    CDFs over the value grain, max-reduce. Every CDF step is an integer
+    count divided by an integer total — both engines compute identical
+    doubles, so the argmax equality predicate carries no float hazard.
+    Same §R class-3 value-grain window + at-scale binning swap as
+    ml_auc_roc."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("in_b"),
+    )
+    v = s.groupBy("value").agg(
+        bi(F.sum("in_a")).alias("na"), bi(F.sum("in_b")).alias("nb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    totals = v.agg(
+        F.sum("na").alias("tot_a"), F.sum("nb").alias("tot_b")
+    )
+    c = (
+        v.select(
+            "value",
+            F.sum("na").over(w).alias("cum_a"),
+            F.sum("nb").over(w).alias("cum_b"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    d = c.select(
+        "value",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("tot_a")
+            - F.col("cum_b").cast("double") / F.col("tot_b")
+        ).alias("diff"),
+        "tot_a",
+        "tot_b",
+    )
+    # min value among the exact-double argmax: lexicographic struct max
+    # on (diff, -value) — both engines computed identical diff doubles
+    best = F.max(F.struct(F.col("diff"), (-F.col("value")).alias("nv")))
+    return d.agg(
+        bi(F.max("tot_a")).alias("n_a"),
+        bi(F.max("tot_b")).alias("n_b"),
+        r6(best["diff"]).alias("ks_stat"),
+        r6(-best["nv"]).alias("ks_at_value"),
+    )
+
+
+_PSI_BINS = 10
+_PSI_BIN_W = 50.0  # value ∈ [0, ~500)
+
+
+@query(
+    "ml_psi_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT least(CAST(floor(value / {_PSI_BIN_W}) AS BIGINT), {_PSI_BINS - 1}) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END AS in_b
+      FROM events
+      WHERE event_type IN ('click', 'view')
+    ), b AS (
+      SELECT g.bin,
+             CAST(coalesce(sum(in_a), 0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(in_b), 0) AS BIGINT) AS n_b
+      FROM (SELECT range AS bin FROM range({_PSI_BINS})) g
+      LEFT JOIN s ON s.bin = g.bin
+      GROUP BY g.bin
+    ), p AS (
+      SELECT bin, n_a, n_b,
+             (n_a + 0.5) / ((SELECT sum(n_a) FROM b) + 0.5 * {_PSI_BINS}) AS pa,
+             (n_b + 0.5) / ((SELECT sum(n_b) FROM b) + 0.5 * {_PSI_BINS}) AS pb
+      FROM b
+    )
+    SELECT bin, n_a, n_b,
+           round(pa, 6) AS p_expected,
+           round(pb, 6) AS p_actual,
+           round((pb - pa) * ln(pb / pa), 6) AS psi_term
+    FROM p
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two score distributions
+    (click = expected/reference, view = actual/production) over 10
+    fixed-width value bins — the standard model-monitoring drift gauge
+    next to ml_ks_test's KS (PSI weights the tails by log-ratio, KS
+    takes the sup; monitoring stacks report both). Laplace smoothing
+    (+0.5 per bin) keeps empty bins finite DETERMINISTICALLY on both
+    engines — no epsilon hack. Per-bin terms emitted (total PSI =
+    Σ psi_term; the per-bin decomposition is what tells you WHERE the
+    drift lives); fixed-width binning is a projection, so the whole op
+    is one scan + 10-key agg + 1-row totals broadcast — the
+    ml_calibration_bins scale shape."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    s = e.select(
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("long"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("in_b"),
+    )
+    grid = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    b = (
+        F.broadcast(grid)
+        .join(s, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            bi(F.coalesce(F.sum("in_a"), F.lit(0))).alias("n_a"),
+            bi(F.coalesce(F.sum("in_b"), F.lit(0))).alias("n_b"),
+        )
+    )
+    totals = b.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * _PSI_BINS)
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * _PSI_BINS)
+    return (
+        b.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            r6(pa).alias("p_expected"),
+            r6(pb).alias("p_actual"),
+            r6((pb - pa) * F.log(pb / pa)).alias("psi_term"),
+        )
+    )

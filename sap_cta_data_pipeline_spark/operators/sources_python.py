@@ -207,3 +207,91 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest["files"]
     )
     return back
+
+
+_STREAM_N = 30
+_STREAM_BATCH = 10
+_STREAM_RUNS = iter(range(1_000_000))
+
+
+def _make_stream_datasource():
+    # deferred import: pyspark.sql.datasource exists only on Spark 4+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _TelemetryStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch reader: offsets are {'i': next_row};
+        each read() returns up to _STREAM_BATCH rows and the advanced
+        offset; readBetweenOffsets() replays a committed range exactly —
+        the contract that makes the source REPLAYABLE, which is what
+        Structured Streaming's recovery model actually requires of a
+        source (same determinism discipline as the batch twin)."""
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            end = min(i + _STREAM_BATCH, _STREAM_N)
+            return iter([(j, j * j) for j in range(i, end)]), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(j, j * j) for j in range(start["i"], end["i"])])
+
+    class TelemetryStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_telemetry_stream"
+
+        def schema(self) -> str:
+            return "reading_id bigint, reading_sq bigint"
+
+        def simpleStreamReader(self, schema):
+            return _TelemetryStreamReader()
+
+    return TelemetryStreamDataSource
+
+
+@query(
+    "source_python_stream_datasource",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT)     AS reading_id,
+           CAST(i * i AS BIGINT) AS reading_sq
+    FROM range(0, {_STREAM_N}) t(i)
+    """,
+)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Spark 4 Python DataSource
+    SimpleDataSourceStreamReader — the third leg of the Python DataSource
+    surface (batch read: source_python_datasource; two-phase-commit
+    write: sink_python_datasource): a replayable offset-tracked source
+    ("consume a feed Spark has no connector for") producing {_STREAM_N}
+    deterministic rows over 3 micro-batches, drained to completion
+    through a real readStream → memory-sink query (fresh checkpoint per
+    run so the offset log replays from initialOffset) and returned as
+    the collected batch result against a full value oracle. The
+    readBetweenOffsets replay contract — not the happy-path read() — is
+    what makes the source recovery-safe at scale; checkpoint recovery
+    for this engine's streams is separately pinned in
+    tests/test_streaming_recovery.py."""
+    import shutil
+
+    from .sources import _scratch
+
+    spark.dataSource.register(_make_stream_datasource())
+    run = next(_STREAM_RUNS)
+    ckpt = _scratch(sf_dir, f"pystream_ckpt_{run}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"pystream_out_{run}"
+    q = (
+        spark.readStream.format("synthetic_telemetry_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

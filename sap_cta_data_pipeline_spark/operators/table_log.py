@@ -1,0 +1,114 @@
+"""§2 round-4 batch BC — log-structured table format from first
+principles.
+
+Real table formats (the open Delta/Iceberg protocol idea) are absent from
+this container, but their core contract is buildable from public
+primitives: an ordered sequence of JSON transaction files, each holding
+add/remove FILE actions; a snapshot at version V is the replay of actions
+0..V; readers trust the LOG, never the directory listing (orphan files
+from failed writers are invisible); time travel is replay-to-earlier-V.
+This module implements exactly that contract over parquet parts —
+completing the write-side two-phase-commit story
+(`sink_python_datasource`) and the manifest-read story
+(`scan_manifest_snapshot`) with versioned multi-transaction semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..registry import query
+from .sources import _scratch
+
+
+def _build_fixture(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Two-transaction table over nation:
+
+    v0: add part-a (nationkey < 12, names suffixed '-old') + part-b (rest)
+    v1: remove part-a, add part-c (nationkey < 12, true names)
+
+    Plus an ORPHAN parquet file never named by any log entry — the debris
+    a crashed writer leaves, which a log-driven reader must not see."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    parts = {
+        "part-a": n.filter(F.col("n_nationkey") < 12).withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("-old"))
+        ),
+        "part-b": n.filter(F.col("n_nationkey") >= 12),
+        "part-c": n.filter(F.col("n_nationkey") < 12),
+        "orphan": n.limit(3).withColumn("n_name", F.lit("GARBAGE")),
+    }
+    for name, df in parts.items():
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, name))
+    log_dir = os.path.join(base, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    txns = [
+        [{"add": "part-a"}, {"add": "part-b"}],
+        [{"remove": "part-a"}, {"add": "part-c"}],
+    ]
+    for v, actions in enumerate(txns):
+        # temp-then-rename: a log entry appears atomically or not at all —
+        # the same task-commit discipline as sink_python_datasource
+        tmp = os.path.join(log_dir, f".tmp-{v:08d}.json")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.rename(tmp, os.path.join(log_dir, f"{v:08d}.json"))
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+
+
+def txnlog_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Replay the transaction log up to ``version`` (None = latest) and
+    read exactly the live file set. Log replay is DRIVER-side on
+    metadata only (file-count rows — the same replay every table-format
+    driver performs); data stays distributed."""
+    log_dir = os.path.join(base, "_log")
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    for v in versions:
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log_dir, f"{v:08d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                if "remove" in a:
+                    live.discard(a["remove"])
+    paths = [os.path.join(base, p) for p in sorted(live)]
+    return spark.read.parquet(*paths)
+
+
+@query(
+    "scan_txnlog_snapshot",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version snapshot of a log-structured table: two committed
+    transactions (initial load, then an overwrite of one file) replayed
+    from the ordered JSON action log; the second transaction's
+    remove+add supersedes part-a, so the snapshot equals clean nation —
+    the identity oracle. The directory ALSO contains an orphan parquet
+    file named by no log entry (a crashed writer's debris) which the
+    reader must ignore: reading the directory instead of the log would
+    return garbage rows, which the oracle would catch. Time travel
+    (version=0 shows the pre-overwrite '-old' rows) is pinned in
+    tests/test_units_round4b.py. At 100 TB the replay cost is
+    metadata-sized (actions, not rows) and the snapshot scan prunes to
+    live files only — the entire point of log-structured formats."""
+    base = _scratch(sf_dir, "txnlog_table")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_fixture(spark, sf_dir, base)
+    return txnlog_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

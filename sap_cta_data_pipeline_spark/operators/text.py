@@ -678,3 +678,49 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="n_true_pairs bigint, n_candidates bigint, n_hits bigint, recall double, precision double",
     )
+
+
+@query("dedup_minhash_cluster")  # rows-only: composes the hash-specific LSH lane
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-form MinHash dedup — the documented swap for when pair
+    enumeration itself is the bottleneck (dedup_minhash_lsh's round-4
+    scale finding: dup-dense corpora have quadratically many near-dup
+    PAIRS, but only linearly many docs): LSH candidate pairs become
+    edges, large-star/small-star connected components collapse them in
+    O(log n) rounds, and the output is ONE row per representative —
+    (rep, cluster id, exact-dup member count, keeper flag), keeper =
+    min doc_id of the cluster. This is what a production dedup actually
+    writes at 100 TB: a doc→keeper mapping (linear), never the pair
+    list. Composes the two registered lanes verbatim, so it inherits
+    the minhash recall/precision measured by dedup_recall_eval and the
+    CC correctness pinned by the twostar oracle lane."""
+    from ..registry import QUERIES
+    from .matching import connected_components_twostar
+
+    docs = t(spark, sf_dir, "documents")
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    groups = (
+        docs.select("doc_id", fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+        .select("rep_id", "n_members")
+        .cache()
+    )
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels, _ = connected_components_twostar(
+        groups.select(F.col("rep_id").alias("node")), edges
+    )
+    return (
+        labels.join(groups, labels.node == groups.rep_id)
+        .select(
+            F.col("rep_id"),
+            F.col("comp").alias("cluster_id"),
+            F.col("n_members"),
+            (F.col("rep_id") == F.col("comp")).alias("is_keeper"),
+        )
+    )

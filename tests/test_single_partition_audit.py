@@ -53,6 +53,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ids_assign_global": 3,
     "lang_id_confusion_eval": 1,
     "lineitem_abc_pareto": 3,
+    "ml_auc_roc": 3,
+    "ml_ks_test": 3,
     "ml_target_encoding": 2,
     "orders_association_rules": 2,
     "orders_growth_mom_yoy": 3,
