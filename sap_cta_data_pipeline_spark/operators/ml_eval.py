@@ -386,3 +386,96 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6((pb - pa) * F.log(pb / pa)).alias("psi_term"),
         )
     )
+
+
+@query(
+    "ml_lift_gains_table",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             event_id
+      FROM events
+    ), ranked AS (
+      SELECT label,
+             row_number() OVER (ORDER BY score DESC, event_id) AS rn,
+             count(*) OVER () AS total
+      FROM s
+    ), deciled AS (
+      SELECT ((rn - 1) * 10) // total AS decile, label FROM ranked
+    ), agg AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM deciled GROUP BY decile
+    ), cum AS (
+      SELECT decile, n, n_pos,
+             sum(n) OVER (ORDER BY decile)     AS cum_n,
+             sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+             (SELECT sum(n) FROM agg)          AS tot,
+             (SELECT sum(n_pos) FROM agg)      AS tot_pos
+      FROM agg
+    )
+    SELECT decile, n, n_pos,
+           round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS gain,
+           round((CAST(cum_pos AS DOUBLE) / cum_n)
+                 / (CAST(tot_pos AS DOUBLE) / tot), 6) AS lift
+    FROM cum
+    """,
+)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift by population decile — the campaign-
+    targeting readout (top decile captures gain·100% of positives at
+    lift× the base rate) that completes the eval family (calibration,
+    confusion sweep, AUC, KS, PSI). Deciles need a GLOBAL rank of the
+    scored population; the rank comes from functions/ranks.py's
+    range-partitioned two-phase layout (local row_numbers + broadcast
+    partition offsets — no single-partition sort of the scored corpus,
+    the text_wordcount discipline), the decile id is integer arithmetic
+    on (rank, total), and everything after is a 10-row agg + 10-row
+    cumulative window. Tiebreak (score desc, event_id) is a total
+    order, so both engines rank identically."""
+    from ..functions.ranks import with_global_row_number
+
+    e = t(spark, sf_dir, "events")
+    s = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        "event_id",
+    )
+    ranked = with_global_row_number(
+        s,
+        [F.col("score").desc(), F.col("event_id").asc()],
+        "rn",
+        total_col="total",
+    )
+    # exact INTEGER division on both engines (float division + cast has
+    # rounding hazards exactly at decile boundaries)
+    deciled = ranked.select(
+        F.expr("((rn - 1) * 10) div total").alias("decile"),
+        "label",
+    )
+    agg = deciled.groupBy("decile").agg(
+        bi(F.count(F.lit(1))).alias("n"), bi(F.sum("label")).alias("n_pos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    totals = agg.agg(F.sum("n").alias("tot"), F.sum("n_pos").alias("tot_pos"))
+    cum = agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    ).crossJoin(F.broadcast(totals))
+    return cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        r6(F.col("cum_pos").cast("double") / F.col("tot_pos")).alias("gain"),
+        r6(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("tot"))
+        ).alias("lift"),
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
-from ..functions.parity import bi
+from ..functions.parity import bi, r6
 from ..registry import query
 from .sources import _scratch
 
@@ -263,3 +263,59 @@ def quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@query("agg_hll_intersection_eval")  # rows-only: sketch estimates, no SQL twin
+def agg_hll_intersection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based SET INTERSECTION via inclusion–exclusion — the
+    audience-overlap question ("how many users did BOTH click and
+    view?") answered from per-segment HLL sketches: |A∩B| ≈ est(A) +
+    est(B) − est(A∪B), where the union is a kilobyte-sized
+    hll_union_agg merge, never a raw re-scan. HLL has no native
+    intersection (inclusion–exclusion error grows as the overlap
+    shrinks relative to the union — the known weakness theta sketches
+    fix), so this lane is the EVAL that quantifies the error against
+    the exact distinct-user intersection (one semi-join), the same
+    calibrate-before-trusting role quantile_accuracy_eval plays: run it
+    once on a sample, then ship the sketch path for the 100 TB overlap
+    matrix (k segments → k sketches + k² merges, zero fact re-scans).
+    Output: exact sizes, estimates, and the relative intersection
+    error, 1 row."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    exact_inter = a.distinct().join(b.distinct(), "user_id", "left_semi").count()
+    sk = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    ests = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.hll_sketch_estimate("sk"))
+        ).alias("est_a"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.hll_sketch_estimate("sk"))
+        ).alias("est_b"),
+    )
+    exact = (
+        a.agg(F.countDistinct("user_id").alias("exact_a"))
+        .crossJoin(b.agg(F.countDistinct("user_id").alias("exact_b")))
+        .withColumn("exact_inter", F.lit(exact_inter).cast("long"))
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        exact.crossJoin(F.broadcast(ests))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            r6(F.col("est_a")).alias("est_a"),
+            r6(F.col("est_b")).alias("est_b"),
+            r6(est_inter).alias("est_inter"),
+            r6(
+                F.abs(est_inter - F.col("exact_inter")) / F.col("exact_inter")
+            ).alias("rel_err"),
+        )
+    )

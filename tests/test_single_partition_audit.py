@@ -29,6 +29,7 @@ from sap_cta_data_pipeline_spark.registry import QUERIES
 #: 3 = documented post-agg bounded global / ranks offset table)
 ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "agg_global": 1,
+    "agg_hll_intersection_eval": 1,
     "agg_heavy_hitters": 2,
     "agg_hll_mergeable": 1,
     "agg_percentile_bands": 2,
@@ -55,6 +56,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "lineitem_abc_pareto": 3,
     "ml_auc_roc": 3,
     "ml_ks_test": 3,
+    "ml_lift_gains_table": 3,
+    "ml_psi_drift": 2,
     "ml_target_encoding": 2,
     "orders_association_rules": 2,
     "orders_growth_mom_yoy": 3,
