@@ -610,3 +610,91 @@ def gen_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iso_dow >= 6).alias("is_weekend"),
         F.date_format("d", "yyyy-MM").alias("month_key"),
     )
+
+
+@query(
+    "source_csv_multiline_quoted",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS rec_id, 'plain value' AS note, CAST(10 AS BIGINT) AS qty
+    UNION ALL
+    SELECT 2, 'has, comma and "quotes"', 20
+    UNION ALL
+    SELECT 3, 'spans
+two lines', 30
+    UNION ALL
+    SELECT 4, NULL, 40
+    """,
+)
+def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect hard cases in one fixture: quoted fields containing the
+    delimiter, RFC-4180 doubled quotes, embedded NEWLINES (the case that
+    breaks naive line-splitting readers AND breaks Spark's default
+    line-per-record fast path — ``multiLine=true`` switches the whole
+    file to a single-record-boundary parse, which is also why production
+    pipelines avoid multiline CSV at scale: the file stops being
+    splittable, one task per file), and empty-as-NULL. The fixture is
+    written as literal bytes (the writer under test is the READER); the
+    oracle pins the exact decoded values per RFC semantics. At 100 TB:
+    multiline CSV files cap parallelism at file count — the documented
+    mitigation is converting to parquet at ingest (source_csv_roundtrip's
+    economics)."""
+    base = _scratch(sf_dir, "csv_multiline")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "data.csv")
+    with open(path, "w") as fh:
+        fh.write(
+            'rec_id,note,qty\n'
+            '1,plain value,10\n'
+            '2,"has, comma and ""quotes""",20\n'
+            '3,"spans\ntwo lines",30\n'
+            '4,,40\n'
+        )
+    return (
+        spark.read.schema("rec_id long, note string, qty long")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+_FW_SPEC = (("sensor_id", 0, 6), ("site", 6, 10), ("reading", 16, 8))
+
+
+@query(
+    "source_fixed_width",
+    oracle="""
+    SELECT CAST(i AS BIGINT)                          AS sensor_id,
+           'SITE' || lpad(CAST(i % 7 AS VARCHAR), 2, '0') AS site,
+           round(0.25 * i, 2)                         AS reading
+    FROM range(0, 200) t(i)
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingestion (mainframe exports, instrument dumps —
+    formats with NO delimiter): read as plain text lines, slice columns
+    by (offset, width) with JVM substring projections, trim + cast per
+    the spec table. The column spec is declarative data (_FW_SPEC), so
+    adding fields is a spec row, not parser code. Text-line reads split
+    by HDFS block exactly like CSV, so this scales as any line format;
+    the substring/cast projection is whole-stage-codegen'd — the entire
+    parse costs one pass, no Python. Fixture written as literal bytes
+    (the reader is the unit under test); full value oracle."""
+    base = _scratch(sf_dir, "fixed_width")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "data.txt")
+    with open(path, "w") as fh:
+        for i in range(200):
+            fh.write(f"{i:<6d}SITE{i % 7:02d}    {0.25 * i:<8.2f}\n")
+    lines = spark.read.text(path)
+    cols = []
+    for name, off, width in _FW_SPEC:
+        raw = F.trim(F.substring("value", off + 1, width))
+        if name == "sensor_id":
+            cols.append(raw.cast("long").alias(name))
+        elif name == "reading":
+            cols.append(F.round(raw.cast("double"), 2).alias(name))
+        else:
+            cols.append(raw.alias(name))
+    return lines.select(*cols)

@@ -789,3 +789,89 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("composite_score"), F.desc("revenue"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS rev4
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT l_partkey, rev4,
+             CAST(sum(rev4) OVER (ORDER BY rev4 DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum4,
+             CAST(sum(rev4) OVER () AS BIGINT) AS tot4
+      FROM p
+    ), abc AS (
+      SELECT l_partkey, rev4,
+             CASE WHEN 5 * cum4 <= 4 * tot4 THEN 'A'
+                  WHEN 100 * cum4 <= 95 * tot4 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c
+    ), monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ), xyz AS (
+      SELECT l_partkey,
+             CASE WHEN 2 * (max(q) - min(q)) * count(*) <= sum(q) THEN 'X'
+                  WHEN (max(q) - min(q)) * count(*) <= sum(q) THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM monthly GROUP BY 1
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(CAST(abc.rev4 AS DOUBLE)) / 10000, 2) AS revenue
+    FROM abc JOIN xyz USING (l_partkey)
+    GROUP BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix — the planner's 9-cell part segmentation:
+    value class (A/B/C by cumulative revenue share, lineitem_abc_pareto's
+    exact-integer cum discipline via the range-partitioned cumsum helper)
+    × demand-variability class (X/Y/Z by monthly-demand spread). The
+    variability metric is (max−min)·n_months / total over integer
+    monthly quantity sums with INTEGER threshold comparisons (≤0.5 → X,
+    ≤1.0 → Y, else Z) — the same zero-float-boundary discipline as the
+    ABC side, where a stddev-based cv would hinge class assignment on
+    engine-specific float summation order. Two fact scans (revenue
+    grain, month grain), both collapsing to part-grain before the
+    broadcast-sized matrix join; 9-row output at any corpus size."""
+    li = t(spark, sf_dir, "lineitem")
+    rev4_item = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    p = li.groupBy("l_partkey").agg(F.sum(rev4_item).alias("rev4"))
+    c = with_global_cumsum(
+        p, [F.desc("rev4"), F.asc("l_partkey")], "rev4", "cum4", total_col="tot4"
+    )
+    abc = c.select(
+        "l_partkey",
+        "rev4",
+        F.when(5 * F.col("cum4") <= 4 * F.col("tot4"), "A")
+        .when(100 * F.col("cum4") <= 95 * F.col("tot4"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    spread = (F.max("q") - F.min("q")) * F.count(F.lit(1))
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.when(2 * spread <= F.sum("q"), "X")
+        .when(spread <= F.sum("q"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class")
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            bi(F.count(F.lit(1))).alias("n_parts"),
+            r2(F.sum(F.col("rev4").cast("double")) / 10000).alias("revenue"),
+        )
+    )

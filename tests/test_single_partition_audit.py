@@ -60,6 +60,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ml_psi_drift": 2,
     "ml_target_encoding": 2,
     "orders_association_rules": 2,
+    "part_abc_xyz_matrix": 3,
     "orders_growth_mom_yoy": 3,
     "orders_open_backlog_daily": 3,
     "orders_seasonality_index": 3,

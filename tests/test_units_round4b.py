@@ -258,3 +258,15 @@ def test_txnlog_optimistic_concurrency(spark, sf_dir, tmp_path):
     assert commit(2, [{"add": "pB"}])  # ...and retries at v2
     names = sorted(p.name for p in log_dir.iterdir())
     assert names == ["00000000.json", "00000001.json", "00000002.json"]
+
+
+def test_abc_xyz_matrix_partition_of_parts(q, spark, sf_dir):
+    rows = q("part_abc_xyz_matrix").collect()
+    n_parts_total = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts_total
+    for r in rows:
+        assert r.abc_class in ("A", "B", "C")
+        assert r.xyz_class in ("X", "Y", "Z")
+        assert r.n_parts > 0 and r.revenue > 0
