@@ -458,3 +458,69 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="round bigint, left string, right string, merged string,"
         " n_pairs bigint, vocab_size_after bigint",
     )
+
+
+@query("text_bpe_apply")  # rows-only: applies the learned (iterative) merge table
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE: apply the merge table text_bpe_learn trained
+    to encode the corpus — the deploy-side half of BPE (train once,
+    encode forever). The learned merges arrive as a bounded driver
+    literal (8 rows — the merge table IS the tokenizer artifact, k-means
+    centroid class); encoding replays them in training order over each
+    word's symbol array with the same greedy-leftmost in-row fold, so
+    train and apply CANNOT diverge (shared semantics by construction).
+    Output per language: word-token count before/after, characters per
+    token after — the compression-ratio readout that decides whether a
+    vocabulary is paying for itself. One corpus scan + tokenize, the
+    per-word encode is pure in-row JVM folds; the rows-only lane's
+    values are pinned via the banana/bandana fixture in
+    tests/test_iterative_pins.py."""
+    from ..registry import QUERIES
+
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in sorted(
+            QUERIES["text_bpe_learn"](spark, sf_dir).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    sym = F.expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+    enc = words.select("lang", "tok", sym.alias("sym"))
+    for left, right, merged in merges:
+        fold = F.aggregate(
+            "sym",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        enc = enc.select("lang", "tok", fold.alias("sym"))
+    return (
+        enc.groupBy("lang")
+        .agg(
+            bi(F.count(F.lit(1))).alias("n_words"),
+            bi(F.sum(F.length("tok"))).alias("n_chars"),
+            bi(F.sum(F.length("tok"))).alias("n_tokens_char_level"),
+            bi(F.sum(F.size("sym"))).alias("n_tokens_bpe"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_tokens_bpe",
+            r6(F.col("n_chars") / F.col("n_tokens_bpe")).alias("chars_per_token"),
+            r6(F.col("n_tokens_bpe") / F.col("n_tokens_char_level")).alias(
+                "compression_vs_chars"
+            ),
+        )
+    )

@@ -624,3 +624,71 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anomaly"
         ),
     )
+
+
+@query(
+    "dq_order_balance_check",
+    oracle="""
+    WITH line_totals AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+                      AS BIGINT)) AS BIGINT) AS charged_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ), joined AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS header_cents,
+             lt.charged_cents, lt.n_lines
+      FROM orders o JOIN line_totals lt ON lt.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(header_cents - charged_cents) * 20 > header_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_imbalanced,
+           round(avg(abs(header_cents - charged_cents)) / 100.0, 6) AS avg_abs_gap,
+           round(CAST(max(abs(header_cents - charged_cents)) AS DOUBLE) / 100.0, 2)
+             AS max_abs_gap
+    FROM joined
+    GROUP BY o_orderstatus
+    """,
+)
+def dq_order_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table balance reconciliation — the classic financial DQ
+    gate: does each order header's total agree with the sum of its line
+    charges? Money flows as exact integer CENTS (each line charged
+    amount quantized once in identical IEEE arithmetic, summed as
+    BIGINT — lineitem_abc_pareto's discipline), the imbalance flag is
+    an INTEGER comparison (gap×20 > header ⇔ gap > 5% of header), and
+    the roll-up reports per-status order counts, flagged counts, and
+    average/max absolute gaps. One fact-fact join on the natural key
+    (order-grain collapse before the join — the bucketable shape), then
+    a status-grain agg. At 100 TB this is the daily ledger-vs-lines
+    consistency job; the >5% flag threshold is deliberately integer so
+    the verdict can never flip on float summation order."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    charged_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("long")
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(charged_cents).alias("charged_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("header_cents"),
+    ).join(lt, F.col("o_orderkey") == F.col("l_orderkey"))
+    gap = F.abs(F.col("header_cents") - F.col("charged_cents"))
+    return joined.groupBy("o_orderstatus").agg(
+        bi(F.count(F.lit(1))).alias("n_orders"),
+        bi(F.sum(F.when(gap * 20 > F.col("header_cents"), 1).otherwise(0))).alias(
+            "n_imbalanced"
+        ),
+        r6(F.avg(gap) / 100.0).alias("avg_abs_gap"),
+        F.round(F.max(gap).cast("double") / 100.0, 2).alias("max_abs_gap"),
+    )

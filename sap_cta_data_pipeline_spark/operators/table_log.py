@@ -152,3 +152,89 @@ def txnlog_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txnlog_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+#: deterministic MERGE changeset against nation (the txn-log table):
+#: update two names, delete one key, insert one new key.
+_MERGE_UPDATES = {3: "updated-3", 7: "updated-7"}
+_MERGE_DELETE = 11
+_MERGE_INSERT = (990, "newland", 0)
+
+
+@query(
+    "merge_into_txnlog",
+    oracle=f"""
+    SELECT n_nationkey,
+           CASE n_nationkey WHEN 3 THEN 'updated-3'
+                            WHEN 7 THEN 'updated-7'
+                            ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    WHERE n_nationkey <> {_MERGE_DELETE}
+    UNION ALL
+    SELECT {_MERGE_INSERT[0]}, '{_MERGE_INSERT[1]}', {_MERGE_INSERT[2]}
+    """,
+)
+def merge_into_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a table-format transaction — the copy-on-write
+    upsert/delete every lakehouse ships (matched→update, matched→delete,
+    not-matched→insert), here executed against the log-structured table:
+    the changeset joins the CURRENT snapshot, only files CONTAINING
+    affected keys are rewritten (copy-on-write file granularity — the
+    untouched file survives verbatim, which is what bounds merge cost by
+    touched-file bytes, not table bytes), and one remove+add transaction
+    commits the swap atomically. Time travel to the pre-merge snapshot
+    still works (pinned in tests). The merge logic itself is
+    merge_upsert's keyed outer-join shape; what this lane adds is the
+    VERSIONED ATOMICITY — readers see the old or the new table, never a
+    half-merged directory. Oracle computes the same final state in pure
+    SQL over nation + the literal changeset."""
+    base = _scratch(sf_dir, "txnlog_table_merge")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_fixture(spark, sf_dir, base)
+    log_dir = os.path.join(base, "_log")
+    if not os.path.exists(os.path.join(log_dir, f"{2:08d}.json")):
+        # changed keys live in part-b (>=12? no: 3,7,11 < 12 → part-c) and
+        # the insert is keyless-new; compute AFFECTED files from the live
+        # set instead of hardcoding
+        snap = txnlog_snapshot(spark, base, 1)
+        changed_keys = sorted(_MERGE_UPDATES) + [_MERGE_DELETE]
+        # copy-on-write: rewrite only files holding changed keys
+        live = ["part-b", "part-c"]
+        affected = []
+        for part in live:
+            pdf = spark.read.parquet(os.path.join(base, part))
+            if pdf.filter(F.col("n_nationkey").isin(changed_keys)).count() > 0:
+                affected.append(part)
+        upd = F.col("n_nationkey")
+        name_expr = F.col("n_name")
+        for k, v in _MERGE_UPDATES.items():
+            name_expr = F.when(upd == k, F.lit(v)).otherwise(name_expr)
+        rewritten = (
+            spark.read.parquet(*[os.path.join(base, p) for p in affected])
+            .filter(F.col("n_nationkey") != _MERGE_DELETE)
+            .select("n_nationkey", name_expr.alias("n_name"), "n_regionkey")
+        )
+        inserts = spark.createDataFrame(
+            [_MERGE_INSERT], schema="n_nationkey int, n_name string, n_regionkey int"
+        ).select(
+            F.col("n_nationkey").cast(
+                dict(snap.dtypes)["n_nationkey"]
+            ).alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast(
+                dict(snap.dtypes)["n_regionkey"]
+            ).alias("n_regionkey"),
+        )
+        rewritten.unionByName(inserts).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "part-merged")
+        )
+        actions = [{"remove": p} for p in affected] + [{"add": "part-merged"}]
+        tmp = os.path.join(log_dir, ".tmp-00000002.json")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.rename(tmp, os.path.join(log_dir, f"{2:08d}.json"))
+    return txnlog_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

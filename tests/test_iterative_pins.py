@@ -266,7 +266,8 @@ def bpe_dir(spark, tmp_path_factory):
     {banana: 2, bandana: 1} — small enough to hand-run the BPE loop."""
     d = tmp_path_factory.mktemp("bpe_fixture")
     spark.createDataFrame(
-        [(1, "banana banana bandana")], schema="doc_id bigint, text string"
+        [(1, "banana banana bandana", "xx")],
+        schema="doc_id bigint, text string, lang string",
     ).write.parquet(str(d / "documents.parquet"))
     return str(d)
 
@@ -295,3 +296,17 @@ def test_bpe_learn_pinned_merge_sequence(spark, bpe_dir):
         (2, "an", "a", "ana", 3, 4),
         (3, "b", "an", "ban", 3, 3),
     ]
+
+
+def test_bpe_apply_pinned_encoding(spark, bpe_dir):
+    """On the fixture the merge loop converges before 8 rounds (banana and
+    bandana each collapse to a single symbol by round 6), so BPE encoding
+    yields exactly one token per word: 3 words -> 3 tokens, 19 chars."""
+    rows = QUERIES["text_bpe_apply"](spark, bpe_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.lang == "xx"
+    assert r.n_words == 3
+    assert r.n_chars == 19
+    assert r.n_tokens_bpe == 3
+    assert r.chars_per_token == pytest.approx(19 / 3, abs=1e-6)

@@ -270,3 +270,20 @@ def test_abc_xyz_matrix_partition_of_parts(q, spark, sf_dir):
         assert r.abc_class in ("A", "B", "C")
         assert r.xyz_class in ("X", "Y", "Z")
         assert r.n_parts > 0 and r.revenue > 0
+
+
+def test_merge_txnlog_preserves_history(q, spark, sf_dir):
+    latest = {r.n_nationkey: r.n_name for r in q("merge_into_txnlog").collect()}
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    assert latest[3] == "updated-3" and latest[7] == "updated-7"
+    assert 11 not in latest
+    assert latest[990] == "newland"
+    untouched = {k: v for k, v in latest.items() if k not in (3, 7, 990)}
+    assert all(nation[k] == v for k, v in untouched.items())
+    # pre-merge snapshot unchanged
+    base = _scratch(sf_dir, "txnlog_table_merge")
+    v1 = {r.n_nationkey: r.n_name for r in txnlog_snapshot(spark, base, 1).collect()}
+    assert v1 == nation
