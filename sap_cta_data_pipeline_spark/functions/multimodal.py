@@ -108,14 +108,21 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_payload(payload: bytes, codec: str) -> np.ndarray:
-    """STUB decoder. Raw float32 stub codecs decode for real; anything
-    else (jpeg/png/flac/h264…) needs media libraries absent from this
-    environment."""
+    """Codec dispatch. Round 4: WAV/RIFF PCM16 and PGM P5 decode FOR REAL
+    (header-walking parsers below, stdlib + numpy — no media library
+    needed), alongside the raw-f32 synthetic codecs. The environment-
+    bounded boundary is now only COMPRESSED formats (jpeg/png/flac/h264),
+    which genuinely require PIL/libsndfile/ffmpeg."""
     if codec.startswith("raw-f32"):
         return np.frombuffer(payload, dtype="<f4").astype(np.float64)
+    if codec == "wav-pcm16":
+        _, samples = parse_wav_pcm16(payload)
+        return samples.astype(np.float64)
+    if codec == "pgm-p5":
+        return parse_pgm(payload).astype(np.float64).ravel()
     raise NotImplementedError(
-        f"codec {codec!r}: real decoders (PIL/soundfile/ffmpeg) are stubbed "
-        "out in this environment; only raw-f32 stub codecs decode"
+        f"codec {codec!r}: compressed-format decoders (PIL/soundfile/ffmpeg) "
+        "are absent from this environment; wav-pcm16 / pgm-p5 / raw-f32 decode"
     )
 
 
@@ -239,3 +246,75 @@ def frame_stats(frames: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return frames.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs (round 4): WAV/RIFF PCM16 and PGM (P5) need no media library —
+# stdlib struct + numpy decode them for real. This narrows the
+# environment-bounded boundary in _decode_payload to COMPRESSED formats
+# (jpeg/png/flac/h264), which genuinely require PIL/libsndfile/ffmpeg.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples_i16: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal canonical RIFF/WAVE container: fmt chunk (PCM, mono, 16-bit)
+    + data chunk. Byte-exact per the public WAVE spec."""
+    data = samples_i16.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def parse_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking WAV parser: validates RIFF/WAVE magic, walks chunks to
+    fmt (must be PCM mono 16-bit) and data; returns (sample_rate, int16
+    samples). Raises on anything non-PCM — the honest codec boundary."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, n_ch, bits) != (1, 1, 16):
+                raise NotImplementedError("only PCM mono 16-bit WAV supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def encode_pgm(img_u8: np.ndarray) -> bytes:
+    """Binary PGM (P5), maxval 255 — the netpbm grayscale format."""
+    h, w = img_u8.shape
+    return f"P5\n{w} {h}\n255\n".encode() + img_u8.astype(np.uint8).tobytes()
+
+
+def parse_pgm(payload: bytes) -> np.ndarray:
+    """P5 parser with whitespace/comment-tolerant header scanning."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval 255 PGM supported")
+    return np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8).reshape(h, w)

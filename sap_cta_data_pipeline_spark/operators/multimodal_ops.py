@@ -366,3 +366,137 @@ def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "frame_idx", r6(F.col("frame_mean")).alias("frame_mean"),
         r6(F.col("motion")).alias("motion"),
     )
+
+
+@query(
+    "multimodal_wav_codec",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(least(greatest(floor(CAST(x AS DOUBLE) * 16384 + 0.5),
+                                   -32768), 32767) AS BIGINT)) AS i16
+      FROM embeddings
+    )
+    SELECT vec_id                                   AS asset_id,
+           CAST(8000 AS BIGINT)                     AS sample_rate,
+           CAST(64 AS BIGINT)                       AS n_samples,
+           CAST(list_sum(i16) AS BIGINT)            AS sum_samples,
+           round(CAST(list_sum(i16) AS DOUBLE) / 64, 6) AS mean_sample,
+           round(sqrt(CAST(list_sum(list_transform(i16, v -> v * v)) AS DOUBLE) / 64), 6)
+             AS rms
+    FROM q
+    """,
+)
+def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end (round 4 — the codec boundary narrowed
+    from "everything stubbed" to "compressed formats only"): each
+    embedding quantizes to PCM16 (floor(x·16384 + 0.5), clipped — the
+    deterministic midpoint rule, not banker's rounding), ENCODES into a
+    byte-exact RIFF/WAVE container, and the decode side WALKS THE REAL
+    HEADER (chunk ids, fmt validation, word alignment — functions/
+    multimodal.parse_wav_pcm16) before computing integer sample sums.
+    The DuckDB oracle recomputes the same integers straight from the
+    embeddings table, so a value match certifies the ENTIRE container
+    round-trip: any header-arithmetic bug desynchronizes the data chunk
+    and the hash catches it. One mapInPandas stage; sample_rate comes
+    from the parsed header, not the synthesizer. RMS derives from exact
+    integer Σx² — no float-order hazard."""
+    import numpy as np
+    import pandas as pd
+
+    from ..catalog import load_table as t
+    from ..functions.multimodal import encode_wav_pcm16, parse_wav_pcm16
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "sample_rate", "n_samples", "sum_samples",
+                "mean_sample", "rms")}
+            for vid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(e, dtype=np.float64)
+                i16 = np.clip(np.floor(x * 16384 + 0.5), -32768, 32767).astype(
+                    np.int16
+                )
+                rate, back = parse_wav_pcm16(encode_wav_pcm16(i16, 8000))
+                s = back.astype(np.int64)
+                out["asset_id"].append(int(vid))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(len(s))
+                out["sum_samples"].append(int(s.sum()))
+                out["mean_sample"].append(round(float(s.sum()) / len(s), 6))
+                out["rms"].append(round(float(np.sqrt(float((s * s).sum()) / len(s))), 6))
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        run,
+        schema="asset_id bigint, sample_rate bigint, n_samples bigint,"
+        " sum_samples bigint, mean_sample double, rms double",
+    )
+
+
+@query(
+    "multimodal_pgm_codec",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(least(greatest(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5),
+                                   0), 255) AS BIGINT)) AS pix
+      FROM embeddings
+    )
+    SELECT vec_id                                    AS asset_id,
+           CAST(8 AS BIGINT)                         AS width,
+           CAST(8 AS BIGINT)                         AS height,
+           CAST(list_sum(pix) AS BIGINT)             AS sum_pix,
+           round(CAST(list_sum(pix) AS DOUBLE) / 64, 6) AS mean_pix,
+           CAST(list_min(pix) AS BIGINT)             AS min_pix,
+           CAST(list_max(pix) AS BIGINT)             AS max_pix
+    FROM q
+    """,
+)
+def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: embeddings quantize to 8-bit grayscale
+    (floor((x+1)·127.5 + 0.5), clipped), encode as binary PGM (P5) with a
+    textual netpbm header, and decode through the REAL whitespace-and-
+    comment-tolerant header parser (functions/multimodal.parse_pgm) —
+    width/height in the output come from the PARSED header. Companion of
+    multimodal_wav_codec on the image side; same full-value-oracle
+    discipline (integer pixel sums recomputed by DuckDB from embeddings
+    certify the byte layout end to end)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..catalog import load_table as t
+    from ..functions.multimodal import encode_pgm, parse_pgm
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "width", "height", "sum_pix", "mean_pix",
+                "min_pix", "max_pix")}
+            for vid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(e, dtype=np.float64)
+                pix = np.clip(np.floor((x + 1.0) * 127.5 + 0.5), 0, 255).astype(
+                    np.uint8
+                ).reshape(8, 8)
+                img = parse_pgm(encode_pgm(pix))
+                s = img.astype(np.int64)
+                out["asset_id"].append(int(vid))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["sum_pix"].append(int(s.sum()))
+                out["mean_pix"].append(round(float(s.sum()) / s.size, 6))
+                out["min_pix"].append(int(s.min()))
+                out["max_pix"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        run,
+        schema="asset_id bigint, width bigint, height bigint, sum_pix bigint,"
+        " mean_pix double, min_pix bigint, max_pix bigint",
+    )

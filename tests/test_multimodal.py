@@ -72,3 +72,55 @@ def test_feature_report_rolls_up(spark, sf_dir):
     assert set(pdf["media_type"]) == {"image", "audio", "video"}
     assert (pdf["n_assets"] > 0).all()
     assert (pdf["avg_bytes"] == 256.0).all()
+
+
+def test_wav_parser_is_a_real_parser():
+    """The WAV decoder must walk chunks, validate magic/fmt, and honor
+    word alignment — not just slice a fixed offset."""
+    import numpy as np
+    import pytest as _pytest
+    import struct
+
+    from sap_cta_data_pipeline_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        parse_wav_pcm16,
+    )
+
+    s = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    rate, back = parse_wav_pcm16(encode_wav_pcm16(s, 44100))
+    assert rate == 44100 and (back == s).all()
+
+    # extra chunk with ODD size before data: alignment must be honored
+    payload = encode_wav_pcm16(s, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate2, back2 = parse_wav_pcm16(patched)
+    assert rate2 == 8000 and (back2 == s).all()
+
+    with _pytest.raises(ValueError):
+        parse_wav_pcm16(b"not a wav")
+    # stereo is outside the PCM-mono contract
+    stereo = bytearray(encode_wav_pcm16(s, 8000))
+    stereo[22] = 2  # n_channels
+    with _pytest.raises(NotImplementedError):
+        parse_wav_pcm16(bytes(stereo))
+
+
+def test_pgm_parser_handles_comments():
+    import numpy as np
+    import pytest as _pytest
+
+    from sap_cta_data_pipeline_spark.functions.multimodal import (
+        encode_pgm,
+        parse_pgm,
+    )
+
+    img = (np.arange(12, dtype=np.uint8) * 20).reshape(3, 4)
+    assert (parse_pgm(encode_pgm(img)) == img).all()
+    # netpbm comments between header fields must be skipped
+    commented = b"P5\n# a comment\n4 3\n# another\n255\n" + img.tobytes()
+    assert (parse_pgm(commented) == img).all()
+    with _pytest.raises(ValueError):
+        parse_pgm(b"P6\n1 1\n255\n\x00")
