@@ -287,3 +287,15 @@ def test_merge_txnlog_preserves_history(q, spark, sf_dir):
     base = _scratch(sf_dir, "txnlog_table_merge")
     v1 = {r.n_nationkey: r.n_name for r in txnlog_snapshot(spark, base, 1).collect()}
     assert v1 == nation
+
+
+def test_catalog_partition_overwrite_keeps_other_partitions(q, spark):
+    import os as _os
+
+    q("catalog_insert_overwrite_partition")
+    name = f"sap_cta_events_part_{_os.getpid()}"
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()}
+    # dynamic overwrite restated ONE partition; the other four survive
+    assert parts == {
+        f"event_type={t}" for t in ("click", "view", "purchase", "signup", "error")
+    }
