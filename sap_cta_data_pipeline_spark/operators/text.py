@@ -445,11 +445,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct alone measured 137 s). With the band-hash arrays
     # broadcast, "is this the first band where the pair collides?" is a
     # map-side zip-compare + array_position — each pair survives exactly
-    # once and NO pair-stream shuffle exists anywhere. Two-phase on
-    # purpose: phase 1 touches only the SLIM 8-long bh arrays (a
-    # single-phase join that also attached the 64-long signatures
-    # measured 4× slower — 128 longs materialized per pre-filter row);
-    # phase 2 attaches signatures to survivors only.
+    # once and NO pair-stream shuffle exists anywhere (the rebalance
+    # below is the only remaining pair-keyed exchange, and only at the
+    # big-corpus gate). Two-phase on purpose: phase 1 touches only the
+    # SLIM 8-long bh arrays (a single-phase join that also attached the
+    # 64-long signatures measured ~3× slower end to end — 128 longs
+    # materialized per pre-filter row); phase 2 attaches signatures to
+    # survivors only. 10× scale: 75-78 s end to end, which is
+    # OUTPUT-bound (79.5M true pairs); sf0.1 warm ≈ 1.9 s.
     bha = sigs.select(F.col("rep_id").alias("doc_a"), F.col("bh").alias("bh_a"))
     bhb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("bh").alias("bh_b"))
     first_band = (
