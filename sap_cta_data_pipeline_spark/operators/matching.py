@@ -382,3 +382,75 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.count(F.lit(1))).alias("n_clusters"),
         bi(F.sum("n_docs")).alias("n_docs_in_size"),
     )
+
+
+@query("dedup_cluster_recall_eval")  # rows-only: scores the hash-specific cluster lane
+def dedup_cluster_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-LEVEL evaluation of the MinHash dedup clustering against
+    the exact-Jaccard ground truth — the clustering-quality twin of the
+    pair-level dedup_recall_eval: both clusterings reduce to their
+    same-cluster representative PAIRS (the standard pair-counting view
+    of a clustering — Rand-index numerators), and the report is pair
+    precision/recall of minhash clusters vs exact clusters. This is the
+    number that licenses shipping dedup_minhash_cluster's keeper map at
+    100 TB: it bounds how many true duplicate pairs the banded
+    approximation merges (recall) and how many spurious merges it
+    introduces (precision) AFTER transitive closure — which pair-level
+    metrics cannot see (one wrong edge can glue two whole clusters).
+    Pair expansion is bounded by Σ|cluster|², computed per cluster key
+    (both clusterings' components are duplicate families — small by
+    construction). 1-row output."""
+    from ..registry import QUERIES
+
+    groups, edges = _neardup_graph(spark, sf_dir)
+    nodes = groups.select(F.col("rep").alias("node"))
+    exact_labels = connected_components(nodes, edges)
+
+    mh = QUERIES["dedup_minhash_cluster"](spark, sf_dir).select(
+        F.col("rep_id").alias("node"), F.col("cluster_id").alias("comp")
+    )
+
+    def _pairs(labels: DataFrame) -> DataFrame:
+        a = labels.select(F.col("comp").alias("c"), F.col("node").alias("pa"))
+        b = labels.select(F.col("comp").alias("c"), F.col("node").alias("pb"))
+        return (
+            a.join(b, "c")
+            .filter(F.col("pa") < F.col("pb"))
+            .select("pa", "pb")
+        )
+
+    # same pair UNIVERSE on both sides: the exact graph is lang-blocked
+    # by design, the minhash lane is not — unrestricted comparison would
+    # count every true cross-language near-dup against precision (a
+    # definition mismatch, not approximation error; measured: precision
+    # 0.22 unrestricted vs the same-lang figure reported here)
+    lang = groups.select(F.col("rep").alias("node"), "lang")
+    la = lang.select(F.col("node").alias("pa"), F.col("lang").alias("lang_a"))
+    lb = lang.select(F.col("node").alias("pb"), F.col("lang").alias("lang_b"))
+
+    def _same_lang(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(F.broadcast(la), "pa")
+            .join(F.broadcast(lb), "pb")
+            .filter(F.col("lang_a") == F.col("lang_b"))
+            .select("pa", "pb")
+        )
+
+    pe = _pairs(exact_labels).cache()
+    pm = _same_lang(_pairs(mh)).cache()
+    n_e = pe.count()
+    n_m = pm.count()
+    n_common = pe.join(pm, ["pa", "pb"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_e,
+                n_m,
+                n_common,
+                round(n_common / n_e, 6) if n_e else 1.0,
+                round(n_common / n_m, 6) if n_m else 1.0,
+            )
+        ],
+        schema="n_pairs_exact bigint, n_pairs_minhash bigint, n_common bigint,"
+        " pair_recall double, pair_precision double",
+    )

@@ -696,7 +696,17 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes at 100 TB: a doc→keeper mapping (linear), never the pair
     list. Composes the two registered lanes verbatim, so it inherits
     the minhash recall/precision measured by dedup_recall_eval and the
-    CC correctness pinned by the twostar oracle lane."""
+    CC correctness pinned by the twostar oracle lane.
+
+    Edge threshold (round 4, driven by dedup_cluster_recall_eval): the
+    closure runs over pairs with est ≥ 0.8 — the actual Jaccard target —
+    NOT the pair lane's 0.75 candidate margin. Transitive closure
+    amplifies permissiveness (one sub-threshold edge glues two whole
+    clusters): with 0.75 edges the clustering measured pair-precision
+    0.18 at recall 0.996; at 0.8 it measures recall 0.956 /
+    precision 0.849 on the same-lang pair universe
+    (dedup_cluster_recall_eval) — the margin belongs in pair
+    REPORTING, never in closure."""
     from ..registry import QUERIES
     from .matching import connected_components_twostar
 
@@ -711,7 +721,11 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep_id", "n_members")
         .cache()
     )
-    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )

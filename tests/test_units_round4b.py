@@ -77,10 +77,12 @@ def test_minhash_cluster_invariants(q):
         assert cid == ids[0], "cluster id must be the min member"
         keepers = [m for m in members if m.is_keeper]
         assert len(keepers) == 1 and keepers[0].rep_id == cid
-    # every LSH pair must land in one cluster
+    # every CLOSURE-grade pair (est >= 0.8 — the edge threshold the
+    # cluster lane actually closes over) must land in one cluster
     cluster_of = {r.rep_id: r.cluster_id for r in rows}
     for p in q("dedup_minhash_lsh").collect():
-        assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
+        if p.est_jaccard >= 0.8:
+            assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
 
 
 def test_txnlog_time_travel(q, spark, sf_dir):
@@ -299,3 +301,16 @@ def test_catalog_partition_overwrite_keeps_other_partitions(q, spark):
     assert parts == {
         f"event_type={t}" for t in ("click", "view", "purchase", "signup", "error")
     }
+
+
+def test_cluster_recall_eval_bounds(q):
+    row = q("dedup_cluster_recall_eval").collect()[0]
+    assert row.n_common <= min(row.n_pairs_exact, row.n_pairs_minhash)
+    assert 0.0 <= row.pair_recall <= 1.0 and 0.0 <= row.pair_precision <= 1.0
+    assert row.pair_recall == pytest.approx(row.n_common / row.n_pairs_exact, abs=1e-6)
+    assert row.pair_precision == pytest.approx(
+        row.n_common / row.n_pairs_minhash, abs=1e-6
+    )
+    # the 0.8-closure clustering must be materially better than random:
+    # most exact duplicate pairs recovered
+    assert row.pair_recall > 0.9
