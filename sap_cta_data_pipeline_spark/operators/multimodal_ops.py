@@ -500,3 +500,82 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="asset_id bigint, width bigint, height bigint, sum_pix bigint,"
         " mean_pix double, min_pix bigint, max_pix bigint",
     )
+
+
+@query(
+    "pipe_clean_pgm_image",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(least(greatest(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5),
+                                   0), 255) AS BIGINT)) AS pix
+      FROM embeddings
+    ), cells AS (
+      SELECT vec_id, pix, i, pix[i + 1] AS p,
+             greatest(
+               CASE WHEN i % 8 > 0  THEN pix[i]     ELSE 0 END,
+               CASE WHEN i % 8 < 7  THEN pix[i + 2] ELSE 0 END,
+               CASE WHEN i >= 8     THEN pix[i - 7] ELSE 0 END,
+               CASE WHEN i < 56     THEN pix[i + 9] ELSE 0 END
+             ) AS nbr_max
+      FROM q, range(0, 64) t(i)
+    )
+    SELECT vec_id AS asset_id,
+           CAST(sum(CASE WHEN p > 160 THEN 1 ELSE 0 END) AS BIGINT) AS n_picture,
+           CAST(sum(CASE WHEN p > 160 OR (p > 130 AND nbr_max > 160)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN p > 160 OR (p > 130 AND nbr_max > 160)
+                         THEN p ELSE 0 END) AS BIGINT) AS kept_sum
+    FROM cells
+    GROUP BY vec_id
+    """,
+)
+def pipe_clean_pgm_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual business — two-threshold tailcut cleaning of
+    an INSTRUMENT IMAGE — on a REAL image format end to end: embeddings
+    quantize to 8-bit 8×8 grayscale, encode as binary PGM, decode through
+    the real netpbm parser, and the 2D tailcut runs on the decoded grid
+    (picture threshold 160; boundary pixels >130 survive only when
+    4-adjacent to a picture pixel — the genuine two-level neighborhood
+    rule, not the 1D vector analogue pipe_clean_threshold uses). All
+    comparisons are exact integers, so the per-asset kept-pixel counts
+    and energies carry a full value oracle: DuckDB replays quantization
+    + the neighbor rule straight from embeddings, certifying codec bytes
+    AND cleaning semantics in one hash. Composes batch-BI's codec with
+    the §2-M pipeline lane — the closest this environment permits to the
+    reference's FITS→tailcut path, now with a real container format."""
+    import numpy as np
+    import pandas as pd
+
+    from ..catalog import load_table as t
+    from ..functions.multimodal import encode_pgm, parse_pgm
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "n_picture", "n_kept", "kept_sum")}
+            for vid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(e, dtype=np.float64)
+                pix = np.clip(np.floor((x + 1.0) * 127.5 + 0.5), 0, 255).astype(
+                    np.uint8
+                ).reshape(8, 8)
+                img = parse_pgm(encode_pgm(pix)).astype(np.int64)
+                pic = img > 160
+                nbr_pic = np.zeros_like(pic)
+                nbr_pic[:, 1:] |= pic[:, :-1]
+                nbr_pic[:, :-1] |= pic[:, 1:]
+                nbr_pic[1:, :] |= pic[:-1, :]
+                nbr_pic[:-1, :] |= pic[1:, :]
+                keep = pic | ((img > 130) & nbr_pic)
+                out["asset_id"].append(int(vid))
+                out["n_picture"].append(int(pic.sum()))
+                out["n_kept"].append(int(keep.sum()))
+                out["kept_sum"].append(int(img[keep].sum()))
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        run,
+        schema="asset_id bigint, n_picture bigint, n_kept bigint, kept_sum bigint",
+    )

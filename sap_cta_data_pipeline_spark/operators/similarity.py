@@ -485,7 +485,8 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH registered ANN lanes — single-probe AND multi-probe — per
     probe, so the multi-probe knob's recall delta is a measured column
     (at sf0.01 multi-probe recovers the boundary near-misses the single
-    bucket drops), not a docstring claim."""
+    bucket drops), not a docstring claim — and the IVF lane rides along,
+    so all three registered ANN strategies are scored side by side."""
     from ..registry import QUERIES
 
     exact = QUERIES["sim_knn_cosine"](spark, sf_dir).select("probe_id", "cand_id")
@@ -503,6 +504,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
         .join(_hits("sim_ann_lsh", "h1"), "probe_id", "left")
         .join(_hits("sim_ann_lsh_multiprobe", "hm"), "probe_id", "left")
+        .join(_hits("sim_ann_ivf", "hi"), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("h1", F.lit(0)).alias("n_hits"),
@@ -512,6 +514,8 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.coalesce("h1", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
             F.coalesce("hm", F.lit(0)).alias("n_hits_multiprobe"),
             r6(F.coalesce("hm", F.lit(0)) / F.lit(5.0)).alias("recall_at_5_multiprobe"),
+            F.coalesce("hi", F.lit(0)).alias("n_hits_ivf"),
+            r6(F.coalesce("hi", F.lit(0)) / F.lit(5.0)).alias("recall_at_5_ivf"),
         )
     )
 
