@@ -692,3 +692,61 @@ def dq_order_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg(gap) / 100.0).alias("avg_abs_gap"),
         F.round(F.max(gap).cast("double") / 100.0, 2).alias("max_abs_gap"),
     )
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)          AS n_rows,
+           round(sum(l_quantity), 4)         AS sum_qty,
+           round(min(l_extendedprice), 2)    AS min_price,
+           round(max(l_extendedprice), 2)    AS max_price,
+           round(avg(l_discount), 6)         AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API — DQ metrics
+    collected DURING the main job, not by a second scan: the filtered
+    lineitem projection materializes once (a noop sink stands in for the
+    real downstream write) with ``.observe()`` accumulating count / sum /
+    min / max / avg as the rows stream past; the metrics arrive on the
+    driver as job-completion listener payload, costing ZERO extra reads.
+    This is how production jobs self-report row counts and value ranges
+    at 100 TB — an `observe` on the write path replaces the "run the
+    pipeline, then run a validation query" double scan that
+    dq_expectations-style checks would otherwise pay. The oracle
+    recomputes the same aggregates relationally, certifying the
+    listener-path arithmetic."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+    observed.select("l_orderkey", "l_quantity").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                round(float(m["sum_qty"]), 4),
+                round(float(m["min_price"]), 2),
+                round(float(m["max_price"]), 2),
+                round(float(m["avg_disc"]), 6),
+            )
+        ],
+        schema="n_rows bigint, sum_qty double, min_price double,"
+        " max_price double, avg_disc double",
+    )

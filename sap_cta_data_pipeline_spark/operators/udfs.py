@@ -173,3 +173,59 @@ def udf_grouped_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         standardize, schema="event_id long, event_type string, z double"
     )
     return raw.select("event_id", "event_type", r6(F.col("z")).alias("z"))
+
+
+@query(
+    "udtf_dynamic_schema",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           l[1] AS tok_0,
+           l[2] AS tok_1,
+           l[3] AS tok_2
+    FROM toks
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Python UDTF with a static ``analyze()`` — the output
+    SCHEMA is computed at plan time from a literal argument (here: split
+    the text into the first N=3 tokens as N named columns), which is the
+    API that makes generic extract-to-columns table functions possible
+    without hardcoding widths. The UDTF is invoked through SQL LATERAL
+    (per-row argument + foldable width argument), so this also exercises
+    the analyze path end-to-end: Catalyst calls analyze() once with the
+    literal, plans tok_0..tok_2, and executors stream rows over Arrow.
+    Missing tokens pad as NULL — mirrored in the oracle by DuckDB's
+    out-of-range list indexing."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import udtf as udtf_deco
+
+    class SplitN:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            width = int(n.value)
+            return AnalyzeResult(
+                T.StructType(
+                    [
+                        T.StructField(f"tok_{i}", T.StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = [x for x in (text or "").split(" ") if x]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("sap_cta_split_n", udtf_deco(SplitN))
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT d.doc_id, s.* FROM documents d, LATERAL sap_cta_split_n(d.text, 3) s"
+    )
