@@ -262,8 +262,15 @@ def agg_countd_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with grouping flags. The dimension joins broadcast (nation /
-    region / customer are small). Round 4: the rollup is computed by
+    """ROLLUP with grouping flags. Nation / region are bounded dimensions
+    (25 / 5 rows at every scale) and carry an explicit broadcast hint;
+    customer is UNBOUNDED at 100 TB, so whether that edge broadcasts is
+    left to AQE's runtime-stats decision — same policy as join_multiway
+    (joins.py). The join only needs (c_custkey, c_nationkey), so customer
+    is pre-projected to those two columns before the join: at 100 TB that
+    drops the shuffled payload from the full customer row to 16 bytes/row,
+    and at small SF it keeps AQE free to choose broadcast from real
+    post-projection stats. Round 4: the rollup is computed by
     RE-AGGREGATION from the finest grain — one ordinary partial+final
     hash agg collapses the fact stream to the (region, nation) grain
     (≤ |regions|·|nations| rows), and only that tiny frame goes through
@@ -279,9 +286,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
+    c_slim = c.select("c_custkey", "c_nationkey")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        o.join(c_slim, o.o_custkey == c_slim.c_custkey)
+        .join(F.broadcast(n), c_slim.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     finest = joined.groupBy("r_name", "n_name").agg(

@@ -85,12 +85,22 @@ def catalog_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> Data
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
     e.write.partitionBy("event_type").format("parquet").saveAsTable(name)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     restated = (
         e.filter(F.col("event_type") == "click")
         .withColumn("value", F.col("value") * 2)
     )
-    restated.write.mode("overwrite").insertInto(name)
+    # insertInto has no per-write partitionOverwriteMode option, so the
+    # session conf must be set — save/restore it so this operator never
+    # changes overwrite semantics for anything else running in the session.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").insertInto(name)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     out = spark.table(name)
     return out.select(
         "event_id", "user_id", F.round("value", 6).alias("value"), "event_type"

@@ -274,6 +274,15 @@ def connected_components_twostar(
         edges = new_edges
         if changed == 0:
             break
+    else:
+        # exhausting max_rounds without a fixed point means the labels
+        # below would be WRONG (a star forest was never reached) — fail
+        # loudly rather than return silently-incorrect components
+        raise RuntimeError(
+            f"connected_components_twostar did not converge in {max_rounds} "
+            f"rounds ({changed} edge changes in the last round); raise "
+            "max_rounds (~log2 of the largest component suffices)"
+        )
     comp = edges.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("comp"))
     labels = (
         nodes.join(comp, nodes.node == comp.src, "left")

@@ -473,6 +473,64 @@ def emb_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("label").agg(*aggs)
 
 
+#: planted-neighbor fixture geometry: 5 true near-neighbors per probe,
+#: ids far above any organic vec_id, per-dim offsets ≤ 8e-5 on unit-norm
+#: vectors → cos(probe, planted) ≈ 1 − 7e-8, unreachable by any organic
+#: pair — the planted 5 ARE the exact top-5 by construction.
+_PLANTED_PER_PROBE = 5
+_PLANTED_ID_BASE = 1_000_000
+
+
+def planted_embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per scratch lifetime) an embeddings corpus with a
+    KNOWN neighbor structure: the organic corpus plus, for every probe
+    (vec_id < 10), _PLANTED_PER_PROBE perturbed copies — deterministic
+    per-(probe, copy, dim) offsets, pure column arithmetic, no RNG (the
+    make_sf_scaled.py pattern). This is the fixture that LICENSES the ANN
+    lanes: organic recall on a uniform synthetic corpus measures corpus
+    geometry (no neighborhood structure exists to find), planted recall
+    measures the INDEX — a lane that misses a cos ≈ 1−1e-7 copy is
+    mistuned, full stop. Returns a dir usable as sf_dir by every lane
+    that reads only `embeddings`."""
+    import os
+
+    from .sources import _scratch
+
+    base = _scratch(sf_dir, "ann_planted")
+    out = os.path.join(base, "embeddings.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        emb = t(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_PLANTED_PER_PROBE))
+            ).alias("j"),
+        )
+        perturbed = F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double")
+                + (
+                    (F.col("vec_id") * 31 + F.col("j") * 13 + i * 7) % 17 - 8
+                ).cast("double")
+                * 1e-5
+            ).cast("float"),
+        )
+        planted = probes.select(
+            (
+                F.lit(_PLANTED_ID_BASE)
+                + F.col("vec_id") * 100
+                + F.col("j")
+            ).alias("vec_id"),
+            perturbed.alias("embedding"),
+            "label",
+        )
+        emb.unionByName(planted).coalesce(1).write.mode("overwrite").parquet(out)
+    return base
+
+
 @query("sim_recall_eval")  # rows-only: scores the hash-specific ANN lane
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the ANN-LSH lane against the brute-force ground truth,
@@ -486,25 +544,40 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, so the multi-probe knob's recall delta is a measured column
     (at sf0.01 multi-probe recovers the boundary near-misses the single
     bucket drops), not a docstring claim — and the IVF lane rides along,
-    so all three registered ANN strategies are scored side by side."""
+    so all three registered ANN strategies are scored side by side.
+
+    Round 5 (verdict ask #2): the eval now reports ORGANIC and PLANTED
+    recall side by side. Organic recall on the uniform synthetic corpus
+    is bounded by corpus geometry (no real neighborhood structure
+    exists — nothing to recall); the planted columns re-run all three
+    lanes against planted_embeddings_dir's corpus, where each probe has
+    5 true near-copies (cos ≈ 1−1e-7) that a correctly-tuned index MUST
+    find. recall_planted_* ≥ 0.8 for multi-probe and IVF is pinned in
+    tests/test_ann_planted.py — the planted number licenses the index,
+    the organic number characterizes this corpus."""
     from ..registry import QUERIES
 
-    exact = QUERIES["sim_knn_cosine"](spark, sf_dir).select("probe_id", "cand_id")
-
-    def _hits(ann_key: str, col: str) -> DataFrame:
-        ann = QUERIES[ann_key](spark, sf_dir).select("probe_id", "cand_id")
+    def _hits(exact: DataFrame, dir_: str, ann_key: str, col: str) -> DataFrame:
+        ann = QUERIES[ann_key](spark, dir_).select("probe_id", "cand_id")
         return (
             exact.join(ann, ["probe_id", "cand_id"], "left_semi")
             .groupBy("probe_id")
             .agg(F.count(F.lit(1)).alias(col))
         )
 
+    exact = QUERIES["sim_knn_cosine"](spark, sf_dir).select("probe_id", "cand_id")
+    pdir = planted_embeddings_dir(spark, sf_dir)
+    exact_p = QUERIES["sim_knn_cosine"](spark, pdir).select("probe_id", "cand_id")
+
     return (
         exact.groupBy("probe_id")
         .agg(F.count(F.lit(1)).alias("k"))
-        .join(_hits("sim_ann_lsh", "h1"), "probe_id", "left")
-        .join(_hits("sim_ann_lsh_multiprobe", "hm"), "probe_id", "left")
-        .join(_hits("sim_ann_ivf", "hi"), "probe_id", "left")
+        .join(_hits(exact, sf_dir, "sim_ann_lsh", "h1"), "probe_id", "left")
+        .join(_hits(exact, sf_dir, "sim_ann_lsh_multiprobe", "hm"), "probe_id", "left")
+        .join(_hits(exact, sf_dir, "sim_ann_ivf", "hi"), "probe_id", "left")
+        .join(_hits(exact_p, pdir, "sim_ann_lsh", "p1"), "probe_id", "left")
+        .join(_hits(exact_p, pdir, "sim_ann_lsh_multiprobe", "pm"), "probe_id", "left")
+        .join(_hits(exact_p, pdir, "sim_ann_ivf", "pi"), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("h1", F.lit(0)).alias("n_hits"),
@@ -516,6 +589,11 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.coalesce("hm", F.lit(0)) / F.lit(5.0)).alias("recall_at_5_multiprobe"),
             F.coalesce("hi", F.lit(0)).alias("n_hits_ivf"),
             r6(F.coalesce("hi", F.lit(0)) / F.lit(5.0)).alias("recall_at_5_ivf"),
+            r6(F.coalesce("p1", F.lit(0)) / F.lit(5.0)).alias("recall_planted"),
+            r6(F.coalesce("pm", F.lit(0)) / F.lit(5.0)).alias(
+                "recall_planted_multiprobe"
+            ),
+            r6(F.coalesce("pi", F.lit(0)) / F.lit(5.0)).alias("recall_planted_ivf"),
         )
     )
 

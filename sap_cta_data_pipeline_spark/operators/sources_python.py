@@ -133,7 +133,11 @@ def _make_sink_datasource():
         def _sweep_tmp(self) -> None:
             # orphaned temp files from aborted/retried tasks are never
             # renamed; the driver-side commit/abort is the only safe
-            # place to sweep them (no task can still be writing).
+            # place to sweep them (no task can still be writing). abort()
+            # can fire before any task created the directory — don't let
+            # a FileNotFoundError here mask the original write failure.
+            if not os.path.isdir(self.path):
+                return
             for name in os.listdir(self.path):
                 if name.startswith(".tmp-"):
                     os.remove(os.path.join(self.path, name))

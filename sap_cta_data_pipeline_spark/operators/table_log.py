@@ -63,13 +63,11 @@ def _build_fixture(spark: SparkSession, sf_dir: str, base: str) -> None:
         fh.write("ok")
 
 
-def txnlog_snapshot(
-    spark: SparkSession, base: str, version: int | None = None
-) -> DataFrame:
+def txnlog_live_files(base: str, version: int | None = None) -> list[str]:
     """Replay the transaction log up to ``version`` (None = latest) and
-    read exactly the live file set. Log replay is DRIVER-side on
-    metadata only (file-count rows — the same replay every table-format
-    driver performs); data stays distributed."""
+    return the live file set (relative part names, sorted). Replay is
+    DRIVER-side on metadata only — the same replay every table-format
+    driver performs."""
     log_dir = os.path.join(base, "_log")
     versions = sorted(
         int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
@@ -85,7 +83,15 @@ def txnlog_snapshot(
                     live.add(a["add"])
                 if "remove" in a:
                     live.discard(a["remove"])
-    paths = [os.path.join(base, p) for p in sorted(live)]
+    return sorted(live)
+
+
+def txnlog_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read exactly the live file set at ``version`` (None = latest);
+    data stays distributed — only the action replay touches the driver."""
+    paths = [os.path.join(base, p) for p in txnlog_live_files(base, version)]
     return spark.read.parquet(*paths)
 
 
@@ -139,11 +145,12 @@ def txnlog_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build_fixture(spark, sf_dir, base)
     log_dir = os.path.join(base, "_log")
     if not os.path.exists(os.path.join(log_dir, f"{2:08d}.json")):
+        live_parts = txnlog_live_files(base, 1)
         live_before = txnlog_snapshot(spark, base, 1)
         live_before.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(base, "part-compacted")
         )
-        actions = [{"remove": "part-b"}, {"remove": "part-c"}, {"add": "part-compacted"}]
+        actions = [{"remove": p} for p in live_parts] + [{"add": "part-compacted"}]
         tmp = os.path.join(log_dir, ".tmp-00000002.json")
         with open(tmp, "w") as fh:
             for a in actions:
@@ -194,13 +201,12 @@ def merge_into_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build_fixture(spark, sf_dir, base)
     log_dir = os.path.join(base, "_log")
     if not os.path.exists(os.path.join(log_dir, f"{2:08d}.json")):
-        # changed keys live in part-b (>=12? no: 3,7,11 < 12 → part-c) and
-        # the insert is keyless-new; compute AFFECTED files from the live
-        # set instead of hardcoding
         snap = txnlog_snapshot(spark, base, 1)
         changed_keys = sorted(_MERGE_UPDATES) + [_MERGE_DELETE]
-        # copy-on-write: rewrite only files holding changed keys
-        live = ["part-b", "part-c"]
+        # copy-on-write: the live file set comes from LOG REPLAY (never a
+        # directory listing or a hardcoded list), then only files actually
+        # holding changed keys are rewritten
+        live = txnlog_live_files(base, 1)
         affected = []
         for part in live:
             pdf = spark.read.parquet(os.path.join(base, part))

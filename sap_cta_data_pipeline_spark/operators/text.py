@@ -336,12 +336,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining cache is the tiny per-distinct-doc signature table that
     feeds both join sides and both broadcast lookups.
 
-    Verification is signature-based on purpose: the signature table is
-    tiny (n_distinct × 64 longs) and broadcasts, so candidate scoring is
-    a map-side zip-compare with NO shuffle — unlike a token-level exact
-    verify join, which re-shuffles the corpus (measured 2× slower here
-    and unboundedly worse at scale). Exact Jaccard lives in
-    dedup_near_jaccard; this is the approximate lane.
+    Verification is signature-based on purpose: candidate scoring never
+    re-touches the corpus text — unlike a token-level exact verify join,
+    which re-shuffles the corpus (measured 2× slower here and unboundedly
+    worse at scale). HOW the signatures attach is gated (round 5): below
+    the big_corpus threshold the table is kilobytes and broadcasts
+    (map-side zip-compare, no shuffle); past it the table is one row per
+    DISTINCT document and broadcast would be the scale-killer, so the
+    scoring joins become keyed SHUFFLE_HASH joins (signature side builds
+    the hash table — always far smaller than the quadratic pair stream).
+    Exact Jaccard lives in dedup_near_jaccard; this is the approximate
+    lane.
 
     Round 4 (the both-scale bench caught the dup-dense 10× case): pair
     dedup is now the first-matching-band filter (no pair-stream
@@ -455,6 +460,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OUTPUT-bound (79.5M true pairs); sf0.1 warm ≈ 1.9 s.
     bha = sigs.select(F.col("rep_id").alias("doc_a"), F.col("bh").alias("bh_a"))
     bhb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("bh").alias("bh_b"))
+
+    def _attach(pairs: DataFrame, side_tbl: DataFrame, key: str) -> DataFrame:
+        # Scoring-join strategy rides the SAME measured big_corpus gate as
+        # the DOP repartitions (round 5): below the gate the signature
+        # table is kilobytes per thousand docs and broadcast scoring is a
+        # shuffle-free map-side zip-compare; past it the table is one row
+        # per DISTINCT document × 8/64 longs (~300 MB at the 10× bench
+        # scale, corpus-sized at 100 TB) and broadcasting it is the
+        # scale-killer — swap to a keyed shuffle join. SHUFFLE_HASH, not
+        # sort-merge: the build side (signatures) is always far smaller
+        # than the quadratic candidate-pair stream, and a hash build
+        # avoids sorting that stream once per join.
+        if big_corpus:
+            return pairs.join(side_tbl.hint("shuffle_hash"), key)
+        return pairs.join(F.broadcast(side_tbl), key)
     first_band = (
         F.array_position(
             F.zip_with("bh_a", "bh_b", lambda x, y: x == y), F.lit(True)
@@ -470,8 +490,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the rebalance costs ~2 GB at the 10× scale vs the minutes a
     # skewed scoring tail costs. Same big-corpus gate as above.
     unique_pairs = (
-        raw_pairs.join(F.broadcast(bha), "doc_a")
-        .join(F.broadcast(bhb), "doc_b")
+        _attach(_attach(raw_pairs, bha, "doc_a"), bhb, "doc_b")
         .filter(first_band == F.col("band"))
         .select("doc_a", "doc_b")
     )
@@ -496,8 +515,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_match = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     est = n_match.cast("double") / F.lit(float(_N_HASHES))
     return (
-        unique_pairs.join(F.broadcast(siga), "doc_a")
-        .join(F.broadcast(sigb), "doc_b")
+        _attach(_attach(unique_pairs, siga, "doc_a"), sigb, "doc_b")
         .withColumn("est_jaccard", r6(est))
         .filter(F.col("est_jaccard") >= 0.75)
         .select("doc_a", "doc_b", "est_jaccard", "n_members_a", "n_members_b")

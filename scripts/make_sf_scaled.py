@@ -17,8 +17,22 @@ Replication semantics (what "10× the data" means here):
   perturbation (pure column arithmetic, no RNG) so vectors are distinct
   across replicas while preserving the label-block structure.
 
-Pure DuckDB; deterministic; writes <out_dir>/<table>.parquet.
-Usage: python scripts/make_sf_scaled.py [src_sf_dir] [out_dir] [rep]
+--dup-sparse (round-5 verdict ask #6): the default replication is
+maximally DUP-DENSE for near-dup lanes — a one-token suffix keeps every
+replica within Jaccard ~0.9 of its siblings, so each source doc becomes a
+rep-member near-dup family and pair output grows quadratically in rep.
+That conflates output-bound cost with plan cost. --dup-sparse instead
+suffixes EVERY token with the replica id for r > 0: cross-replica shingle
+overlap drops to zero (replicas are NOT near-dups of each other) while
+within-replica duplicate structure is exactly the base corpus's (two
+identical base docs stay identical under the same transformation) — dup
+DENSITY stays constant as volume scales, the realistic web-corpus shape.
+Only documents differ between modes.
+
+Pure DuckDB; deterministic; writes <out_dir>/<table>.parquet and a
+_COMPLETE marker (checked by bench.py — a crashed partial run without the
+marker is re-synthesized, never silently benched).
+Usage: python scripts/make_sf_scaled.py [src_sf_dir] [out_dir] [rep] [--dup-sparse]
 """
 
 from __future__ import annotations
@@ -33,10 +47,15 @@ OFF = 100_000_000
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
-    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = [a for a in sys.argv[1:] if a != "--dup-sparse"]
+    dup_sparse = "--dup-sparse" in sys.argv[1:]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    out = argv[1] if len(argv) > 1 else "/tmp/spark_graft_sf1"
+    rep = int(argv[2]) if len(argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
     con = duckdb.connect()
     con.execute(f"CREATE MACRO src(t) AS '{src}/' || t || '.parquet'")
 
@@ -97,14 +116,21 @@ def main() -> int:
                    event_type, value, props
             FROM read_parquet(src('events')), {rep_src}""",
     )
+    if dup_sparse:
+        # every token carries the replica id → zero cross-replica shingle
+        # overlap (replicas are unrelated docs), base dup structure intact
+        doc_text = (
+            "CASE WHEN r = 0 THEN text ELSE array_to_string("
+            "list_transform(string_split(text, ' '), w -> w || 'r' || r), ' ') END"
+        )
+    else:
+        doc_text = "CASE WHEN r = 0 THEN text ELSE text || ' rep' || r END"
     copy(
         "documents",
         f"""SELECT doc_id + r * {OFF} AS doc_id,
-                   CASE WHEN r = 0 THEN text
-                        ELSE text || ' rep' || r END AS text,
+                   {doc_text} AS text,
                    lang, source,
-                   length(CASE WHEN r = 0 THEN text
-                               ELSE text || ' rep' || r END) AS n_chars
+                   length({doc_text}) AS n_chars
             FROM read_parquet(src('documents')), {rep_src}""",
     )
     copy(
@@ -119,6 +145,8 @@ def main() -> int:
                    label
             FROM read_parquet(src('embeddings')), {rep_src}""",
     )
+    with open(marker, "w") as fh:
+        fh.write(f"rep={rep} mode={'dup-sparse' if dup_sparse else 'dup-dense'}\n")
     return 0
 
 
