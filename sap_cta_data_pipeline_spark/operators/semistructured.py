@@ -104,6 +104,170 @@ def json_shred_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_shred_discover",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             event_type AS t,
+             floor(value * 100) / 100 AS v
+      FROM events
+    )
+    SELECT 'k' AS key, 'bigint' AS inferred_type,
+           count(k) AS n_nonnull, count(DISTINCT k) AS n_distinct
+    FROM src
+    UNION ALL
+    SELECT 't', 'string', count(t), count(DISTINCT t) FROM src
+    UNION ALL
+    SELECT 'v', 'double', count(v), count(DISTINCT v) FROM src
+    """,
+)
+def json_shred_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shred-on-ingest with RUNTIME schema discovery — the round-4
+    verdict's completion ask: json_shred_materialized shreds one key
+    known a priori, but real props columns are open schema. This lane
+    ingests a raw JSON feed (a 3-key enrichment of events.props, built
+    deterministically so the oracle can rebuild the same values straight
+    from the table: k from props, t = event_type, v = floor(value·100)/100)
+    with NO schema given, then:
+
+    1. **discover**: one distributed pass explodes ``json_object_keys``
+       and collects the DISTINCT key set — a driver literal bounded by
+       schema width, never data size (the agg_pivot_dynamic class);
+    2. **infer**: one aggregate pass counts, per discovered key,
+       non-null values and bigint/double try_cast failures; narrowest
+       type that never fails wins (bigint → double → string) — the
+       Spark-read-json inference contract, done as one keyed agg;
+    3. **shred**: from_json with the DISCOVERED schema parses once and
+       the typed columns persist as parquet (idempotent _SUCCESS skip);
+    4. **profile**: per-key n_nonnull + exact n_distinct computed FROM
+       the shredded store, so the oracle hash certifies the whole
+       discover→infer→shred→read-back loop.
+
+    At 100 TB: passes 1–2 are key-width aggregates over a corpus scan
+    each (what schema inference costs by definition — Spark's own
+    spark.read.json pays the same), pass 3 is the one parse the
+    materialization amortizes forever."""
+    import os
+
+    from .sources import _scratch
+
+    raw_path = _scratch(sf_dir, "events_json_feed")
+    if not os.path.exists(os.path.join(raw_path, "_SUCCESS")):
+        e = t(spark, sf_dir, "events")
+        feed = e.select(
+            "event_id",
+            F.to_json(
+                F.struct(
+                    F.from_json("props", "k long")["k"].alias("k"),
+                    F.col("event_type").alias("t"),
+                    (F.floor(F.col("value") * 100) / 100).alias("v"),
+                )
+            ).alias("doc"),
+        )
+        feed.write.mode("overwrite").parquet(raw_path)
+    raw = spark.read.parquet(raw_path)
+
+    # 1. discovery: distinct key set (driver literal, schema-width bounded)
+    keys = sorted(
+        r[0]
+        for r in raw.select(
+            F.explode(F.json_object_keys("doc")).alias("key")
+        ).distinct().collect()
+    )
+
+    # 2. inference: one agg, 3 counters per discovered key
+    def _sval(k: str):
+        return F.get_json_object("doc", f"$.{k}")
+
+    counters = []
+    for k in keys:
+        sv = _sval(k)
+        counters += [
+            F.count(sv).alias(f"{k}__n"),
+            F.count(
+                F.when(sv.isNotNull() & F.expr(
+                    f"try_cast(get_json_object(doc, '$.{k}') AS bigint)"
+                ).isNull(), 1)
+            ).alias(f"{k}__bigint_fail"),
+            F.count(
+                F.when(sv.isNotNull() & F.expr(
+                    f"try_cast(get_json_object(doc, '$.{k}') AS double)"
+                ).isNull(), 1)
+            ).alias(f"{k}__double_fail"),
+        ]
+    stats = raw.agg(*counters).collect()[0].asDict()
+    inferred: dict[str, str] = {}
+    for k in keys:
+        if stats[f"{k}__bigint_fail"] == 0:
+            inferred[k] = "bigint"
+        elif stats[f"{k}__double_fail"] == 0:
+            inferred[k] = "double"
+        else:
+            inferred[k] = "string"
+
+    # 3. shred once with the discovered schema
+    schema_str = ", ".join(f"`{k}` {inferred[k]}" for k in keys)
+    shred_path = _scratch(sf_dir, "events_json_feed_shredded")
+    if not os.path.exists(os.path.join(shred_path, "_SUCCESS")):
+        parsed = raw.select(
+            "event_id", F.from_json("doc", schema_str).alias("s")
+        ).select("event_id", *[F.col(f"s.{k}").alias(k) for k in keys])
+        parsed.write.mode("overwrite").parquet(shred_path)
+    s = spark.read.parquet(shred_path)
+
+    # 4. per-key profile from the materialized typed columns
+    pieces = [
+        s.agg(
+            F.lit(k).alias("key"),
+            F.lit(inferred[k]).alias("inferred_type"),
+            F.count(F.col(k)).alias("n_nonnull"),
+            F.countDistinct(F.col(k)).alias("n_distinct"),
+        )
+        for k in keys
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query("json_shred_rollup_hll")  # rows-only: HLL estimates are sketch-impl-specific
+def json_shred_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL swap for json_shred_materialized's residual wall: the sf10
+    floor study showed the shredded rollup's remaining cost is
+    count(DISTINCT user_id) (an expand + second shuffle), not JSON. Where
+    the consumer tolerates ±2% (dashboards, monitoring — the usual
+    consumers of per-bucket uniques), the exact distinct swaps for a
+    DataSketches HLL (`hll_sketch_agg`, the agg_hll_mergeable lane's
+    machinery composed onto the shredded store): ONE ordinary partial+
+    final agg, no expand, and the per-bucket sketches stay mergeable —
+    region rollups or day merges union kilobyte sketches with no raw
+    re-scan. Accuracy vs the exact lane is pinned (<5% per bucket) in
+    tests/test_units_round5.py; rows-only lane (estimates are
+    sketch-implementation-specific, no DuckDB twin)."""
+    from ..registry import QUERIES as _Q
+
+    # reuse the materialized shred (idempotent build inside)
+    _Q["json_shred_materialized"](spark, sf_dir)
+    import os
+
+    from .sources import _scratch
+
+    s = spark.read.parquet(_scratch(sf_dir, "events_shredded"))
+    return (
+        s.withColumn("k_bucket", F.floor(F.col("k") / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("value")).alias("avg_value"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "n_users_approx"
+            ),
+        )
+    )
+
+
+@query(
     "arr_basics",
     oracle="""
     SELECT

@@ -52,6 +52,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "events_lateness_report": 3,
     "graph_triangle_count": 1,
     "ids_assign_global": 3,
+    "json_shred_discover": 1,  # 3-row union of per-key global-agg profiles
     "lang_id_confusion_eval": 1,
     "lineitem_abc_pareto": 3,
     "ml_auc_roc": 3,
