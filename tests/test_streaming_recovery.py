@@ -95,3 +95,88 @@ def test_restart_from_checkpoint_restores_state(spark, chunk_files, tmp_path_fac
     final = out_df.groupby("user_id")["running_n"].max()
     expected = events.groupby("user_id").size()
     assert final.sort_index().tolist() == expected.sort_index().tolist()
+
+
+def test_crash_between_epoch_commit_and_checkpoint_is_exactly_once(
+    spark, tmp_path_factory
+):
+    """Round-5 verdict ask #8 — the precise crash window the foreachBatch
+    sink claims to survive: the epoch's transactional commit SUCCEEDS
+    (directory + manifest written), then the query dies BEFORE Spark
+    records the epoch in the checkpoint commit log (simulated by raising
+    inside foreachBatch after the sink commit — Spark writes the commit
+    log only after foreachBatch returns). On restart Spark replays the
+    same epoch id; the sink's idempotent per-epoch overwrite must absorb
+    the replay so the manifest read-back has every row exactly once."""
+    import json
+
+    from sap_cta_data_pipeline_spark.operators.sources_python import (
+        _STREAM_N,
+        _make_sink_datasource,
+        _make_stream_datasource,
+    )
+
+    spark.dataSource.register(_make_stream_datasource())
+    spark.dataSource.register(_make_sink_datasource())
+    base = str(tmp_path_factory.mktemp("crash_window"))
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    attempts: dict[int, int] = {}
+    crash_armed = {"on": True}
+
+    def _commit_epoch(batch_df, epoch_id: int) -> None:
+        import os
+        import shutil as sh
+
+        epoch_dir = os.path.join(out, f"epoch={epoch_id}")
+        if os.path.isdir(epoch_dir):
+            sh.rmtree(epoch_dir)
+        batch_df.write.format("jsonl_manifest_sink").mode("append").option(
+            "path", epoch_dir
+        ).save()
+        attempts[epoch_id] = attempts.get(epoch_id, 0) + 1
+        if crash_armed["on"] and epoch_id == 1:
+            raise RuntimeError("injected crash AFTER sink commit, BEFORE checkpoint")
+
+    def _start():
+        return (
+            spark.readStream.format("synthetic_telemetry_stream")
+            .load()
+            .writeStream.foreachBatch(_commit_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: dies mid-stream with epoch 1 committed but unacknowledged
+    q1 = _start()
+    with pytest.raises(Exception):
+        q1.processAllAvailable()
+    q1.stop()
+    assert attempts.get(1) == 1  # the sink transaction DID happen
+
+    # run 2: restart from the same checkpoint, drain to completion
+    crash_armed["on"] = False
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # the crash window was actually exercised: epoch 1 committed twice
+    assert attempts[1] == 2
+
+    # manifest read-back: every reading exactly once, no epoch gaps
+    import glob
+    import os
+
+    files: list[str] = []
+    for manifest in sorted(glob.glob(os.path.join(out, "epoch=*", "_MANIFEST.json"))):
+        with open(manifest) as fh:
+            files.extend(json.load(fh)["files"])
+    pdf = (
+        spark.read.schema("reading_id long, reading_sq long").json(files).toPandas()
+    )
+    assert len(pdf) == _STREAM_N
+    assert pdf["reading_id"].is_unique
+    assert set(pdf["reading_id"]) == set(range(_STREAM_N))
+    assert (pdf["reading_sq"] == pdf["reading_id"] ** 2).all()
