@@ -330,3 +330,66 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(bi(F.count(F.lit(1))).alias("core_degree"))
     )
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE {_EDGE_CTE},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    seeds AS (
+      SELECT node FROM (
+        SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e
+      ) ORDER BY node LIMIT 5
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node WHERE w.d < 4
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to hop-limit 4 over the co-purchase graph — the
+    distance primitive behind influence radii, crawl-frontier depth, and
+    "how far is this node from any trusted seed" quality weighting.
+    Seeds are the 5 smallest node ids (deterministic). Frontier
+    iteration with first-visit pruning: each round joins ONLY the
+    current frontier (not all visited nodes) against the symmetric edge
+    list, anti-joins the visited set so a node's first visit IS its
+    minimum distance (BFS invariant — no min-agg over all walks needed),
+    and localCheckpoints the shrinking frontier. Per round the shuffle
+    is |frontier ⋈ edges| — never the full walk enumeration the naive
+    UNION-ALL recursive form materializes (that is exactly why the
+    DuckDB oracle uses recursive-UNION-distinct: all WALKS of length ≤4
+    in a dense graph are combinatorial; (node, d) STATES are bounded by
+    5·|V|). Hop-bounded on purpose: unbounded BFS is graph-diameter
+    rounds (fine too — dedup_cluster_cc does it); the bounded form is
+    what a 100 TB crawl-depth or trust-radius job actually runs, and it
+    is the form ANSI SQL can oracle exactly."""
+    e = _edges(spark, sf_dir)
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    seeds = nodes.orderBy("node").limit(5)
+    dist = seeds.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, 5):
+        reached = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(h)
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node")
+    return dist.select(bi(F.col("node")).alias("node"), bi(F.col("dist")).alias("dist"))

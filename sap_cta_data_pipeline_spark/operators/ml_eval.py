@@ -479,3 +479,70 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot_pos").cast("double") / F.col("tot"))
         ).alias("lift"),
     )
+
+
+@query(
+    "ml_kfold_assign",
+    oracle="""
+    WITH folds AS (
+      SELECT ((o_orderkey * 40503) % 65536) % 5 AS fold,
+             o_totalprice, o_custkey
+      FROM orders
+    ),
+    per_fold AS (
+      SELECT fold, count(*) AS n_test,
+             sum(o_totalprice) AS sum_test,
+             count(DISTINCT o_custkey) AS n_cust_test
+      FROM folds GROUP BY fold
+    ),
+    tot AS (
+      SELECT sum(n_test) AS n_all, sum(sum_test) AS sum_all FROM per_fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           n_test,
+           CAST(n_all - n_test AS BIGINT) AS n_train,
+           round(sum_test / n_test, 6) AS avg_test_price,
+           round((sum_all - sum_test) / (n_all - n_test), 6) AS avg_train_price,
+           n_cust_test
+    FROM per_fold CROSS JOIN tot
+    """,
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) over
+    orders — the split primitive every distributed CV loop needs, with
+    the leakage-free properties that matter: (a) assignment is a PURE
+    function of the key (a Knuth-style multiplicative mix, engine-
+    portable integer arithmetic — no RNG, so re-runs, late-arriving
+    data, and both engines agree row-for-row), (b) folds partition the
+    table exactly (pinned in tests), and (c) per-fold TRAIN stats come
+    from the complement identity (train = total − fold) computed off the
+    per-fold aggregates — ONE scan for all k train/test pairs, not k
+    scans of 80% of the corpus each, which is the difference between CV
+    costing 1× and 5× a 100 TB epoch. avg_train_price's float parity
+    holds because both engines compute it from the same per-fold sums,
+    not from independent re-summations (§5.3 discipline)."""
+    o = t(spark, sf_dir, "orders")
+    fold = ((F.col("o_orderkey") * 40503) % 65536) % 5
+    per_fold = (
+        o.select(fold.alias("fold"), "o_totalprice", "o_custkey")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("o_totalprice").alias("sum_test"),
+            F.countDistinct("o_custkey").alias("n_cust_test"),
+        )
+    )
+    tot = per_fold.agg(
+        F.sum("n_test").alias("n_all"), F.sum("sum_test").alias("sum_all")
+    )
+    return per_fold.crossJoin(F.broadcast(tot)).select(
+        bi(F.col("fold")).alias("fold"),
+        "n_test",
+        bi(F.col("n_all") - F.col("n_test")).alias("n_train"),
+        r6(F.col("sum_test") / F.col("n_test")).alias("avg_test_price"),
+        r6(
+            (F.col("sum_all") - F.col("sum_test"))
+            / (F.col("n_all") - F.col("n_test"))
+        ).alias("avg_train_price"),
+        "n_cust_test",
+    )

@@ -750,3 +750,69 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_rows bigint, sum_qty double, min_price double,"
         " max_price double, avg_disc double",
     )
+
+
+@query(
+    "dq_schema_drift",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_id',   'unchanged',    'bigint', 'bigint'),
+      ('event_type', 'removed',      'string', NULL),
+      ('ingest_tag', 'added',        NULL,     'string'),
+      ('props',      'unchanged',    'string', 'string'),
+      ('ts',         'unchanged',    'timestamp_ntz', 'timestamp_ntz'),
+      ('user_id',    'type_changed', 'bigint', 'string'),
+      ('value',      'unchanged',    'double', 'double')
+    ) AS t(column_name, status, old_type, new_type)
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection between two snapshots of a feed — the DQ
+    gate that catches an upstream producer silently renaming, dropping,
+    or re-typing a column BEFORE a 100 TB backfill bakes the drift in.
+    The 'yesterday' snapshot is the events table; 'today' is a scratch
+    parquet write with three planted drifts (event_type dropped,
+    ingest_tag added, user_id re-typed bigint → string — the classic
+    "ids got stringly-typed upstream" failure). Detection reads ONLY
+    parquet footers (StructType field lists — metadata, zero data rows
+    scanned regardless of table size) and diffs them driver-side into
+    one verdict row per column in either schema. The oracle is the
+    expected verdict table as literal VALUES: deterministic fixture →
+    deterministic diff, so the hash certifies the classifier logic
+    (added / removed / type_changed / unchanged), not just row counts.
+    Timestamp note: events.ts surfaces as timestamp_ntz through the
+    catalog's nanos-safe loader; the drift copy round-trips it
+    unchanged."""
+    import os
+
+    from .sources import _scratch
+
+    e = t(spark, sf_dir, "events")
+    path = _scratch(sf_dir, "events_drifted")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        drifted = e.select(
+            "event_id",
+            F.col("user_id").cast("string").alias("user_id"),
+            "value",
+            "props",
+            "ts",
+            F.lit("batch-42").alias("ingest_tag"),
+        )
+        drifted.write.mode("overwrite").parquet(path)
+    new_schema = spark.read.parquet(path).schema
+
+    old = {f.name: f.dataType.simpleString() for f in e.schema.fields}
+    new = {f.name: f.dataType.simpleString() for f in new_schema.fields}
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        if name not in new:
+            rows.append((name, "removed", old[name], None))
+        elif name not in old:
+            rows.append((name, "added", None, new[name]))
+        elif old[name] != new[name]:
+            rows.append((name, "type_changed", old[name], new[name]))
+        else:
+            rows.append((name, "unchanged", old[name], new[name]))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, old_type string, new_type string"
+    )

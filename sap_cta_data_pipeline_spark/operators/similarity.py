@@ -806,3 +806,74 @@ def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.col("n_members")).alias("n_members"),
         (F.col("vec_id") != F.col("keeper")).alias("is_duplicate"),
     )
+
+
+@query("emb_ivf_kmeans_ann")  # rows-only: kmeans cell geometry is impl-specific
+def emb_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN over LEARNED cells — sim_ann_ivf's production form: that
+    lane's inverted file uses label centroids (cells exist only because
+    the fixture has labels); real deployments train the coarse quantizer
+    with k-means on the vectors themselves. Cells come from the
+    registered Lloyd lane (training_prep2.kmeans_assigned — k=8, 3
+    rounds, deterministic init, broadcast-centroid in-row argmin);
+    final cell MEANS become the coarse quantizer, each probe ranks all
+    k means in-row (one broadcast row of k×d doubles — the sim_ann_ivf
+    expression shape) and scans its nprobe=2 nearest cells; exact
+    cosine re-ranks candidates to top-5. At 100 TB: k grows to ~√n,
+    the corpus is stored PARTITIONED BY cell, and a probe touches
+    nprobe partitions — same story as sim_ann_ivf but with cells that
+    exist for any unlabeled corpus. Planted recall@5 ≥ 0.8 pinned in
+    tests/test_ann_planted.py alongside the other ANN lanes."""
+    from .training_prep2 import kmeans_assigned
+
+    assigned = kmeans_assigned(spark, sf_dir).select("vec_id", "e", "cell")
+    cents = (
+        assigned.select("cell", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p["m"]).alias("ce"))
+    )
+    cell_row = cents.agg(F.collect_list(F.struct("cell", "ce")).alias("cells"))
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(_d2(c).alias("d2"), c["cell"].alias("cell")),
+        )
+    )
+    corpus = assigned.select("vec_id", "e", "cell", _l2(F.col("e")).alias("nrm"))
+    probes = (
+        assigned.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cell_row))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("e").alias("pe"),
+            _l2(F.col("e")).alias("pn"),
+            F.explode(F.slice(ranked_cells, 1, 2)).alias("pc"),  # nprobe = 2
+        )
+        .select("probe_id", "pe", "pn", F.col("pc")["cell"].alias("cell"))
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            r6(_dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return cands.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)

@@ -40,6 +40,16 @@ _MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
 _N_HASHES = 64
 _N_BANDS = 8
 _BAND_ROWS = 8
+#: two SEPARATE measured gates in the LSH lane (round 5): past _DOP_GATE
+#: the band/candidate stages get explicit numbered repartitions (AQE
+#: would coalesce the exploding bucket join); past _SCORING_BROADCAST_MAX
+#: distinct docs the signature table (~600 B/doc) stops being
+#: broadcastable and the scoring joins swap broadcast → keyed
+#: shuffle-hash. Conflating them (round-5 first attempt) made 500k-doc
+#: corpora pay four pair-stream shuffles while the 300 MB broadcast was
+#: still the faster, safe choice — measured ~2× end-to-end regression.
+_DOP_GATE = 15_000
+_SCORING_BROADCAST_MAX = 1_000_000
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -339,14 +349,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification is signature-based on purpose: candidate scoring never
     re-touches the corpus text — unlike a token-level exact verify join,
     which re-shuffles the corpus (measured 2× slower here and unboundedly
-    worse at scale). HOW the signatures attach is gated (round 5): below
-    the big_corpus threshold the table is kilobytes and broadcasts
-    (map-side zip-compare, no shuffle); past it the table is one row per
-    DISTINCT document and broadcast would be the scale-killer, so the
-    scoring joins become keyed SHUFFLE_HASH joins (signature side builds
-    the hash table — always far smaller than the quadratic pair stream).
-    Exact Jaccard lives in dedup_near_jaccard; this is the approximate
-    lane.
+    worse at scale). HOW the signatures attach is gated (round 5): up to
+    _SCORING_BROADCAST_MAX distinct docs the table broadcasts (map-side
+    zip-compare, no shuffle — the faster AND safe choice while the table
+    fits an executor); past that ceiling broadcast would be the
+    scale-killer, so the scoring joins become keyed SHUFFLE_HASH joins
+    (signature side builds the hash table — always far smaller than the
+    quadratic pair stream). Exact Jaccard lives in dedup_near_jaccard;
+    this is the approximate lane.
 
     Round 4 (the both-scale bench caught the dup-dense 10× case): pair
     dedup is now the first-matching-band filter (no pair-stream
@@ -430,7 +440,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an extra (tiny) shuffle + 32-task stage overhead, so it is only
     # applied past the corpus size where explosion dominates.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    big_corpus = sigs.count() > 15_000
+    n_sigs = sigs.count()
+    big_corpus = n_sigs > _DOP_GATE
+    huge_corpus = n_sigs > _SCORING_BROADCAST_MAX
     bands = sigs.select("rep_id", F.posexplode("bh").alias("band", "bucket"))
     if big_corpus:
         bands = bands.repartition(n_parts, "band", "bucket")
@@ -462,17 +474,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bhb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("bh").alias("bh_b"))
 
     def _attach(pairs: DataFrame, side_tbl: DataFrame, key: str) -> DataFrame:
-        # Scoring-join strategy rides the SAME measured big_corpus gate as
-        # the DOP repartitions (round 5): below the gate the signature
-        # table is kilobytes per thousand docs and broadcast scoring is a
-        # shuffle-free map-side zip-compare; past it the table is one row
-        # per DISTINCT document × 8/64 longs (~300 MB at the 10× bench
-        # scale, corpus-sized at 100 TB) and broadcasting it is the
-        # scale-killer — swap to a keyed shuffle join. SHUFFLE_HASH, not
-        # sort-merge: the build side (signatures) is always far smaller
-        # than the quadratic candidate-pair stream, and a hash build
-        # avoids sorting that stream once per join.
-        if big_corpus:
+        # Scoring-join strategy has its OWN measured gate (round 5),
+        # DELIBERATELY higher than the DOP gate — the two thresholds
+        # protect against different failure modes. Broadcast scoring is a
+        # shuffle-free map-side zip-compare and stays correct as long as
+        # the per-distinct-doc signature table actually fits an executor
+        # (~600 MB at the 1M-doc ceiling); swapping to a keyed join EARLIER
+        # than that trades one broadcast for up to four shuffles of the
+        # QUADRATIC pair stream — measured at the 10× dup-dense bench
+        # scale (500k docs): shuffle-hash scoring ~2× slower end to end
+        # than broadcast. Past the ceiling the table is corpus-sized and
+        # broadcast is the scale-killer, so the joins become keyed
+        # SHUFFLE_HASH (signature side builds the hash table — always far
+        # smaller than the pair stream; no sort of that stream).
+        if huge_corpus:
             return pairs.join(side_tbl.hint("shuffle_hash"), key)
         return pairs.join(F.broadcast(side_tbl), key)
     first_band = (

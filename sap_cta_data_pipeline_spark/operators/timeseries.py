@@ -588,3 +588,87 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.col("net")).alias("net_change"),
         bi(F.sum("net").over(w)).alias("open_orders"),
     )
+
+
+#: Holt's linear-trend smoothing constants (level α, trend β) — part of
+#: the operator contract; both engines fold with these literals.
+_HOLT_A = 0.3
+_HOLT_B = 0.1
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id HAVING count(*) >= 2
+    ),
+    folded AS (
+      SELECT user_id, len(vals) AS n_events,
+             list_reduce(
+               list_transform(vals, x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 {_HOLT_A}e0 * x[1] + (1 - {_HOLT_A}e0) * (acc[1] + acc[2]),
+                 {_HOLT_B}e0 * (({_HOLT_A}e0 * x[1] + (1 - {_HOLT_A}e0) * (acc[1] + acc[2])) - acc[1])
+                      + (1 - {_HOLT_B}e0) * acc[2]
+               ]) AS st
+      FROM per_user
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT)       AS n_events,
+           round(st[1], 6)                AS level,
+           round(st[2], 6)                AS trend,
+           round(st[1] + 3 * st[2], 6)    AS forecast_3
+    FROM folded
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user series —
+    EWMA's two-state sibling: level l_t = αy_t + (1−α)(l_{{t−1}}+b_{{t−1}}),
+    trend b_t = β(l_t − l_{{t−1}}) + (1−β)b_{{t−1}}, plus the h-step
+    forecast l+h·b that is the whole point of keeping a trend state
+    (capacity planning, volume projection). Like ts_ewma_fold the
+    recurrence has no windowed-SQL form; it folds sequentially over the
+    time-ordered list IN-ROW with a struct accumulator. The l_t
+    expression is deliberately DUPLICATED inside the trend update on
+    both engines (struct fields cannot reference siblings mid-
+    construction), so the two engines execute literally the same IEEE
+    operation sequence — the §5.3 discipline that makes a 2-state float
+    fold hashable. Oracle hazard found while building this: DuckDB's
+    list_reduce mutates a STRUCT accumulator's fields IN PLACE
+    sequentially (field 2's expression sees field 1's NEW value), so the
+    oracle carries the state as a 2-element LIST, whose constructor
+    evaluates all elements against the pre-step accumulator — verified
+    element-exact against a reference fold. Init = first-element (l=y₀, b=0), users with < 2
+    events excluded (no trend estimable). One groupBy shuffle, fold is
+    in-row, state is 2 doubles regardless of series length."""
+    e = t(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.transform(arr, lambda s: s["value"]).alias("vals"))
+        .filter(F.size("vals") >= 2)
+    )
+    a, b = F.lit(_HOLT_A), F.lit(_HOLT_B)
+
+    def _step(acc, x):
+        new_l = a * x["l"] + (F.lit(1) - a) * (acc["l"] + acc["b"])
+        new_l_dup = a * x["l"] + (F.lit(1) - a) * (acc["l"] + acc["b"])
+        new_b = b * (new_l_dup - acc["l"]) + (F.lit(1) - b) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    states = F.transform(
+        "vals", lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b"))
+    )
+    folded = F.aggregate(
+        F.slice(states, 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(states, 1),
+        _step,
+    )
+    return per_user.select(
+        "user_id",
+        bi(F.size("vals")).alias("n_events"),
+        r6(folded["l"]).alias("level"),
+        r6(folded["b"]).alias("trend"),
+        r6(folded["l"] + F.lit(3) * folded["b"]).alias("forecast_3"),
+    )

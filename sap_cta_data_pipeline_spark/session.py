@@ -61,5 +61,12 @@ def get_spark(app_name: str = "sap-cta-data-pipeline-spark", master: str | None 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", default_shuffle_partitions())
+        # JVM unified logging writes to STDOUT (observed: a [gc,alloc]
+        # GCLocker warning under memory pressure), which corrupts
+        # bench.py's one-JSON-line stdout contract — route it to stderr
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:all=warning:stderr",
+        )
     )
     return tune(builder.getOrCreate())

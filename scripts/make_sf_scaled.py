@@ -47,8 +47,18 @@ OFF = 100_000_000
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--dup-sparse"]
-    dup_sparse = "--dup-sparse" in sys.argv[1:]
+    only: set[str] | None = None
+    argv = []
+    dup_sparse = False
+    for a in sys.argv[1:]:
+        if a == "--dup-sparse":
+            dup_sparse = True
+        elif a.startswith("--tables="):
+            # partial synthesis for big-rep ladder runs (e.g. rep=300
+            # relational-only — documents/embeddings stay at a lower rung)
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            argv.append(a)
     src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     out = argv[1] if len(argv) > 1 else "/tmp/spark_graft_sf1"
     rep = int(argv[2]) if len(argv) > 2 else 10
@@ -60,6 +70,8 @@ def main() -> int:
     con.execute(f"CREATE MACRO src(t) AS '{src}/' || t || '.parquet'")
 
     def copy(name: str, select: str) -> None:
+        if only is not None and name not in only:
+            return
         con.execute(
             f"COPY ({select}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
         )
@@ -146,7 +158,10 @@ def main() -> int:
             FROM read_parquet(src('embeddings')), {rep_src}""",
     )
     with open(marker, "w") as fh:
-        fh.write(f"rep={rep} mode={'dup-sparse' if dup_sparse else 'dup-dense'}\n")
+        mode = "dup-sparse" if dup_sparse else "dup-dense"
+        if only is not None:
+            mode += " tables=" + ",".join(sorted(only))
+        fh.write(f"rep={rep} mode={mode}\n")
     return 0
 
 

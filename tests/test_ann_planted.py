@@ -93,6 +93,16 @@ def test_ivf_planted_recall_pinned(spark, pdir):
     assert mean >= 0.8, f"IVF planted recall {mean:.2f} < 0.8: {rec}"
 
 
+def test_ivf_kmeans_planted_recall_pinned(spark, pdir):
+    """The learned-cell IVF (k-means coarse quantizer) must also recover
+    planted near-copies — cells trained on the planted corpus put each
+    probe and its copies in the same cell, and nprobe=2 covers boundary
+    splits."""
+    rec = _planted_recall(spark, pdir, "emb_ivf_kmeans_ann")
+    mean = sum(rec.values()) / len(rec)
+    assert mean >= 0.8, f"kmeans-IVF planted recall {mean:.2f} < 0.8: {rec}"
+
+
 def test_recall_eval_reports_planted_columns(q):
     """sim_recall_eval carries organic AND planted recall side by side;
     planted multi-probe/IVF columns must clear the same 0.8 bar."""

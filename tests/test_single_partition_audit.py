@@ -43,6 +43,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "dq_expectations": 1,
     "dq_freshness_sla": 2,
     "dq_referential_integrity": 1,
+    "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
     "emb_norm_audit": 2,
     "events_ab_ttest": 1,
     "events_churn_flags": 2,
