@@ -216,7 +216,8 @@ def _cc_rollup(labels: DataFrame, groups: DataFrame) -> DataFrame:
 
 
 def connected_components_twostar(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = 15
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 15,
+    edges_unique: bool = False,
 ) -> tuple[DataFrame, int]:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") — the O(log n)-round
@@ -228,62 +229,103 @@ def connected_components_twostar(
     tall structures, until the graph is a union of stars centered at the
     component minima. Every step is an edge-keyed groupBy + join (no
     label table at all — the edge list IS the state), localCheckpoint-ed
-    flat; one scalar convergence count per round crosses the driver.
-    Returns (labels(node, comp), rounds_used)."""
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    flat; one scalar convergence fingerprint per round crosses the
+    driver. Round-5 rework (profiled at sf0.1: the loop was 9.2 s of
+    dedup_minhash_cluster's wall): (a) the edge STATE is canonical
+    undirected (hi, lo) — every distinct/checkpoint moves half the rows
+    of the old symmetric form, and the directed views each phase needs
+    are derived by a shuffle-free union; (b) the fixed-point test is a
+    (count, sum, bit_xor)-of-xxhash64 fingerprint — one map-side-combined
+    aggregate over the already-checkpointed edges instead of the two
+    full exceptAll shuffles per round the old form paid (a false-equal
+    needs a simultaneous 64-bit sum AND xor collision at equal counts —
+    ~2^-128, far below any hardware error rate; false-unequal is
+    impossible, so labels are never wrong, only an infinitesimally
+    unlikely extra round saved). Returns (labels(node, comp),
+    rounds_used)."""
+
+    def _fp(ec: DataFrame) -> tuple:
+        r = ec.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo")).alias("s"),
+            F.bit_xor(F.xxhash64("lo", "hi")).alias("x"),
+        ).collect()[0]
+        return (r.n, r.s, r.x)
+
+    # the input distinct is defensive (duplicate edges never change the
+    # result — every step is a min — only the sizes downstream); callers
+    # whose edge feed is unique by construction (dedup_minhash_cluster's
+    # first-matching-band pairs) skip the corpus-pair shuffle entirely
+    edges = edges.select(
+        F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+    ).where(F.col("hi") != F.col("lo"))
+    if not edges_unique:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
+    fp = _fp(edges)
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         # large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
-        mins = edges.groupBy("src").agg(
+        sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).unionAll(
+            edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
             F.least(F.min("dst"), F.col("src")).alias("m")
         )
         ls = (
-            edges.join(mins, "src")
+            sym.join(mins, "src")
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
         )
-        sym = (
-            ls.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionAll(ls.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # canonical large-star output doubles as small-star's ≤-neighbor
+        # view: (hi, lo) IS the (u, v ≤ u) directed edge set. The
+        # intermediate checkpoint exists because `down` feeds two
+        # sub-trees (mins2 and the join); once the graph has collapsed
+        # to a small edge set (count is free — it's in the fingerprint)
+        # recomputing the tiny subtree twice is cheaper than paying an
+        # extra materialization job per round, so the checkpoint is
+        # stat-gated exactly like the LSH lane's DOP gate.
+        down = ls.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        ).distinct()
+        if fp[0] >= 100_000:
+            down = down.localCheckpoint(eager=True)
         # small-star: for each u over its ≤-neighbors, m = min; emit
         # (v, m) for every v ∈ Γ⁻(u) and (u, m)
-        down = sym.where(F.col("dst") < F.col("src"))
-        mins2 = down.groupBy("src").agg(F.min("dst").alias("m"))
+        mins2 = down.groupBy("hi").agg(F.min("lo").alias("m"))
         ss_pairs = (
-            down.join(mins2, "src")
-            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            down.join(mins2, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
             .unionAll(
-                mins2.select(F.col("src").alias("a"), F.col("m").alias("b"))
+                mins2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
             )
             .where(F.col("a") != F.col("b"))
         )
         new_edges = (
-            ss_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionAll(ss_pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            ss_pairs.select(
+                F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+            )
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
-        )
+        new_fp = _fp(new_edges)
         edges = new_edges
-        if changed == 0:
+        if new_fp == fp:
             break
+        fp = new_fp
     else:
         # exhausting max_rounds without a fixed point means the labels
         # below would be WRONG (a star forest was never reached) — fail
         # loudly rather than return silently-incorrect components
         raise RuntimeError(
             f"connected_components_twostar did not converge in {max_rounds} "
-            f"rounds ({changed} edge changes in the last round); raise "
-            "max_rounds (~log2 of the largest component suffices)"
+            "rounds; raise max_rounds (~log2 of the largest component "
+            "suffices)"
         )
-    comp = edges.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("comp"))
+    # at the fixed point every (hi, lo) points hi at its component min
+    comp = edges.groupBy(F.col("hi").alias("src")).agg(F.min("lo").alias("comp"))
     labels = (
         nodes.join(comp, nodes.node == comp.src, "left")
         .select("node", F.coalesce("comp", F.col("node")).alias("comp"))

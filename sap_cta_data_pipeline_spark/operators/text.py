@@ -356,7 +356,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-killer, so the scoring joins become keyed SHUFFLE_HASH joins
     (signature side builds the hash table — always far smaller than the
     quadratic pair stream). Exact Jaccard lives in dedup_near_jaccard;
-    this is the approximate lane.
+    this is the approximate lane. Round 5: the body lives in
+    ``_lsh_pairs_from_groups`` so ``dedup_minhash_cluster`` can feed its
+    own CACHED fingerprint groupBy — composed lanes were paying the
+    corpus pass twice (measured 3.1 s duplicated at the 10× bench
+    scale).
 
     Round 4 (the both-scale bench caught the dup-dense 10× case): pair
     dedup is now the first-matching-band filter (no pair-stream
@@ -378,15 +382,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket fan-out. Returns candidate representative pairs with estimated
     similarity and member counts (pair expansion to raw doc ids is a join
     against stage 1)."""
-    docs = t(spark, sf_dir, "documents")
+    return _lsh_pairs_from_groups(spark, _fingerprint_groups(t(spark, sf_dir, "documents")))
+
+
+def _fingerprint_groups(docs: DataFrame) -> DataFrame:
+    """Stage 1 of the MinHash lanes: exact collapse by canonical
+    token-set fingerprint → (fp, rep_id, n_members), one row per
+    DISTINCT content. Shared so composed lanes (dedup_minhash_cluster)
+    can cache ONE corpus pass and feed it to both the pair pipeline and
+    their own node/member bookkeeping."""
     fingerprint = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
     )
-    groups = (
+    return (
         docs.select("doc_id", fingerprint.alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
     )
+
+
+def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
+    """Stage 2 of dedup_minhash_lsh (see its docstring for the full
+    design history): signatures → banding → candidate join →
+    first-matching-band dedup → signature-estimate scoring."""
     # one xxhash64 per token, then 64 in-row permutation minima — no
     # explode, no shuffle; empty-token docs (empty th array) drop out just
     # as they produced no signature rows in the agg formulation
@@ -739,31 +757,26 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.18 at recall 0.996; at 0.8 it measures recall 0.956 /
     precision 0.849 on the same-lang pair universe
     (dedup_cluster_recall_eval) — the margin belongs in pair
-    REPORTING, never in closure."""
-    from ..registry import QUERIES
+    REPORTING, never in closure.
+
+    Round-5 plan work (each measured at the 10× dup-sparse scale):
+    ONE cached fingerprint groupBy feeds both the pair pipeline and the
+    node/member bookkeeping (was two corpus passes, 3.1 s apiece); the
+    edge feed is single-branch (the old symmetric unionAll put the LSH
+    pipeline in BOTH union branches and the first CC checkpoint
+    evaluated it twice); and the CC skips its defensive input distinct
+    (first-matching-band guarantees each pair exactly once)."""
     from .matching import connected_components_twostar
 
     docs = t(spark, sf_dir, "documents")
-    fingerprint = F.concat_ws(
-        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
-    )
-    groups = (
-        docs.select("doc_id", fingerprint.alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
-        .select("rep_id", "n_members")
-        .cache()
-    )
-    pairs = (
-        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    groups = _fingerprint_groups(docs).cache()
+    edges = (
+        _lsh_pairs_from_groups(spark, groups)
         .filter(F.col("est_jaccard") >= 0.8)
-        .select("doc_a", "doc_b")
-    )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     labels, _ = connected_components_twostar(
-        groups.select(F.col("rep_id").alias("node")), edges
+        groups.select(F.col("rep_id").alias("node")), edges, edges_unique=True
     )
     return (
         labels.join(groups, labels.node == groups.rep_id)
