@@ -58,6 +58,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "lineitem_abc_pareto": 3,
     "ml_auc_roc": 3,
     "ml_ks_test": 3,
+    "ml_kfold_assign": 2,  # 1-row grand-total broadcast (complement identity)
     "ml_lift_gains_table": 3,
     "ml_psi_drift": 2,
     "ml_target_encoding": 2,
@@ -75,6 +76,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "sim_recall_eval": 2,  # composes sim_ann_ivf → inherits its centroid build
     "sink_parquet_bloomfilter": 1,
     "sort_multikey": 3,
+    "stats_mutual_information": 2,  # 1-row grand-total broadcast over the joint frame
     "sort_nulls_explicit": 3,
     "sub_not_in_nulls": 1,
     "sub_scalar_global": 1,

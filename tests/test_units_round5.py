@@ -95,3 +95,169 @@ def test_minhash_scoring_swaps_past_broadcast_ceiling(spark, sf_dir, monkeypatch
         .toString()
     )
     assert "ShuffledHashJoin" in plan
+
+
+# ---------------------------------------------------------------- batch BQ
+
+
+def test_prefix_filter_equals_quadratic_lane(spark, sf_dir):
+    """Prefix filtering is an EXACT optimization: byte-identical result
+    set to the all-token equijoin lane (the theorem in the docstring,
+    checked end-to-end here on top of the shared-oracle hash match)."""
+    a = {(r.doc_a, r.doc_b): r.jaccard for r in QUERIES["dedup_near_jaccard"](spark, sf_dir).collect()}
+    b = {(r.doc_a, r.doc_b): r.jaccard for r in QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The point of the prefix: candidate pairs from prefix tokens must
+    be a strict subset of pairs sharing ANY token (else it prunes
+    nothing and the lane is the quadratic twin with extra steps)."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.text import _tokens
+
+    tok = _tokens(load_table(spark, sf_dir, "documents")).distinct()
+    df_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = (
+        tok.join(df_counts, "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "term"))).alias("toks"))
+        .select(
+            "doc_id", "lang",
+            F.transform("toks", lambda s: s["term"]).alias("terms"),
+            F.size("toks").alias("n_terms"),
+        )
+    )
+    plen = (F.col("n_terms") - F.ceil(F.lit(0.8) * F.col("n_terms")) + 1).cast("int")
+    prefixes = by_doc.select("doc_id", "lang", F.explode(F.slice("terms", 1, plen)).alias("term"))
+
+    def npairs(frame):
+        a = frame.select(F.col("doc_id").alias("a"), "lang", "term")
+        b = frame.select(F.col("doc_id").alias("b"), "lang", "term")
+        return (
+            a.join(b, ["lang", "term"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct().count()
+        )
+
+    n_prefix = npairs(prefixes)
+    n_full = npairs(tok)
+    assert 0 < n_prefix < n_full
+
+
+def test_cogrouped_asof_matches_builtin_formulation(spark, sf_dir):
+    """The cogrouped-map pandas merge_asof must agree with the built-in
+    window/join formulation of the same as-of semantics."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select("user_id", F.col("ts").alias("vts"), "value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        purchases.join(views, "user_id")
+        .filter(F.col("vts") < F.col("pts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_id").orderBy(F.col("vts").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_id", "vts", "value")
+    )
+    expected = {
+        r.event_id: (r.vts, round(r.value, 6)) if r.vts is not None else None
+        for r in purchases.join(cand, "event_id", "left").select(
+            "event_id", "vts", "value"
+        ).collect()
+    }
+    got = {
+        r.purchase_id: (r.last_view_ts, r.last_view_value)
+        if r.last_view_ts is not None
+        else None
+        for r in QUERIES["join_cogrouped_asof"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == expected[k], k
+
+
+def test_normalize_arrow_matches_jvm_twin(spark, sf_dir):
+    """mapInArrow numpy path == the pure-JVM transform/fold expression
+    (same sequential double arithmetic by construction)."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    jvm = {
+        r.vec_id: r.unit
+        for r in emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: F.round(x.cast("double") / nrm, 6)).alias("unit"),
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.unit
+        for r in QUERIES["emb_normalize_arrow"](spark, sf_dir).collect()
+    }
+    assert jvm == arrow
+
+
+def test_delta_version_diff_classification_and_pruning(spark, sf_dir):
+    rows = QUERIES["scan_delta_version_diff"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        if r.n_nationkey < 12:
+            assert r.change == "updated" and r.name_v0 == r.name_latest + "-old"
+        else:
+            assert r.change == "unchanged" and r.name_v0 == r.name_latest
+    # scale contract: only symmetric-difference files are scanned — the
+    # orphan and checkpoint parquet never enter the plan
+    files = QUERIES["scan_delta_version_diff"](spark, sf_dir).inputFiles()
+    assert all("orphan" not in f and "checkpoint" not in f for f in files)
+    assert {f.rsplit("/", 1)[-1] for f in files} == {
+        "part-a.parquet", "part-b.parquet", "part-c.parquet", "part-e.parquet"
+    }
+
+
+def test_mutual_information_nonnegative_total(spark, sf_dir):
+    rows = QUERIES["stats_mutual_information"](spark, sf_dir).collect()
+    mi = sum(r.mi_contrib for r in rows)
+    assert mi >= -1e-9
+    assert all(r.n > 0 for r in rows)
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    rows = QUERIES["text_zipf_fit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.zipf_slope < 0, r
+        assert 0.0 <= r.fit_r2 <= 1.0 + 1e-9, r
+
+
+def test_multiway_fact_join_is_shuffle_hash(spark, sf_dir):
+    """The fact edge must plan as ShuffledHashJoin (round 5): sort-merge
+    sorts the entire probe stream for nothing — the build side is the
+    dimension-reduced, date-bounded order stream (measured 13 s → 4.8 s
+    at the 180M-row sf30 rung)."""
+    plan = (
+        QUERIES["join_multiway"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
