@@ -28,6 +28,7 @@ from sap_cta_data_pipeline_spark.registry import QUERIES
 #: key -> §R class (1 = 1-row global final, 2 = scalar broadcast,
 #: 3 = documented post-agg bounded global / ranks offset table)
 ALLOWED_SINGLE_PARTITION: dict[str, int] = {
+    "agg_approx_topk": 1,  # k-bounded sketch state, global final
     "agg_global": 1,
     "agg_hll_intersection_eval": 1,
     "agg_heavy_hitters": 2,
@@ -40,6 +41,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "customer_rfm_segments": 3,
     "customer_spend_gini": 3,
     "dedup_semantic_recall_eval": 1,
+    "dq_benford_check": 2,  # 1-row digit-total broadcast
     "dq_expectations": 1,
     "dq_freshness_sla": 2,
     "dq_referential_integrity": 1,
@@ -87,6 +89,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "text_vocab_growth_heaps": 2,
     "text_wordcount": 3,
     "tpch_q11_important_volume": 2,
+    "txnlog_describe_history": 1,  # per-version 1-row live-count finals
     "tpch_q14_promo_revenue": 1,
     "tpch_q15_top_supplier": 2,
     "tpch_q17_small_quantity_revenue": 2,

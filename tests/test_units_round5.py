@@ -261,3 +261,58 @@ def test_multiway_fact_join_is_shuffle_hash(spark, sf_dir):
         .toString()
     )
     assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- batch BR
+
+
+def test_bloom_prefilter_actually_prunes(spark, sf_dir):
+    """The bitmap pre-filter must pass every true-matching fact row (the
+    oracle certifies no loss) while pruning most non-matching ones —
+    otherwise it is overhead, not a runtime filter."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    m_bits = 1 << 22
+    pos_o = F.pmod(F.xxhash64("o_orderkey"), F.lit(m_bits))
+    bitmap = (
+        o.select(
+            F.floor(pos_o / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pmod(pmod(xxhash64(o_orderkey), 4194304), 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    pos_l = F.pmod(F.xxhash64("l_orderkey"), F.lit(m_bits))
+    fact = li.select(
+        "l_orderkey",
+        F.floor(pos_l / 64).cast("long").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(pmod(pmod(xxhash64(l_orderkey), 4194304), 64) AS INT))"
+        ).alias("mask"),
+    ).join(F.broadcast(bitmap), "word")
+    n_cand = fact.filter(F.col("mask").bitwiseAND(F.col("bits")) != 0).count()
+    n_true = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    n_all = li.count()
+    assert n_true <= n_cand < n_all
+
+
+def test_geo_grid_unique_probe_rows(spark, sf_dir):
+    df = QUERIES["geo_grid_distance_join"](spark, sf_dir)
+    rows = df.collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r.dist_km >= 0 for r in rows)
+
+
+def test_execute_immediate_rerun_is_idempotent(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["sql_execute_immediate"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["sql_execute_immediate"](spark, sf_dir).collect()))
+    assert a == b and len(a) == 2
