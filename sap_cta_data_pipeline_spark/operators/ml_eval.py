@@ -546,3 +546,92 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_train_price"),
         "n_cust_test",
     )
+
+
+@query(
+    "ml_pr_auc",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), v AS (
+      SELECT score, sum(label) AS n_pos, count(*) - sum(label) AS n_neg
+      FROM s GROUP BY score
+    ), c AS (
+      SELECT score,
+             sum(n_pos) OVER (ORDER BY score DESC) AS tp,
+             sum(n_neg) OVER (ORDER BY score DESC) AS fp
+      FROM v
+    ), tot AS (
+      SELECT CAST(sum(n_pos) AS DOUBLE) AS p, CAST(sum(n_neg) AS DOUBLE) AS n
+      FROM v
+    ), step AS (
+      SELECT tp / p AS recall,
+             CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+             tp / p - coalesce(lag(tp / p) OVER (ORDER BY score DESC), 0.0)
+               AS d_recall
+      FROM c CROSS JOIN tot
+    )
+    SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
+           round(t.p / (t.p + t.n), 6) AS baseline_ap,
+           round((SELECT sum(d_recall * prec) FROM step), 6) AS pr_auc
+    FROM tot t
+    """,
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-wise threshold definition: AP = Σ Δrecall·precision over
+    distinct-score thresholds descending) — the ranking eval that stays
+    informative under class imbalance where ROC-AUC saturates
+    (baseline_ap = prevalence is the random-ranker reference; ROC's is
+    always 0.5). Same value-grain discipline as ml_auc_roc: the corpus
+    collapses to per-distinct-score (n_pos, n_neg) counts in one keyed
+    hash agg; TP/FP are a running window over that bounded grain, never
+    per-row ranks (§R class 3). The threshold-grain definition also
+    removes the within-tie ordering ambiguity every per-row AP
+    formulation has — ties share one threshold, so both engines compute
+    identical arithmetic. Same swap at unbounded score cardinality:
+    fixed-resolution score binning bounds the grain."""
+    e = t(spark, sf_dir, "events")
+    s = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    v = s.groupBy("score").agg(
+        F.sum("label").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = v.select(
+        "score",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+    )
+    tot = v.agg(
+        F.sum("n_pos").cast("double").alias("p"),
+        F.sum("n_neg").cast("double").alias("n"),
+    )
+    wlag = Window.orderBy(F.col("score").desc())
+    step = c.crossJoin(F.broadcast(tot)).select(
+        (F.col("tp") / F.col("p")).alias("recall"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("prec"),
+        (
+            F.col("tp") / F.col("p")
+            - F.coalesce(F.lag(F.col("tp") / F.col("p")).over(wlag), F.lit(0.0))
+        ).alias("d_recall"),
+    )
+    ap = step.agg(F.sum(F.col("d_recall") * F.col("prec")).alias("ap"))
+    return (
+        tot.crossJoin(F.broadcast(ap))
+        .select(
+            bi(F.col("p")).alias("n_pos"),
+            bi(F.col("n")).alias("n_neg"),
+            r6(F.col("p") / (F.col("p") + F.col("n"))).alias("baseline_ap"),
+            r6(F.col("ap")).alias("pr_auc"),
+        )
+    )

@@ -366,3 +366,112 @@ def txnlog_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name,
+           c_name AS decrypted,
+           (CAST(floor(length(c_name) / 16) AS BIGINT) + 1) * 16 AS n_cipher_bytes
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt/aes_decrypt roundtrip
+    over customer names (AES-128-ECB — the deterministic mode, chosen
+    here so the ciphertext LENGTH is oracle-checkable; production
+    at-rest columns use GCM, whose random IV makes output
+    non-deterministic by design and therefore untestable by value).
+    The oracle certifies two things without being able to run AES
+    itself: the roundtrip is the identity (decrypted = original), and
+    the ciphertext framing is exactly PKCS#7 — ⌊len/16⌋+1 blocks of 16
+    bytes, checked against the measured length of the real ciphertext.
+    The PII-redaction twin (text_pii_redact) destroys; this lane is the
+    reversible half of the privacy story (crypto-shredding: drop the
+    key, the column is gone). Pure per-row JVM expressions — no shuffle,
+    codegen-friendly at any scale."""
+    key = "0123456789abcdef"
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    enc = F.aes_encrypt(F.col("c_name"), F.lit(key), F.lit("ECB"))
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.aes_decrypt(enc, F.lit(key), F.lit("ECB")).cast("string").alias("decrypted"),
+        F.length(enc).cast("long").alias("n_cipher_bytes"),
+    )
+
+
+_MARKOV_ITERS = 60
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration as a CTE chain — the oracle for an
+    iterative lane expressed in FULL SQL (the registered iterative lanes
+    are otherwise rows-only + pinned): 60 iterations of p·P from uniform
+    converge both engines to the same fixed point to well past 6
+    decimals."""
+    # m/p0 are MATERIALIZED: each p_i references m, and without the hint
+    # the optimizer inlines the whole corpus window 60 times — planning
+    # alone exceeds minutes; materialized, the chain is 60 joins of
+    # |states|-row frames
+    parts = [
+        "seq AS (SELECT event_type AS cur, lead(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events)",
+        "trans AS (SELECT cur, nxt, count(*) AS c FROM seq "
+        "WHERE nxt IS NOT NULL GROUP BY cur, nxt)",
+        "m AS MATERIALIZED (SELECT cur, nxt, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY cur) AS p FROM trans)",
+        "p0 AS MATERIALIZED (SELECT cur AS state, 1.0 / (SELECT count(DISTINCT cur) FROM m) AS p "
+        "FROM (SELECT DISTINCT cur FROM m))",
+    ]
+    for i in range(1, _MARKOV_ITERS + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT m.nxt AS state, sum(p{i-1}.p * m.p) AS p "
+            f"FROM p{i-1} JOIN m ON m.cur = p{i-1}.state GROUP BY m.nxt)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT state, round(p, 6) AS stationary_p FROM p{_MARKOV_ITERS}"
+    )
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain ("where
+    does engagement settle"): transition counts are one corpus-scale
+    keyed window + groupBy (the same grain as events_pathing_transitions),
+    then the power iteration runs DRIVER-side on the collected
+    |states|² matrix — a bounded literal (event-type vocabulary, never
+    rows), the documented k-means/BPE discipline for iterative math on
+    metadata-sized state. The iteration replays the oracle's recurrence
+    exactly (mass entering a state with no outgoing transitions drains,
+    as in the SQL join), so after 60 iterations both engines sit on the
+    same attractive fixed point and the r6 hash matches — making this
+    one of the few ITERATIVE lanes with a full value oracle rather than
+    a rows-only pin."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    rows = trans.collect()  # |states|² bounded driver literal
+    out_tot: dict[str, int] = {}
+    for r in rows:
+        out_tot[r.cur] = out_tot.get(r.cur, 0) + r.c
+    m = {(r.cur, r.nxt): r.c / out_tot[r.cur] for r in rows}
+    states = sorted(out_tot)
+    p = {s: 1.0 / len(states) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt: dict[str, float] = {}
+        for (cur, to), prob in m.items():
+            if cur in p:
+                nxt[to] = nxt.get(to, 0.0) + p[cur] * prob
+        p = nxt
+    return spark.createDataFrame(
+        [(s, round(v, 6)) for s, v in sorted(p.items())],
+        "state string, stationary_p double",
+    )

@@ -244,3 +244,128 @@ def merge_into_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txnlog_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+def _build_mor_fixture(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Merge-on-read fixture: v0 adds the clean nation in two files; v1
+    commits a DELETE SIDECAR (the keys of region-2 nations) without
+    touching either data file — the write-cheap half of the CoW/MOR
+    trade-off (merge_into_txnlog is the copy-on-write half)."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.filter(F.col("n_nationkey") < 12).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "part-a")
+    )
+    n.filter(F.col("n_nationkey") >= 12).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "part-b")
+    )
+    n.filter(F.col("n_regionkey") == 2).select("n_nationkey").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "del-0"))
+    log_dir = os.path.join(base, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    txns = [
+        [{"add": "part-a"}, {"add": "part-b"}],
+        [{"delete": "del-0"}],
+    ]
+    for v, actions in enumerate(txns):
+        tmp = os.path.join(log_dir, f".tmp-{v:08d}.json")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.rename(tmp, os.path.join(log_dir, f"{v:08d}.json"))
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+
+
+def txnlog_mor_state(base: str, version: int | None = None) -> tuple[list[str], list[str]]:
+    """Replay add/remove/delete actions → (live data files, live delete
+    sidecars). Driver-side metadata, same contract as txnlog_live_files."""
+    log_dir = os.path.join(base, "_log")
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    deletes: set[str] = set()
+    for v in versions:
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log_dir, f"{v:08d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                if "remove" in a:
+                    live.discard(a["remove"])
+                if "delete" in a:
+                    deletes.add(a["delete"])
+                if "undelete" in a:
+                    deletes.discard(a["undelete"])
+    return sorted(live), sorted(deletes)
+
+
+def txnlog_mor_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read read path: scan the live data files, anti-join the
+    accumulated delete-key sidecars at read time."""
+    live, deletes = txnlog_mor_state(base, version)
+    df = spark.read.parquet(*[os.path.join(base, p) for p in live])
+    if deletes:
+        dk = spark.read.parquet(*[os.path.join(base, p) for p in deletes])
+        df = df.join(F.broadcast(dk), "n_nationkey", "left_anti")
+    return df
+
+
+def txnlog_mor_compact(spark: SparkSession, base: str) -> None:
+    """Fold the delete sidecars into the data (the MOR → clean-files
+    compaction): rewrite live files minus deleted keys as one compacted
+    file, then commit remove(old adds) + undelete(sidecars) +
+    add(compacted) atomically — after which the read path needs no
+    anti-join (asserted in tests)."""
+    live, deletes = txnlog_mor_state(base)
+    compacted = txnlog_mor_snapshot(spark, base)
+    out = os.path.join(base, "compact-0")
+    compacted.coalesce(1).write.mode("overwrite").parquet(out)
+    log_dir = os.path.join(base, "_log")
+    versions = [
+        int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
+    ]
+    v = max(versions) + 1
+    actions = (
+        [{"remove": p} for p in live]
+        + [{"undelete": p} for p in deletes]
+        + [{"add": "compact-0"}]
+    )
+    tmp = os.path.join(log_dir, f".tmp-{v:08d}.json")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, os.path.join(log_dir, f"{v:08d}.json"))
+
+
+@query(
+    "txnlog_merge_on_read",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey != 2
+    """,
+)
+def txnlog_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes for the log-structured table — the other
+    half of the CoW/MOR trade-off (merge_into_txnlog rewrites affected
+    files at WRITE time; this lane commits a delete-key SIDECAR and
+    applies it at READ time with a broadcast anti-join). This is the
+    deletion-vector shape every modern table format ships (Delta DVs,
+    Iceberg positional/equality deletes, Hudi MOR): deletes cost one
+    kilobyte-scale sidecar write however large the table, reads pay a
+    broadcast anti-join until compaction folds the sidecars into clean
+    files (txnlog_mor_compact — pinned equal and sidecar-free in
+    tests). At 100 TB the sidecar is the only way a sub-second DELETE
+    exists at all; the read-path anti-join broadcasts because delete
+    sets are bounded between compactions by compaction policy."""
+    base = _scratch(sf_dir, "txnlog_mor")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_mor_fixture(spark, sf_dir, base)
+    return txnlog_mor_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

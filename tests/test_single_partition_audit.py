@@ -62,6 +62,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ml_ks_test": 3,
     "ml_kfold_assign": 2,  # 1-row grand-total broadcast (complement identity)
     "ml_lift_gains_table": 3,
+    "ml_pr_auc": 3,  # value-grain running window, ml_auc_roc class
     "ml_psi_drift": 2,
     "ml_target_encoding": 2,
     "orders_association_rules": 2,

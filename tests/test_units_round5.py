@@ -316,3 +316,60 @@ def test_execute_immediate_rerun_is_idempotent(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["sql_execute_immediate"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["sql_execute_immediate"](spark, sf_dir).collect()))
     assert a == b and len(a) == 2
+
+
+# ---------------------------------------------------------------- batch BS
+
+
+def test_mor_compaction_folds_deletes(spark, sf_dir, tmp_path):
+    """Compaction must fold the delete sidecars into clean files: same
+    rows back, and the read path needs no anti-join (no live sidecars)."""
+    import shutil
+
+    from sap_cta_data_pipeline_spark.operators.table_log import (
+        _build_mor_fixture,
+        txnlog_mor_compact,
+        txnlog_mor_snapshot,
+        txnlog_mor_state,
+    )
+
+    base = str(tmp_path / "mor")
+    _build_mor_fixture(spark, sf_dir, base)
+    before = sorted(map(tuple, txnlog_mor_snapshot(spark, base).collect()))
+    _, dels = txnlog_mor_state(base)
+    assert dels, "fixture must start with a live delete sidecar"
+    txnlog_mor_compact(spark, base)
+    after = sorted(map(tuple, txnlog_mor_snapshot(spark, base).collect()))
+    assert after == before
+    live, dels2 = txnlog_mor_state(base)
+    assert dels2 == [] and live == ["compact-0"]
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mor_time_travel_predates_delete(spark, sf_dir, tmp_path):
+    import shutil
+
+    from sap_cta_data_pipeline_spark.operators.table_log import (
+        _build_mor_fixture,
+        txnlog_mor_snapshot,
+    )
+
+    base = str(tmp_path / "mor_tt")
+    _build_mor_fixture(spark, sf_dir, base)
+    v0 = txnlog_mor_snapshot(spark, base, version=0).count()
+    v1 = txnlog_mor_snapshot(spark, base, version=1).count()
+    assert v0 == 25 and v1 < 25
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pr_auc_bounds_and_baseline(spark, sf_dir):
+    r = QUERIES["ml_pr_auc"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.pr_auc <= 1.0
+    assert abs(r.baseline_ap - r.n_pos / (r.n_pos + r.n_neg)) < 1e-9
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    rows = QUERIES["events_markov_stationary"](spark, sf_dir).collect()
+    total = sum(r.stationary_p for r in rows)
+    assert abs(total - 1.0) < 1e-3  # mass preserved (ergodic chain)
+    assert all(r.stationary_p > 0 for r in rows)
