@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,37 @@ from ..registry import query
 from .sources import _scratch
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+
+# Reader feature set this module implements. PROTOCOL.md requires readers
+# to FAIL on tables demanding more (reader v2 = column mapping, v3 =
+# table features such as deletionVectors — both would be silently misread
+# by a plain log replay: deleted rows resurface, columns resolve wrongly).
+_SUPPORTED_READER_VERSION = 1
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+
+
+def _check_protocol(protocol: dict) -> None:
+    """Enforce PROTOCOL.md's reader gate on a ``protocol`` action."""
+    mrv = protocol.get("minReaderVersion", 1)
+    if mrv <= _SUPPORTED_READER_VERSION:
+        return
+    # reader v3+ tables list explicit readerFeatures; a table whose
+    # features are all supported is readable even at a higher version.
+    feats = set(protocol.get("readerFeatures") or [])
+    if mrv >= 3 and feats and feats <= _SUPPORTED_READER_FEATURES:
+        return
+    raise ValueError(
+        f"unsupported Delta reader protocol: minReaderVersion={mrv}, "
+        f"readerFeatures={sorted(feats) or None}; this reader supports "
+        f"minReaderVersion<={_SUPPORTED_READER_VERSION} "
+        f"(features: {sorted(_SUPPORTED_READER_FEATURES) or 'none'})"
+    )
+
+
+def _decode_path(path: str) -> str:
+    """``add.path`` is a percent-encoded relative URI per PROTOCOL.md —
+    decode before joining to the table base (e.g. ``a%20b.parquet``)."""
+    return urllib.parse.unquote(path)
 
 
 # ---------------------------------------------------------------- reader
@@ -73,16 +105,31 @@ def delta_state(
     if not commits and version is None:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
     target = commits[-1] if version is None else version
+    if commits and target > commits[-1]:
+        # Delta's own reader errors on time travel past the last version;
+        # silently returning the latest state AS IF it were `target` would
+        # hand callers wrong-version data with no signal.
+        raise ValueError(
+            f"cannot time travel to version {target}: latest commit under "
+            f"{log_dir} is {commits[-1]}"
+        )
 
     live: dict[str, dict] = {}
     schema_string: str | None = None
     part_cols: list[str] = []
+    protocol_seen = False
     start = 0
 
     lc_path = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc_path):
         with open(lc_path) as fh:
-            cp_version = json.load(fh)["version"]
+            lc = json.load(fh)
+        cp_version = lc["version"]
+        if lc.get("parts") is not None:
+            raise ValueError(
+                f"multi-part checkpoint (parts={lc['parts']}) at version "
+                f"{cp_version} is not supported by this reader"
+            )
         if cp_version <= target:
             cp = spark.read.parquet(
                 os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
@@ -91,26 +138,49 @@ def delta_state(
             # the live set (checkpoint `remove`s are vacuum tombstones,
             # already applied). Metadata-sized driver collect by design.
             for r in cp.collect():
+                if r["protocol"] is not None:
+                    _check_protocol(r["protocol"].asDict())
+                    protocol_seen = True
                 if r["add"] is not None:
-                    live[r["add"]["path"]] = dict(r["add"]["partitionValues"] or {})
+                    live[_decode_path(r["add"]["path"])] = dict(
+                        r["add"]["partitionValues"] or {}
+                    )
                 if r["metaData"] is not None:
                     schema_string = r["metaData"]["schemaString"]
                     part_cols = list(r["metaData"]["partitionColumns"] or [])
             start = cp_version + 1
 
+    if start == 0 and commits and commits[0] > 0:
+        # log retention removed commits 0..commits[0]-1 and no checkpoint
+        # covers the gap — the state at `target` is not reconstructable.
+        raise ValueError(
+            f"retained log starts at commit {commits[0]} with no usable "
+            f"checkpoint; cannot reconstruct version {target}"
+        )
+
     for v in commits:
         if v < start or v > target:
             continue
         for a in _read_commit(log_dir, v):
-            if "add" in a:
-                live[a["add"]["path"]] = dict(a["add"].get("partitionValues") or {})
+            if "protocol" in a:
+                _check_protocol(a["protocol"])
+                protocol_seen = True
+            elif "add" in a:
+                live[_decode_path(a["add"]["path"])] = dict(
+                    a["add"].get("partitionValues") or {}
+                )
             elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
+                live.pop(_decode_path(a["remove"]["path"]), None)
             elif "metaData" in a:
                 schema_string = a["metaData"]["schemaString"]
                 part_cols = list(a["metaData"].get("partitionColumns") or [])
     if schema_string is None:
         raise ValueError(f"no metaData action found replaying {log_dir} to {target}")
+    if not protocol_seen:
+        raise ValueError(
+            f"no protocol action found replaying {log_dir} to {target}; "
+            "a valid Delta log carries one and readers must check it"
+        )
     return live, schema_string, part_cols
 
 
@@ -136,6 +206,10 @@ def delta_snapshot(
             if all(pv.get(k) == v for k, v in partition_filter.items())
         }
     schema = T.StructType.fromJson(json.loads(schema_string))
+    if not live:
+        # empty table version / partition_filter matching no files — a
+        # legitimate state, answered with an empty frame of the table schema
+        return spark.createDataFrame([], schema)
     by_pv: dict[tuple, list[str]] = {}
     for p, pv in live.items():
         key = tuple(pv.get(c) for c in part_cols)

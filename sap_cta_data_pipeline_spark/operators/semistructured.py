@@ -103,6 +103,68 @@ def json_shred_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discover_json_schema(raw: DataFrame) -> tuple[list[str], dict[str, str]]:
+    """Runtime schema discovery over a `doc` JSON-string column.
+
+    1. **discover**: one distributed pass explodes ``json_object_keys``
+       and collects the DISTINCT key set — a driver literal bounded by
+       schema width, never data size;
+    2. **infer**: one aggregate pass counts, per discovered key, bigint /
+       double try_cast failures PLUS raw JSON-string tokens; narrowest
+       type that never fails wins (bigint → double → string).
+       get_json_object STRIPS JSON string quoting, so a quoted numeric
+       (``"123"``) would cast clean and mis-infer as bigint — diverging
+       from spark.read.json, which keeps JSON strings as string. The
+       quote-preserving variant typeof counts those, and ANY quoted
+       occurrence forces ``string`` (matching spark.read.json's
+       mixed-type rule).
+    """
+    keys = sorted(
+        r[0]
+        for r in raw.select(
+            F.explode(F.json_object_keys("doc")).alias("key")
+        ).distinct().collect()
+    )
+    counters = []
+    for k in keys:
+        sv = F.get_json_object("doc", f"$.{k}")
+        counters += [
+            F.count(
+                F.when(sv.isNotNull() & F.expr(
+                    f"try_cast(get_json_object(doc, '$.{k}') AS bigint)"
+                ).isNull(), 1)
+            ).alias(f"{k}__bigint_fail"),
+            F.count(
+                F.when(sv.isNotNull() & F.expr(
+                    f"try_cast(get_json_object(doc, '$.{k}') AS double)"
+                ).isNull(), 1)
+            ).alias(f"{k}__double_fail"),
+            F.count(
+                F.when(
+                    F.expr(
+                        f"schema_of_variant(variant_get(parse_json(doc), '$.{k}'))"
+                    )
+                    == F.lit("STRING"),
+                    1,
+                )
+            ).alias(f"{k}__quoted"),
+        ]
+    stats = raw.agg(*counters).collect()[0].asDict()
+    inferred: dict[str, str] = {}
+    for k in keys:
+        if stats[f"{k}__quoted"] > 0:
+            inferred[k] = "string"
+        elif stats[f"{k}__bigint_fail"] == 0:
+            inferred[k] = "bigint"
+        elif stats[f"{k}__double_fail"] == 0:
+            inferred[k] = "double"
+        else:
+            inferred[k] = "string"
+    return keys, inferred
+
+
+
+
 @query(
     "json_shred_discover",
     oracle="""
@@ -166,44 +228,7 @@ def json_shred_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         feed.write.mode("overwrite").parquet(raw_path)
     raw = spark.read.parquet(raw_path)
-
-    # 1. discovery: distinct key set (driver literal, schema-width bounded)
-    keys = sorted(
-        r[0]
-        for r in raw.select(
-            F.explode(F.json_object_keys("doc")).alias("key")
-        ).distinct().collect()
-    )
-
-    # 2. inference: one agg, 3 counters per discovered key
-    def _sval(k: str):
-        return F.get_json_object("doc", f"$.{k}")
-
-    counters = []
-    for k in keys:
-        sv = _sval(k)
-        counters += [
-            F.count(sv).alias(f"{k}__n"),
-            F.count(
-                F.when(sv.isNotNull() & F.expr(
-                    f"try_cast(get_json_object(doc, '$.{k}') AS bigint)"
-                ).isNull(), 1)
-            ).alias(f"{k}__bigint_fail"),
-            F.count(
-                F.when(sv.isNotNull() & F.expr(
-                    f"try_cast(get_json_object(doc, '$.{k}') AS double)"
-                ).isNull(), 1)
-            ).alias(f"{k}__double_fail"),
-        ]
-    stats = raw.agg(*counters).collect()[0].asDict()
-    inferred: dict[str, str] = {}
-    for k in keys:
-        if stats[f"{k}__bigint_fail"] == 0:
-            inferred[k] = "bigint"
-        elif stats[f"{k}__double_fail"] == 0:
-            inferred[k] = "double"
-        else:
-            inferred[k] = "string"
+    keys, inferred = discover_json_schema(raw)
 
     # 3. shred once with the discovered schema
     schema_str = ", ".join(f"`{k}` {inferred[k]}" for k in keys)

@@ -471,7 +471,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cur in p:
                 nxt[to] = nxt.get(to, 0.0) + p[cur] * prob
         p = nxt
+    # round SPARK-side with the shared r6 helper (half-away-from-zero, the
+    # oracle's SQL round), not Python round() (banker's half-to-even) — a
+    # probability landing on a .xxxxxx5 boundary would otherwise mismatch
     return spark.createDataFrame(
-        [(s, round(v, 6)) for s, v in sorted(p.items())],
-        "state string, stationary_p double",
-    )
+        [(s, float(v)) for s, v in sorted(p.items())],
+        "state string, raw_p double",
+    ).select("state", r6(F.col("raw_p")).alias("stationary_p"))

@@ -106,3 +106,114 @@ def test_last_checkpoint_names_real_file(base):
     assert os.path.exists(
         os.path.join(base, "_delta_log", f"{lc['version']:020d}.checkpoint.parquet")
     )
+
+
+# ------------------------------------------------- round-6 protocol guards
+
+
+def _clone(base, tmp_path, name):
+    clone = str(tmp_path / name)
+    shutil.copytree(base, clone)
+    return clone
+
+
+def test_unsupported_reader_version_raises(spark, base, tmp_path):
+    """PROTOCOL.md reader gate: a table demanding reader v3 (e.g. deletion
+    vectors) must FAIL, not be silently misread with resurfaced rows."""
+    clone = _clone(base, tmp_path, "delta_v3")
+    log_dir = os.path.join(clone, "_delta_log")
+    with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="unsupported Delta reader protocol"):
+        delta_state(spark, clone)
+    # historical versions before the upgrade stay readable
+    assert len(delta_state(spark, clone, version=3)[0]) == 2
+
+
+def test_time_travel_past_latest_raises(spark, base):
+    with pytest.raises(ValueError, match="cannot time travel"):
+        delta_state(spark, base, version=99)
+
+
+def test_multipart_checkpoint_raises(spark, base, tmp_path):
+    clone = _clone(base, tmp_path, "delta_parts")
+    lc_path = os.path.join(clone, "_delta_log", "_last_checkpoint")
+    with open(lc_path) as fh:
+        lc = json.load(fh)
+    lc["parts"] = 2
+    with open(lc_path, "w") as fh:
+        json.dump(lc, fh)
+    with pytest.raises(ValueError, match="multi-part checkpoint"):
+        delta_state(spark, clone)
+
+
+def test_missing_protocol_action_raises(spark, base, tmp_path):
+    """A log with no protocol action anywhere in the replayed range is
+    malformed; reading it would skip the reader-version gate entirely."""
+    clone = _clone(base, tmp_path, "delta_noproto")
+    log_dir = os.path.join(clone, "_delta_log")
+    c0 = os.path.join(log_dir, f"{0:020d}.json")
+    with open(c0) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    with open(c0, "w") as fh:
+        for a in actions:
+            if "protocol" not in a:
+                fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="no protocol action"):
+        delta_state(spark, clone, version=0)
+
+
+def test_url_encoded_add_path_decoded(spark, base, tmp_path):
+    """add.path is a percent-encoded relative URI per the spec: an
+    encoded name must resolve to the on-disk file."""
+    clone = _clone(base, tmp_path, "delta_urlenc")
+    shutil.copy(
+        os.path.join(clone, "part-e.parquet"),
+        os.path.join(clone, "part e.parquet"),
+    )
+    log_dir = os.path.join(clone, "_delta_log")
+    with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps({"remove": {"path": "part-e.parquet", "dataChange": True}})
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part%20e.parquet",
+                        "partitionValues": {},
+                        "size": 1024,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    live, _, _ = delta_state(spark, clone)
+    assert "part e.parquet" in live
+    assert delta_snapshot(spark, clone).count() == 25
+
+
+def test_empty_live_set_returns_empty_frame(spark, base, tmp_path):
+    """Filter matching no files / fully-deleted version: empty DataFrame
+    with the table schema, not an IndexError."""
+    df = delta_snapshot(spark, base, partition_filter={"nope": "x"})
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    ]

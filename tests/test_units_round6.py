@@ -1,0 +1,63 @@
+"""Round-6 unit pins: the ADVICE fixes — quoted-JSON-string inference
+(spark.read.json contract) and markov stationary rounding parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import sap_cta_data_pipeline_spark.operators  # noqa: F401
+from sap_cta_data_pipeline_spark.operators.semistructured import (
+    discover_json_schema,
+)
+from sap_cta_data_pipeline_spark.registry import QUERIES
+
+
+def test_discover_infers_quoted_numerics_as_string(spark):
+    """A JSON STRING holding digits ("123") must infer string, exactly as
+    spark.read.json does — get_json_object strips the quotes, so the
+    try_cast ladder alone would mis-infer bigint (ADVICE round-5)."""
+    docs = [
+        '{"a": 1, "b": "123", "c": 2.5, "d": "x1"}',
+        '{"a": 2, "b": "456", "c": 3, "d": "x2"}',
+    ]
+    raw = spark.createDataFrame([(d,) for d in docs], "doc string")
+    keys, inferred = discover_json_schema(raw)
+    assert keys == ["a", "b", "c", "d"]
+    assert inferred == {"a": "bigint", "b": "string", "c": "double", "d": "string"}
+    # the contract this pins: spark.read.json infers the same types
+    ref = spark.read.json(spark.createDataFrame([(d,) for d in docs], "v string").rdd.map(lambda r: r.v))
+    ref_types = dict(ref.dtypes)
+    assert ref_types["b"] == "string" and ref_types["a"] == "bigint"
+
+
+def test_discover_mixed_quoting_forces_string(spark):
+    """One quoted occurrence among unquoted numbers → string for the whole
+    key (spark.read.json's mixed-type rule)."""
+    raw = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": "2"}',), ('{"k": 3}',)], "doc string"
+    )
+    _, inferred = discover_json_schema(raw)
+    assert inferred["k"] == "string"
+
+
+def test_markov_stationary_rounds_spark_side(spark, sf_dir):
+    """stationary_p must be r6-rounded (half-away-from-zero) on the
+    DataFrame, not Python round() (banker's) on the driver: pin a value
+    that the two rules split, via the same plan the lane uses."""
+    df = QUERIES["events_markov_stationary"](spark, sf_dir)
+    assert df.columns == ["state", "stationary_p"]
+    total = df.agg(F.sum("stationary_p")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-3)
+    # the rounding rule itself: on an exactly-representable half boundary
+    # (3.5/2**21 ulp-free: use 0.5 scaled by a power of two), SQL round is
+    # half-away-from-zero while Python round() is half-to-even
+    from sap_cta_data_pipeline_spark.functions.parity import r6
+
+    half = 1.5 / 2**20  # exactly representable; r6 target boundary ≈ 1.430511e-06
+    probe = spark.range(1).select(
+        r6(F.lit(half)).alias("v"), F.round(F.lit(0.5), 0).alias("w")
+    )
+    row = probe.collect()[0]
+    assert row.w == 1.0  # SQL half-away-from-zero
+    assert round(0.5) == 0  # Python half-to-even — the divergence the fix removes
