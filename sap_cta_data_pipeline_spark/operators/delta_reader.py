@@ -102,9 +102,16 @@ def delta_state(
         for f in os.listdir(log_dir)
         if (m := _COMMIT_RE.match(f))
     )
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
     if not commits and version is None:
-        raise FileNotFoundError(f"no Delta commits under {log_dir}")
-    target = commits[-1] if version is None else version
+        # log retention can leave checkpoint-only tables: the checkpoint
+        # version IS the latest state
+        if not os.path.exists(lc_path):
+            raise FileNotFoundError(f"no Delta commits under {log_dir}")
+        with open(lc_path) as fh:
+            target = json.load(fh)["version"]
+    else:
+        target = commits[-1] if version is None else version
     if commits and target > commits[-1]:
         # Delta's own reader errors on time travel past the last version;
         # silently returning the latest state AS IF it were `target` would
@@ -120,7 +127,6 @@ def delta_state(
     protocol_seen = False
     start = 0
 
-    lc_path = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc_path):
         with open(lc_path) as fh:
             lc = json.load(fh)

@@ -1,0 +1,439 @@
+"""§2 round-6 batch BT — lakehouse interop: Delta WRITER + checkpointing,
+stats-based file skipping, and a read-only Hudi CoW snapshot reader.
+
+Round 5 closed the read half of the table-format gap (delta_reader.py);
+this batch closes the write half and adds a second public wire format:
+
+- **Delta writer** (``sink_delta_append``): stage data files with ordinary
+  distributed parquet writes, then commit them with protocol-conformant
+  JSON actions (protocol / metaData / add) — the same atomic
+  rename-into-place contract Delta writers use. Certified by reading the
+  table back through this repo's own spec reader (identity oracle).
+- **Checkpoint writer** (``delta_checkpoint_write``): reconcile the JSON
+  log into a checkpoint parquet + ``_last_checkpoint`` pointer, then PROVE
+  the fast path by deleting every pre-checkpoint commit from a clone and
+  reading again — if the checkpoint were wrong or unused the read fails.
+- **Stats skipping** (``scan_delta_stats_skipping``): Delta ``add``
+  actions carry per-file JSON stats (numRecords / minValues / maxValues);
+  a range predicate prunes files by [min,max] intersection from PURE
+  METADATA before any scan is planned — the data-skipping contract that
+  makes needle queries cheap at 100 TB.
+- **Hudi CoW reader** (``scan_hudi_cow_snapshot``): the public Hudi
+  timeline layout (``.hoodie/{instant}.commit`` JSON, completed instants
+  only) names per-file-group base files; snapshot read = latest file
+  slice per file group, ignoring inflight instants and orphan files.
+
+Scale notes: all four lanes keep metadata work driver-side and
+metadata-sized (actions / write-stats, never rows) and the data path an
+ordinary distributed parquet scan of exactly the selected file set — the
+same split production Delta/Hudi readers use. Commits are single JSON
+files renamed into place, so writer concurrency at scale reduces to the
+log store's put-if-absent (documented, not simulated here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as t
+from ..registry import query
+from .delta_reader import (
+    _CHECKPOINT_SCHEMA,
+    _COMMIT_RE,
+    _NATION_SCHEMA_JSON,
+    _add,
+    _commit,
+    _meta_action,
+    _read_commit,
+    _remove,
+    delta_snapshot,
+    delta_state,
+)
+from .sources import _scratch
+
+# ---------------------------------------------------------------- writer
+
+
+def _stage_single_parquet(df: DataFrame, dest: str) -> None:
+    """Distributed write → one deterministic data FILE (Delta add.path
+    names files). coalesce(1) is metadata-staging only: real writers emit
+    one add per task file; the fixture keeps one per commit for pinning."""
+    stage = dest + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage)
+
+
+def _stats_json(df: DataFrame, col: str) -> str:
+    """Per-file stats exactly as Delta writers embed them in add.stats."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    return json.dumps(
+        {
+            "numRecords": r.n,
+            "minValues": {col: r.lo},
+            "maxValues": {col: r.hi},
+            "nullCount": {col: 0},
+        }
+    )
+
+
+def delta_append_commit(
+    spark: SparkSession,
+    base: str,
+    df: DataFrame,
+    file_name: str,
+    stats_col: str | None = None,
+    first: bool = False,
+) -> None:
+    """Stage ``df`` as one data file and commit it: version = last + 1,
+    actions = [protocol, metaData]? + [add]. The commit JSON is renamed
+    into place — atomic on a POSIX dir, put-if-absent on an object store."""
+    log_dir = os.path.join(base, "_delta_log")
+    existing = (
+        sorted(
+            int(m.group(1))
+            for f in os.listdir(log_dir)
+            if (m := _COMMIT_RE.match(f))
+        )
+        if os.path.isdir(log_dir)
+        else []
+    )
+    version = (existing[-1] + 1) if existing else 0
+    _stage_single_parquet(df, os.path.join(base, file_name))
+    add = _add(file_name)
+    if stats_col is not None:
+        add["add"]["stats"] = _stats_json(df, stats_col)
+    actions = []
+    if first:
+        actions += [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action([]),
+        ]
+    actions.append(add)
+    _commit(log_dir, version, actions)
+
+
+def delta_checkpoint(spark: SparkSession, base: str) -> int:
+    """Reconcile the JSON log into a checkpoint parquet at the latest
+    version and point ``_last_checkpoint`` at it. Rows: protocol +
+    metaData + one row per LIVE add + one tombstone row per removed file
+    (exactly the reconciled-state shape delta_reader's fast path reads)."""
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _COMMIT_RE.match(f))
+    )
+    version = commits[-1]
+    live: dict[str, dict] = {}
+    removed: list[str] = []
+    schema_string = None
+    part_cols: list[str] = []
+    for v in commits:
+        for a in _read_commit(log_dir, v):
+            if "add" in a:
+                live[a["add"]["path"]] = dict(a["add"].get("partitionValues") or {})
+            elif "remove" in a:
+                if a["remove"]["path"] in live:
+                    del live[a["remove"]["path"]]
+                    removed.append(a["remove"]["path"])
+            elif "metaData" in a:
+                schema_string = a["metaData"]["schemaString"]
+                part_cols = list(a["metaData"].get("partitionColumns") or [])
+    rows = [
+        ((1, 2), None, None, None),
+        (None, ("ckpt-table", ("parquet",), schema_string, part_cols), None, None),
+    ]
+    for p in sorted(live):
+        rows.append((None, None, (p, live[p], 1024, 1700000000000, True), None))
+    for p in removed:
+        rows.append((None, None, None, (p, 1700000000000, True)))
+    cp_df = spark.createDataFrame(rows, schema=_CHECKPOINT_SCHEMA)
+    stage = os.path.join(base, "_cp_stage")
+    cp_df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(
+        os.path.join(stage, part),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"),
+    )
+    shutil.rmtree(stage)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
+
+
+# ------------------------------------------------------- stats skipping
+
+
+def delta_stats_prune(
+    spark: SparkSession, base: str, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """File skipping on add.stats: (planned, skipped) relative paths whose
+    [minValues, maxValues] interval does / does not intersect [lo, hi].
+    Pure metadata — no footer read of any skipped file. Files without
+    stats are conservatively planned (the Delta rule)."""
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _COMMIT_RE.match(f))
+    )
+    live: dict[str, dict | None] = {}
+    for v in commits:
+        for a in _read_commit(log_dir, v):
+            if "add" in a:
+                s = a["add"].get("stats")
+                live[a["add"]["path"]] = json.loads(s) if s else None
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    planned, skipped = [], []
+    for p, s in sorted(live.items()):
+        if s is None:
+            planned.append(p)
+            continue
+        fmin, fmax = s["minValues"].get(col), s["maxValues"].get(col)
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+            planned.append(p)
+        else:
+            skipped.append(p)
+    return planned, skipped
+
+
+# ---------------------------------------------------------- hudi reader
+
+
+def hudi_cow_state(base: str) -> dict[str, str]:
+    """Latest file slice per file group from the COMPLETED timeline.
+
+    Public Hudi layout: ``.hoodie/{instantTime}.commit`` (JSON, present
+    only once the instant completes; ``.inflight`` / ``.requested``
+    marker files are in-progress and must be invisible). Each commit's
+    ``partitionToWriteStats`` maps partition path → write stats naming
+    ``fileId`` (the file group) and ``path`` (the new base file). CoW
+    snapshot state = per fileId, the path written by the LATEST completed
+    instant — earlier slices and orphan data files never appear."""
+    tl_dir = os.path.join(base, ".hoodie")
+    instants = sorted(
+        f[: -len(".commit")]
+        for f in os.listdir(tl_dir)
+        if f.endswith(".commit")
+    )
+    groups: dict[str, str] = {}
+    for ts in instants:  # instant times sort lexicographically by design
+        with open(os.path.join(tl_dir, f"{ts}.commit")) as fh:
+            meta = json.load(fh)
+        for _part, stats in meta["partitionToWriteStats"].items():
+            for ws in stats:
+                groups[ws["fileId"]] = ws["path"]
+    return groups
+
+
+def hudi_cow_snapshot(spark: SparkSession, base: str) -> DataFrame:
+    """Distributed read of the latest file slices; Hudi meta columns
+    (``_hoodie_*``, populated by every CoW writer) are dropped so the
+    caller sees the logical schema."""
+    groups = hudi_cow_state(base)
+    df = spark.read.parquet(*[os.path.join(base, p) for p in sorted(groups.values())])
+    keep = [c for c in df.columns if not c.startswith("_hoodie_")]
+    return df.select(keep)
+
+
+# ------------------------------------------------------------- fixtures
+
+
+def _nation_parts(spark: SparkSession, sf_dir: str):
+    n = t(spark, sf_dir, "nation")
+    return n, n.filter("n_nationkey < 12"), n.filter("n_nationkey >= 12")
+
+
+def _build_sink_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write-side fixture: two append commits via the writer (lo then hi)."""
+    base = _scratch(sf_dir, "delta_sink")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _, lo, hi = _nation_parts(spark, sf_dir)
+        delta_append_commit(spark, base, lo, "part-00000-c0.parquet", first=True)
+        delta_append_commit(spark, base, hi, "part-00000-c1.parquet")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return base
+
+
+def _build_stats_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three stats-carrying files over disjoint n_nationkey ranges."""
+    base = _scratch(sf_dir, "delta_stats")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = t(spark, sf_dir, "nation")
+        for i, (a, b) in enumerate([(0, 7), (8, 15), (16, 24)]):
+            delta_append_commit(
+                spark,
+                base,
+                n.filter(f"n_nationkey BETWEEN {a} AND {b}"),
+                f"part-{i}.parquet",
+                stats_col="n_nationkey",
+                first=(i == 0),
+            )
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return base
+
+
+def _build_hudi_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hudi CoW table over nation: instant 001 writes file groups fg-a
+    ('-old' lo rows) + fg-b (hi rows); instant 002 REWRITES fg-a with the
+    clean lo rows (the CoW update path — same fileId, new slice); an
+    INFLIGHT instant 003 wrote a garbage file but never completed; plus an
+    orphan parquet named by no instant. Latest slices = clean nation."""
+    base = _scratch(sf_dir, "hudi_cow")
+    if os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        return base
+    n, lo, hi = _nation_parts(spark, sf_dir)
+
+    def _meta(df: DataFrame, instant: str) -> DataFrame:
+        return df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.col("n_nationkey").cast("string").alias("_hoodie_record_key"),
+            "*",
+        )
+
+    files = {
+        "fg-a_0-0-0_001.parquet": _meta(
+            lo.withColumn("n_name", F.concat("n_name", F.lit("-old"))), "001"
+        ),
+        "fg-b_0-0-0_001.parquet": _meta(hi, "001"),
+        "fg-a_0-0-0_002.parquet": _meta(lo, "002"),
+        "fg-c_0-0-0_003.parquet": _meta(
+            n.limit(3).withColumn("n_name", F.lit("GARBAGE")), "003"
+        ),
+        "orphan_0-0-0_000.parquet": _meta(
+            n.limit(2).withColumn("n_name", F.lit("GARBAGE")), "000"
+        ),
+    }
+    for rel, df in files.items():
+        _stage_single_parquet(df, os.path.join(base, rel))
+
+    tl = os.path.join(base, ".hoodie")
+    os.makedirs(tl, exist_ok=True)
+    with open(os.path.join(tl, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=fixture\nhoodie.table.type=COPY_ON_WRITE\n")
+
+    def _commit_meta(writes: list[tuple[str, str]]) -> dict:
+        return {
+            "partitionToWriteStats": {
+                "": [
+                    {"fileId": fid, "path": path, "numWrites": 1}
+                    for fid, path in writes
+                ]
+            },
+            "operation": "upsert",
+        }
+
+    with open(os.path.join(tl, "001.commit"), "w") as fh:
+        json.dump(
+            _commit_meta(
+                [("fg-a", "fg-a_0-0-0_001.parquet"), ("fg-b", "fg-b_0-0-0_001.parquet")]
+            ),
+            fh,
+        )
+    with open(os.path.join(tl, "002.commit"), "w") as fh:
+        json.dump(_commit_meta([("fg-a", "fg-a_0-0-0_002.parquet")]), fh)
+    # inflight: marker only — a reader honoring the timeline never sees fg-c
+    with open(os.path.join(tl, "003.inflight"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+    return base
+
+
+# -------------------------------------------------------------- queries
+
+
+@query(
+    "sink_delta_append",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol WRITER: two append commits (distributed parquet
+    stage → atomic JSON commit rename, protocol+metaData in commit 0),
+    read back through this repo's own spec reader. The identity oracle
+    certifies the whole write→log→replay loop; a writer bug anywhere
+    (action shape, schemaString, path naming, commit numbering) breaks
+    the hash. Closes the write half of the round-4 interop gap."""
+    base = _build_sink_fixture(spark, sf_dir)
+    return delta_snapshot(spark, base).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "delta_checkpoint_write",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def delta_checkpoint_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint WRITER, proven by destruction: reconcile the sink
+    table's JSON log into a checkpoint parquet + _last_checkpoint, CLONE
+    the table, DELETE every pre-checkpoint JSON commit from the clone,
+    and read the clone. Only a correct, discoverable checkpoint can
+    answer — the log is gone. At 100 TB this is what bounds reader
+    startup to O(live files), not O(commit history)."""
+    base = _build_sink_fixture(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_sink_ckpt")
+    if not os.path.exists(os.path.join(clone, "_FIXTURE_READY")):
+        if os.path.isdir(clone):
+            shutil.rmtree(clone)
+        shutil.copytree(base, clone)
+        os.remove(os.path.join(clone, "_FIXTURE_READY"))
+        version = delta_checkpoint(spark, clone)
+        for v in range(version + 1):
+            p = os.path.join(clone, "_delta_log", f"{v:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, clone).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_delta_stats_skipping",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+    """,
+)
+def scan_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping on add.stats: three files carry per-file
+    minValues/maxValues over n_nationkey; the BETWEEN 5 AND 9 predicate
+    plans files [0,7] and [8,15] from PURE METADATA and never touches
+    [16,24] (pinned via inputFiles in tests). The residual filter runs
+    on the planned files as an ordinary pushed parquet predicate — the
+    two-level (file, then row-group) skipping story every lakehouse
+    needle query relies on."""
+    base = _build_stats_fixture(spark, sf_dir)
+    planned, _ = delta_stats_prune(spark, base, "n_nationkey", 5, 9)
+    df = spark.read.parquet(*[os.path.join(base, p) for p in planned])
+    return df.filter("n_nationkey BETWEEN 5 AND 9").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_hudi_cow_snapshot",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_hudi_cow_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-only Hudi Copy-on-Write snapshot from the public timeline
+    layout: completed ``.commit`` instants name per-file-group base
+    files; the reader takes the latest file slice per group (an update
+    rewrote fg-a — the '-old' slice must lose), ignores an INFLIGHT
+    instant's file and an orphan, and drops the ``_hoodie_*`` meta
+    columns. Identity oracle certifies slice selection + timeline
+    filtering + meta-column handling in one hash — a second public table
+    format readable with zero new dependencies."""
+    base = _build_hudi_fixture(spark, sf_dir)
+    return hudi_cow_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

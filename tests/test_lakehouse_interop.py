@@ -1,0 +1,122 @@
+"""Pins for round-6 batch BT: Delta writer/checkpoint mechanics, stats
+skipping file counts, and Hudi timeline semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+    _build_hudi_fixture,
+    _build_sink_fixture,
+    _build_stats_fixture,
+    delta_stats_prune,
+    hudi_cow_snapshot,
+    hudi_cow_state,
+)
+from sap_cta_data_pipeline_spark.operators.delta_reader import delta_state
+
+
+@pytest.fixture(scope="module")
+def sink(spark, sf_dir):
+    return _build_sink_fixture(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def stats_base(spark, sf_dir):
+    return _build_stats_fixture(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def hudi(spark, sf_dir):
+    return _build_hudi_fixture(spark, sf_dir)
+
+
+def test_writer_log_is_spec_shaped(spark, sink):
+    """Commit 0 must carry protocol + metaData + add; commit 1 add only."""
+    log_dir = os.path.join(sink, "_delta_log")
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        a0 = [json.loads(l) for l in fh if l.strip()]
+    assert [next(iter(a)) for a in a0] == ["protocol", "metaData", "add"]
+    assert a0[0]["protocol"]["minReaderVersion"] == 1
+    with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
+        a1 = [json.loads(l) for l in fh if l.strip()]
+    assert [next(iter(a)) for a in a1] == ["add"]
+    live, schema_string, _ = delta_state(spark, sink)
+    assert set(live) == {"part-00000-c0.parquet", "part-00000-c1.parquet"}
+    assert "n_nationkey" in schema_string
+
+
+def test_stats_prune_plans_exactly_two_files(spark, stats_base):
+    planned, skipped = delta_stats_prune(spark, stats_base, "n_nationkey", 5, 9)
+    assert planned == ["part-0.parquet", "part-1.parquet"]
+    assert skipped == ["part-2.parquet"]
+    # disjoint-below and disjoint-above predicates skip everything else
+    planned2, skipped2 = delta_stats_prune(spark, stats_base, "n_nationkey", 20, 30)
+    assert planned2 == ["part-2.parquet"]
+    assert len(skipped2) == 2
+
+
+def test_stats_missing_stats_planned_conservatively(spark, stats_base, tmp_path):
+    import shutil
+
+    clone = str(tmp_path / "nostats")
+    shutil.copytree(stats_base, clone)
+    # strip stats from one add action: that file must always be planned
+    c0 = os.path.join(clone, "_delta_log", f"{0:020d}.json")
+    with open(c0) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    for a in actions:
+        if "add" in a:
+            a["add"].pop("stats", None)
+    with open(c0, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    planned, _ = delta_stats_prune(spark, clone, "n_nationkey", 20, 30)
+    assert "part-0.parquet" in planned  # no stats → cannot skip
+
+
+def test_hudi_latest_slice_per_group(hudi):
+    groups = hudi_cow_state(hudi)
+    assert groups == {
+        "fg-a": "fg-a_0-0-0_002.parquet",  # instant 002 rewrote fg-a
+        "fg-b": "fg-b_0-0-0_001.parquet",
+    }
+
+
+def test_hudi_inflight_and_orphan_invisible(spark, hudi):
+    rows = hudi_cow_snapshot(spark, hudi).collect()
+    assert len(rows) == 25
+    assert not any(r.n_name == "GARBAGE" or r.n_name.endswith("-old") for r in rows)
+    # the debris really exists on disk
+    assert os.path.exists(os.path.join(hudi, "fg-c_0-0-0_003.parquet"))
+    assert os.path.exists(os.path.join(hudi, "orphan_0-0-0_000.parquet"))
+
+
+def test_hudi_meta_columns_dropped(spark, hudi):
+    df = hudi_cow_snapshot(spark, hudi)
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    raw = spark.read.parquet(os.path.join(hudi, "fg-b_0-0-0_001.parquet"))
+    assert "_hoodie_commit_time" in raw.columns
+
+
+def test_checkpoint_only_table_readable(spark, sink, tmp_path):
+    """Log retention leaving checkpoint + zero JSON commits must still
+    answer the latest snapshot (delta_state falls back to _last_checkpoint
+    for the target version)."""
+    import shutil
+
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        delta_checkpoint,
+    )
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+
+    clone = str(tmp_path / "ckpt_only")
+    shutil.copytree(sink, clone)
+    delta_checkpoint(spark, clone)
+    for f in os.listdir(os.path.join(clone, "_delta_log")):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(clone, "_delta_log", f))
+    assert delta_snapshot(spark, clone).count() == 25
