@@ -43,6 +43,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "dedup_semantic_recall_eval": 1,
     "dq_benford_check": 2,  # 1-row digit-total broadcast
     "dq_expectations": 1,
+    "dq_k_anonymity": 1,  # two 1-row per-level audit finals, 2-row union
     "dq_freshness_sla": 2,
     "dq_referential_integrity": 1,
     "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
@@ -53,6 +54,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "events_cumulative_users": 3,
     "events_funnel_steps": 1,
     "events_lateness_report": 3,
+    "graph_bfs_layers": 1,  # 1-row seed (global min) + per-layer bounded frontiers
     "graph_triangle_count": 1,
     "ids_assign_global": 3,
     "json_shred_discover": 1,  # 3-row union of per-key global-agg profiles

@@ -61,3 +61,27 @@ def test_markov_stationary_rounds_spark_side(spark, sf_dir):
     row = probe.collect()[0]
     assert row.w == 1.0  # SQL half-away-from-zero
     assert round(0.5) == 0  # Python half-to-even — the divergence the fix removes
+
+
+def test_bfs_seed_is_depth_zero_singleton(spark, sf_dir):
+    rows = {r.depth: r for r in QUERIES["graph_bfs_layers"](spark, sf_dir).collect()}
+    assert rows[0].n_nodes == 1
+    assert rows[0].min_node == rows[0].max_node
+    # layers are contiguous from 0
+    assert sorted(rows) == list(range(len(rows)))
+
+
+def test_k_anonymity_coarse_no_riskier_than_fine(spark, sf_dir):
+    rows = {r.level: r for r in QUERIES["dq_k_anonymity"](spark, sf_dir).collect()}
+    fine = rows["fine(nation,segment,bal1k)"]
+    coarse = rows["coarse(nation,bal5k)"]
+    # generalization merges groups: fewer groups, never more risky rows
+    assert coarse.n_groups <= fine.n_groups
+    assert coarse.risky_rows <= fine.risky_rows
+
+
+def test_burst_detection_z_threshold(spark, sf_dir):
+    df = QUERIES["events_burst_detection"](spark, sf_dir)
+    for r in df.collect():
+        assert r.max_burst_z > 3
+        assert r.n_burst_days >= 1
