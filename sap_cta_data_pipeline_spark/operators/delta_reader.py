@@ -220,9 +220,17 @@ def delta_snapshot(
     for p, pv in live.items():
         key = tuple(pv.get(c) for c in part_cols)
         by_pv.setdefault(key, []).append(os.path.join(base, p))
+    # schema evolution: files written before a metaData column-add lack
+    # the new column — the CURRENT schemaString governs the read, so scan
+    # with it EXPLICITLY (per file, Spark's parquet reader resolves
+    # present columns by name and fills absent ones with typed nulls);
+    # never footer-merge, never let one file's physical schema win.
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
     pieces: list[DataFrame] = []
     for pvals, paths in sorted(by_pv.items(), key=lambda kv: kv[0]):
-        df = spark.read.parquet(*sorted(paths))
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
         for c, v in zip(part_cols, pvals):
             df = df.withColumn(c, F.lit(v).cast(schema[c].dataType))
         pieces.append(df.select([f.name for f in schema.fields]))

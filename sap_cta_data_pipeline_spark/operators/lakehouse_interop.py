@@ -349,6 +349,42 @@ def _build_hudi_fixture(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
+def _build_evolve_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Schema evolution: commit 0 writes lo rows under the 3-column
+    schema; commit 1 ADDS a column via a new metaData action and writes
+    hi rows carrying it. Old files must read as typed nulls for the new
+    column under the CURRENT schema."""
+    base = _scratch(sf_dir, "delta_evolve")
+    if os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        return base
+    _, lo, hi = _nation_parts(spark, sf_dir)
+    log_dir = os.path.join(base, "_delta_log")
+
+    _stage_single_parquet(lo, os.path.join(base, "part-v0.parquet"))
+    _commit(
+        log_dir,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action([]),
+            _add("part-v0.parquet"),
+        ],
+    )
+
+    evolved = json.loads(json.dumps(_NATION_SCHEMA_JSON))  # deep copy
+    evolved["fields"].append(
+        {"name": "n_flag", "type": "integer", "nullable": True, "metadata": {}}
+    )
+    meta1 = _meta_action([])
+    meta1["metaData"]["schemaString"] = json.dumps(evolved)
+    hi_flag = hi.withColumn("n_flag", (F.col("n_nationkey") % 2).cast("int"))
+    _stage_single_parquet(hi_flag, os.path.join(base, "part-v1.parquet"))
+    _commit(log_dir, 1, [meta1, _add("part-v1.parquet")])
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+    return base
+
+
 # -------------------------------------------------------------- queries
 
 
@@ -417,6 +453,29 @@ def scan_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(*[os.path.join(base, p) for p in planned])
     return df.filter("n_nationkey BETWEEN 5 AND 9").select(
         "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_delta_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CASE WHEN n_nationkey >= 12
+                THEN CAST(n_nationkey % 2 AS INTEGER) END AS n_flag
+    FROM nation
+    """,
+)
+def scan_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the log: commit 1 ADDS column ``n_flag``
+    via a new metaData action; files written before it lack the column
+    and must surface typed NULLs under the CURRENT schemaString (the
+    Delta read contract — evolution is a metadata operation, zero file
+    rewrites). Time travel to v0 still answers the ORIGINAL 3-column
+    schema (pinned in tests). At 100 TB this is why column adds are
+    instant: no data movement, the reader reconciles per file."""
+    base = _build_evolve_fixture(spark, sf_dir)
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey", "n_flag"
     )
 
 

@@ -263,3 +263,183 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_burst_days",
         )
     )
+
+
+# ------------------------------------------------------- round-6 batch BW
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'purchase' THEN 2700000000
+                             WHEN 'click'    THEN 900000000
+                             WHEN 'view'     THEN 900000000
+                             ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, ts, gap_us,
+             CASE WHEN max(epoch_us(ts) + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, ts, gap_us,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM b
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(epoch_us(ts) + gap_us) - epoch_us(min(ts)) AS window_span_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT inactivity gap (purchase holds a
+    session open 45 min, click/view 15, else 30) — the batch twin of
+    ``session_window(ts, gap_expr)`` with a dynamic gap column. Fixed-gap
+    lag-vs-previous-row logic is WRONG here: a short-gap event following
+    a long-gap one can still fall inside the window the earlier event
+    opened, so the boundary test is ts ≥ running max of (ts + gap) over
+    all PRIOR events — gaps-and-islands on the running window end. The
+    emitted window_span_us is (max(ts+gap) − min(ts)): the session
+    window's extent, matching streaming session_window semantics."""
+    from ..functions.parity import bi, um
+
+    e = t(spark, sf_dir, "events")
+    gap_us = (
+        F.when(F.col("event_type") == "purchase", 2_700_000_000)
+        .when(F.col("event_type").isin("click", "view"), 900_000_000)
+        .otherwise(1_800_000_000)
+    )
+    g = e.select("user_id", "ts", "event_id", gap_us.alias("gap_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior_end = F.max(um("ts") + F.col("gap_us")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = g.withColumn(
+        "new_session",
+        F.when(prior_end.isNull() | (um("ts") >= prior_end), 1).otherwise(0),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = b.withColumn("session_id", bi(F.sum("new_session").over(wrun)))
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max(um("ts") + F.col("gap_us")) - um(F.min("ts"))).alias(
+            "window_span_us"
+        ),
+    )
+
+
+@query(
+    "agg_theil_decomposition",
+    oracle="""
+    WITH pos AS (
+      SELECT c_nationkey, CAST(c_acctbal AS DOUBLE) AS x
+      FROM customer WHERE c_acctbal > 0
+    ),
+    tot AS (SELECT avg(x) AS mu, sum(x) AS y FROM pos),
+    gmu AS (
+      SELECT c_nationkey, count(*) AS n_g, avg(x) AS mu_g, sum(x) AS y_g
+      FROM pos GROUP BY c_nationkey
+    ),
+    grp AS (
+      SELECT p.c_nationkey,
+             sum((p.x / g.mu_g) * ln(p.x / g.mu_g)) / max(g.n_g) AS t_g
+      FROM pos p JOIN gmu g USING (c_nationkey)
+      GROUP BY p.c_nationkey
+    )
+    SELECT g.c_nationkey AS c_nationkey,
+           CAST(m.n_g AS BIGINT) AS n_customers,
+           round(m.mu_g, 6) AS mean_bal,
+           round(g.t_g, 6) AS theil_within_g,
+           round((m.y_g / t.y) * g.t_g, 6) AS contrib_within,
+           round((m.y_g / t.y) * ln(m.mu_g / t.mu), 6) AS contrib_between
+    FROM grp g JOIN gmu m USING (c_nationkey) CROSS JOIN tot t
+    """,
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index decomposed by nation: per group its own
+    index T_g = mean((x/μ_g)·ln(x/μ_g)), its income-share-weighted
+    within contribution, and the between-group term s_g·ln(μ_g/μ) —
+    summing the two contribution columns over all rows reproduces total
+    Theil exactly (the additive-decomposability property that makes
+    Theil, not Gini, the index for drill-downs). Positive balances only
+    (ln domain). One keyed agg + a 1-row global broadcast — the
+    sub_scalar_global shape."""
+    c = t(spark, sf_dir, "customer")
+    pos = c.where(F.col("c_acctbal") > 0).select(
+        "c_nationkey", F.col("c_acctbal").cast("double").alias("x")
+    )
+    wg = Window.partitionBy("c_nationkey")
+    ratio = F.col("x") / F.avg("x").over(wg)
+    grp = (
+        pos.withColumn("term", ratio * F.log(ratio))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.avg("x").alias("mu_g"),
+            F.sum("x").alias("y_g"),
+            (F.sum("term") / F.count(F.lit(1))).alias("t_g"),
+        )
+    )
+    tot = pos.agg(F.avg("x").alias("mu"), F.sum("x").alias("y"))
+    j = grp.crossJoin(F.broadcast(tot))  # 1-row global, scalar broadcast
+    return j.select(
+        "c_nationkey",
+        "n_customers",
+        r6(F.col("mu_g")).alias("mean_bal"),
+        r6(F.col("t_g")).alias("theil_within_g"),
+        r6((F.col("y_g") / F.col("y")) * F.col("t_g")).alias("contrib_within"),
+        r6((F.col("y_g") / F.col("y")) * F.log(F.col("mu_g") / F.col("mu"))).alias(
+            "contrib_between"
+        ),
+    )
+
+
+@query(
+    "sql_order_by_all",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(c_nationkey % 5 AS BIGINT) AS region_mod,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY ALL
+    ORDER BY ALL
+    LIMIT 10
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (Spark 4 / DuckDB shared surface): sort by every
+    select-list column left-to-right without restating them — combined
+    with LIMIT the ordering is SEMANTIC (which 10 rows survive), so the
+    hash certifies the expansion order, not just syntax acceptance."""
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("sql_oba_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               CAST(c_nationkey % 5 AS BIGINT) AS region_mod,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sql_oba_customer
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 10
+        """
+    )

@@ -36,6 +36,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "agg_percentile_bands": 2,
     "agg_quantile_mergeable": 1,
     "agg_winsorized_stats": 2,
+    "agg_theil_decomposition": 2,  # 1-row global (mu, y) broadcast — sub_scalar_global class
     "corpus_mix_exact": 2,
     "customer_interpurchase_time": 1,
     "customer_rfm_segments": 3,

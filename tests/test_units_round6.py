@@ -85,3 +85,65 @@ def test_burst_detection_z_threshold(spark, sf_dir):
     for r in df.collect():
         assert r.max_burst_z > 3
         assert r.n_burst_days >= 1
+
+
+def test_delta_schema_evolution_time_travel_keeps_old_schema(spark, sf_dir):
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_evolve_fixture,
+    )
+
+    base = _build_evolve_fixture(spark, sf_dir)
+    v0 = delta_snapshot(spark, base, version=0)
+    assert v0.columns == ["n_nationkey", "n_name", "n_regionkey"]  # pre-evolution
+    assert v0.count() == 12
+    latest = delta_snapshot(spark, base)
+    assert "n_flag" in latest.columns
+    # old file's rows surface typed nulls under the evolved schema
+    assert latest.filter("n_nationkey < 12 AND n_flag IS NULL").count() == 12
+    assert latest.filter("n_nationkey >= 12 AND n_flag IS NULL").count() == 0
+
+
+def test_dynamic_gap_matches_native_session_window(spark, sf_dir):
+    """The gaps-and-islands lane must equal Spark's own
+    session_window(ts, dynamic-gap expr) — session count and per-session
+    event counts — on the same events."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # session_window's dynamic gap must be CalendarIntervalType → make_interval
+    gap = F.expr(
+        "CASE event_type WHEN 'purchase' THEN make_interval(0,0,0,0,0,45,0) "
+        "WHEN 'click' THEN make_interval(0,0,0,0,0,15,0) "
+        "WHEN 'view' THEN make_interval(0,0,0,0,0,15,0) "
+        "ELSE make_interval(0,0,0,0,0,30,0) END"
+    )
+    native = (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+    ours = QUERIES["stream_session_dynamic_gap"](spark, sf_dir).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert native.count() == ours.count()
+    assert native.exceptAll(ours).isEmpty()
+    assert ours.exceptAll(native).isEmpty()
+
+
+def test_theil_contributions_sum_to_global_index(spark, sf_dir):
+    """Additive decomposability: Σ(contrib_within + contrib_between) must
+    reproduce the directly-computed global Theil-T."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    df = QUERIES["agg_theil_decomposition"](spark, sf_dir)
+    total = df.agg(
+        F.sum(F.col("contrib_within") + F.col("contrib_between"))
+    ).collect()[0][0]
+    c = load_table(spark, sf_dir, "customer").where("c_acctbal > 0")
+    pos = c.select(F.col("c_acctbal").cast("double").alias("x"))
+    mu = pos.agg(F.avg("x")).collect()[0][0]
+    direct = pos.agg(
+        F.avg((F.col("x") / mu) * F.log(F.col("x") / mu))
+    ).collect()[0][0]
+    assert total == pytest.approx(direct, abs=1e-4)
