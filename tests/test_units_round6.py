@@ -147,3 +147,56 @@ def test_theil_contributions_sum_to_global_index(spark, sf_dir):
         F.avg((F.col("x") / mu) * F.log(F.col("x") / mu))
     ).collect()[0][0]
     assert total == pytest.approx(direct, abs=1e-4)
+
+
+def test_bestfit_packing_invariants(spark, sf_dir):
+    import math
+
+    df = QUERIES["pack_sequences_bestfit"](spark, sf_dir).cache()
+    # capacity + fill consistency per (lang, bin)
+    bins = df.groupBy("lang", "bin_id").agg(
+        F.sum("n_tok").alias("s"), F.max("bin_fill").alias("f"),
+        F.min("bin_fill").alias("f2"),
+    )
+    bad = bins.filter("s > 512 OR s != f OR f != f2").count()
+    assert bad == 0
+    # lower bound + BFD guarantee per lang: opt >= ceil(total/cap),
+    # bins_used <= 11/9 * opt + 1
+    per_lang = (
+        df.groupBy("lang")
+        .agg(
+            F.countDistinct("bin_id").alias("used"),
+            F.sum("n_tok").alias("total"),
+        )
+        .collect()
+    )
+    for r in per_lang:
+        lower = math.ceil(r.total / 512)
+        assert r.used >= lower
+        assert r.used <= math.floor(11 / 9 * lower) + 1
+    # determinism
+    again = QUERIES["pack_sequences_bestfit"](spark, sf_dir)
+    assert df.exceptAll(again).isEmpty() and again.exceptAll(df).isEmpty()
+    df.unpersist()
+
+
+def test_bestfit_hand_fixture():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "lang": ["en"] * 5,
+            "n_tok": [300, 300, 212, 200, 100],
+        }
+    )
+    # inline the algorithm contract: sorted desc [300,300,212,200,100]:
+    # 300→bin0; 300→bin1 (600>512); 212→bin0 (exact 512, fuller than bin1);
+    # 200→bin1 (500); 100→bin2 (bin0 full, bin1 would be 600)
+    from sap_cta_data_pipeline_spark.operators import training_prep3 as m
+
+    out = m._bfd(pdf)
+    got = dict(zip(out.doc_id, out.bin_id))
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 2}
+    fills = dict(zip(out.bin_id, out.bin_fill))
+    assert fills == {0: 512, 1: 500, 2: 100}
