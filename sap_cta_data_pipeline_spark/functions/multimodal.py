@@ -318,3 +318,58 @@ def parse_pgm(payload: bytes) -> np.ndarray:
     if maxval != 255:
         raise NotImplementedError("only maxval 255 PGM supported")
     return np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8).reshape(h, w)
+
+
+def encode_bmp24(img_u8: np.ndarray) -> bytes:
+    """Windows BMP, BITMAPINFOHEADER, 24-bit BI_RGB, R=G=B=pixel.
+
+    Real-format quirks implemented faithfully: little-endian headers,
+    rows stored BOTTOM-UP, BGR byte order, each row zero-padded to a
+    4-byte boundary."""
+    import struct
+
+    h, w = img_u8.shape
+    row_raw = w * 3
+    row_padded = (row_raw + 3) & ~3
+    data_size = row_padded * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_padded - row_raw)
+    for r in range(h - 1, -1, -1):  # bottom-up
+        for p in img_u8[r]:
+            v = int(p)
+            body += bytes((v, v, v))  # BGR (equal channels here)
+        body += pad
+    return header + info + bytes(body)
+
+
+def parse_bmp24(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BI_RGB BMP back to a (h, w) grayscale array
+    (blue channel; the encoder writes equal channels). Validates magic,
+    header size, bit depth, and compression; honors bottom-up rows and
+    4-byte row padding. Top-down files (negative height) are handled —
+    both orientations are legal BMP."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    row_padded = (w * 3 + 3) & ~3
+    img = np.empty((h, w), dtype=np.uint8)
+    for i in range(h):
+        r = (h - 1 - i) if bottom_up else i
+        base = off + i * row_padded
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=base)
+        img[r] = row[0::3]  # blue channel
+    return img

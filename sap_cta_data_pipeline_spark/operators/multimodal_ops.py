@@ -579,3 +579,76 @@ def pipe_clean_pgm_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="asset_id bigint, n_picture bigint, n_kept bigint, kept_sum bigint",
     )
+
+
+@query(
+    "multimodal_bmp_codec",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 60), x ->
+               CAST(least(greatest(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5),
+                                   0), 255) AS BIGINT)) AS pix
+      FROM embeddings
+    )
+    SELECT vec_id                                        AS asset_id,
+           CAST(5 AS BIGINT)                             AS width,
+           CAST(12 AS BIGINT)                            AS height,
+           CAST(list_sum(pix) AS BIGINT)                 AS sum_pix,
+           CAST(list_sum(list_slice(pix, 1, 5)) AS BIGINT)   AS top_row_sum,
+           CAST(list_sum(list_slice(pix, 56, 60)) AS BIGINT) AS bottom_row_sum,
+           CAST(list_min(pix) AS BIGINT)                 AS min_pix,
+           CAST(list_max(pix) AS BIGINT)                 AS max_pix
+    FROM q
+    """,
+)
+def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Windows-BMP codec end-to-end, completing the uncompressed-
+    format set (PGM gray, WAV audio, now BMP color): the first 60
+    embedding dims quantize to a 12×5 grayscale image, encode as 24-bit
+    BI_RGB BMP (little-endian headers, BGR triplets, BOTTOM-UP row
+    order, rows zero-padded to 4 bytes — 5·3=15 → 16, so the padding
+    path is actually exercised), and decode through the REAL header-
+    validating parser (functions/multimodal.encode_bmp24/parse_bmp24).
+    top_row_sum/bottom_row_sum come from the PARSED image, so a parser
+    that ignored bottom-up storage or mis-stepped the padded stride
+    would hash-mismatch — DuckDB recomputes every feature straight from
+    the embeddings. Arrow-batched mapInPandas; at 100 TB this is the
+    debug-visualization export path (one tiny artifact per asset,
+    embarrassingly parallel)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..catalog import load_table as t
+    from ..functions.multimodal import encode_bmp24, parse_bmp24
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "width", "height", "sum_pix", "top_row_sum",
+                "bottom_row_sum", "min_pix", "max_pix")}
+            for vid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(e, dtype=np.float64)[:60]
+                pix = np.clip(np.floor((x + 1.0) * 127.5 + 0.5), 0, 255).astype(
+                    np.uint8
+                ).reshape(12, 5)
+                img = parse_bmp24(encode_bmp24(pix))
+                s = img.astype(np.int64)
+                out["asset_id"].append(int(vid))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["sum_pix"].append(int(s.sum()))
+                out["top_row_sum"].append(int(s[0].sum()))
+                out["bottom_row_sum"].append(int(s[-1].sum()))
+                out["min_pix"].append(int(s.min()))
+                out["max_pix"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        run,
+        schema="asset_id bigint, width bigint, height bigint, sum_pix bigint,"
+        " top_row_sum bigint, bottom_row_sum bigint, min_pix bigint,"
+        " max_pix bigint",
+    )

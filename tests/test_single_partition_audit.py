@@ -51,6 +51,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "emb_norm_audit": 2,
     "events_ab_ttest": 1,
     "events_churn_flags": 2,
+    "events_did_estimator": 1,  # 4-cell agg → 1-row DiD fold
+    "events_forecast_snaive": 2,  # 1-row horizon (max day) broadcast
     "events_conversion_latency": 1,
     "events_cumulative_users": 3,
     "events_funnel_steps": 1,
