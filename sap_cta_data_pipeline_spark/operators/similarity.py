@@ -877,3 +877,126 @@ def emb_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
     return cands.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
+
+
+@query("sim_ann_ivfpq")  # rows-only: iterative (k-means cells + PQ books);
+# planted recall pinned in tests/test_ann_planted.py
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-style production ANN composition, closing the
+    lane ladder (LSH → multiprobe → IVF → learned-cell IVF → IVF-PQ):
+    learned k-means cells bound WHICH vectors a probe scans (nprobe=2),
+    and product-quantized codes bound WHAT is read per vector — 8 bytes
+    of codes instead of 256 bytes of floats. Query-side scoring is
+    asymmetric distance (ADC): each probe precomputes an 8×16 table of
+    exact subvector→codebook distances IN-ROW (the codebooks are a ~4 KB
+    literal — no join, no shuffle), and a candidate's distance is eight
+    table lookups summed via its codes. Top-5 per probe by (adc_d2,
+    vec_id). At 100 TB: codes live with the cell-partitioned corpus
+    (32× less I/O than raw vectors), the codebook/table math is O(k·d)
+    per probe, and re-ranking the final page with exact vectors is the
+    documented refinement (kept out here to measure PURE ADC recall —
+    the planted pin licenses it at ≥ 0.8)."""
+    from .training_prep2 import (
+        _PQ_D,
+        _PQ_M,
+        _pq_encode,
+        _pq_sub_split,
+        kmeans_assigned,
+        pq_train,
+    )
+
+    assigned = kmeans_assigned(spark, sf_dir).select("vec_id", "e", "cell").cache()
+    # PQ books trained on the same corpus; encode under the FINAL books
+    books, _ = pq_train(assigned.select("vec_id", "e"), iters=2)
+    codes = (
+        _pq_encode(_pq_sub_split(assigned.select("vec_id", "e")), books)
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")
+        )
+        .select(
+            "vec_id", F.transform("sc", lambda s: s["code"]).alias("codes")
+        )
+    )
+    corpus = assigned.join(codes, "vec_id").select("vec_id", "cell", "codes")
+
+    # coarse quantizer: cell means, collapsed to one broadcast row
+    cents = (
+        assigned.select("cell", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p["m"]).alias("ce"))
+    )
+    cell_row = cents.agg(F.collect_list(F.struct("cell", "ce")).alias("cells"))
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    ranked_cells = F.array_sort(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(_d2(c).alias("d2"), c["cell"].alias("cell")),
+        )
+    )
+    # ADC table per probe: adc[sub][code] = ||q_sub − books[sub][code]||²,
+    # built in-row from the codebook literal (probe count is 10)
+    from .training_prep2 import _pq_codebook_lit
+
+    cb = _pq_codebook_lit(books)
+    adc = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(cb, m + 1),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("e"), m * _PQ_D + 1, _PQ_D),
+                    c,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cell_row))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            adc.alias("adc"),
+            F.explode(F.slice(ranked_cells, 1, 2)).alias("pc"),  # nprobe = 2
+        )
+        .select("probe_id", "adc", F.col("pc.cell").alias("cell"))
+    )
+    # probes are the tiny side (10 probes × nprobe rows) — broadcast THEM;
+    # the cell-keyed corpus never shuffles for this join
+    cand = corpus.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    adc_d2 = F.aggregate(
+        F.zip_with(
+            F.col("adc"),
+            F.col("codes"),
+            lambda tbl, code: F.element_at(tbl, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        cand.withColumn("adc_d2", adc_d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            r6(F.col("adc_d2")).alias("adc_d2"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

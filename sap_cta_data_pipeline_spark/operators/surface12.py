@@ -281,3 +281,172 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg(F.abs(F.col("c") - F.col("pred")) / F.col("c"))).alias("mape"),
         r6(F.avg(F.col("pred") - F.col("c"))).alias("bias"),
     )
+
+
+# ------------------------------------------------------- round-6 batch BZ
+
+
+@query(
+    "orders_duplicate_invoice_detect",
+    oracle="""
+    SELECT a.o_orderkey AS orderkey_a,
+           b.o_orderkey AS orderkey_b,
+           a.o_custkey AS custkey,
+           round(a.o_totalprice, 2) AS price_a,
+           round(b.o_totalprice, 2) AS price_b,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT) AS day_gap
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND date_diff('day', a.o_orderdate, b.o_orderdate) BETWEEN 0 AND 30
+     AND abs(a.o_totalprice - b.o_totalprice)
+         / greatest(a.o_totalprice, b.o_totalprice) < 0.02
+    """,
+)
+def orders_duplicate_invoice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice screening — the finance-audit dedup: order pairs
+    from the SAME customer within 30 days whose totals differ by < 2%
+    (double-billing / replay / correction candidates). The self-join is
+    keyed on custkey alone — ONE co-partitioning shuffle — with the
+    date window and amount tolerance as residual predicates; the per-key
+    pair blowup is bounded by orders-per-customer-per-month, not corpus
+    size, so the output stays audit-sized at 100 TB. Hot customers are
+    exactly the join_salted_skew scenario; the salting twin applies
+    unchanged."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price_a"),
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price_b"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    return (
+        a.join(b, ["custkey"])
+        .where(
+            (F.col("orderkey_a") < F.col("orderkey_b"))
+            & (F.datediff("date_b", "date_a") >= 0)
+            & (F.datediff("date_b", "date_a") <= 30)
+            & (
+                F.abs(F.col("price_a") - F.col("price_b"))
+                / F.greatest("price_a", "price_b")
+                < 0.02
+            )
+        )
+        .select(
+            "orderkey_a",
+            "orderkey_b",
+            "custkey",
+            F.round("price_a", 2).alias("price_a"),
+            F.round("price_b", 2).alias("price_b"),
+            F.datediff("date_b", "date_a").cast("bigint").alias("day_gap"),
+        )
+    )
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type AS event_type,
+           round(max(q.q1), 6) AS q1,
+           round(max(q.q3), 6) AS q3,
+           round(max(q.q3 - q.q1), 6) AS iqr,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY 1
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: exact interpolated
+    quartiles (Spark `percentile` ≡ DuckDB `quantile_cont`, linear
+    interpolation — the r6 hash certifies the two engines' quantile
+    DEFINITIONS agree, not just the counts), then counts outside
+    [q1−1.5·IQR, q3+1.5·IQR]. Two passes by construction — fences need
+    the quartiles first — with the ≤|types|-row quartile frame broadcast
+    back; the quantile itself is Spark's exact percentile aggregate,
+    the documented swap being agg_quantile_approx/mergeable when ±ε
+    suffices at corpus scale."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    return j.groupBy("event_type").agg(
+        r6(F.max("q1")).alias("q1"),
+        r6(F.max("q3")).alias("q3"),
+        r6(F.max(iqr)).alias("iqr"),
+        F.sum(
+            F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+        ).cast("bigint").alias("n_low"),
+        F.sum(
+            F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+        ).cast("bigint").alias("n_high"),
+    )
+
+
+
+
+def _lpa(ud: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation loop over a symmetric edge list
+    (u, v): returns (node, label). Module-level so tests can drive it
+    with planted graphs."""
+    ud = ud.localCheckpoint(eager=True)
+    labels = ud.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            ud.join(labels, ud.v == labels.node)
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("u").alias("node"), (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+@query("graph_label_propagation")  # rows-only: iterative fixpoint heuristic
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (4 rounds) over the co-purchase
+    graph — the near-linear community-detection baseline: every node
+    adopts the most frequent label among its neighbors each round
+    (deterministic tiebreak: smaller label wins), labels init to node
+    ids. Per round: ONE edge-keyed shuffle (labels ⋈ edges) + one
+    (node, label) count agg + an in-group argmax — the LPA schedule that
+    scales to web graphs because state is one label per node, never
+    neighborhoods. Emits (community, n_members, min/max node) at the
+    community grain. Rows-only (iterative heuristic); determinism and
+    planted two-clique separation pinned in tests."""
+    from .graph_ops import _edges
+
+    e = _edges(spark, sf_dir)
+    ud = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = _lpa(ud, rounds=4)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+    ).select(F.col("label").cast("bigint").alias("community"), "n_members", "min_node", "max_node")

@@ -384,6 +384,81 @@ _PQ_D = 8   # dims per subspace (M*D = 64, the corpus width)
 _PQ_K = 16  # codes per subspace -> 4 bits; 8 subspaces = 8 bytes/vector
 
 
+def _pq_sub_split(emb):
+    """(vec_id, sub, sv) grain: one in-row explode, no shuffle."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("e", m * _PQ_D + 1, _PQ_D),
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def _pq_codebook_lit(codebooks):
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+
+
+def _pq_encode(sub, codebooks):
+    """In-row nearest-code assignment under the given codebooks (one
+    ~4 KB literal broadcast; zero shuffle)."""
+    dists = F.transform(
+        F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return sub.withColumn("ds", dists).select(
+        "vec_id",
+        "sub",
+        "sv",
+        (F.array_position(F.col("ds"), F.array_min("ds")) - 1)
+        .cast("int")
+        .alias("code"),
+        F.array_min("ds").alias("d2"),
+    )
+
+
+def pq_train(emb, iters: int = 2):
+    """Per-subspace k-means codebook learning (deterministic smallest-
+    vec_id init). Returns (codebooks, coded_last) — coded_last is the
+    assignment under the PRE-final-update books (the historical
+    emb_pq_quantize readout); encode with the RETURNED books for ADC."""
+    sub = _pq_sub_split(emb)
+    seed = emb.orderBy("vec_id").limit(_PQ_K).collect()
+    codebooks = [
+        [row["e"][m * _PQ_D : (m + 1) * _PQ_D] for row in seed] for m in range(_PQ_M)
+    ]
+    coded = None
+    for _ in range(iters):
+        coded = _pq_encode(sub, codebooks)
+        upd = (
+            coded.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+            .select("sub", "code", F.transform("sm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_key = {(r["sub"], r["code"]): r["c"] for r in upd}
+        codebooks = [
+            [by_key.get((m, j), codebooks[m][j]) for j in range(_PQ_K)]
+            for m in range(_PQ_M)
+        ]
+    return codebooks, coded
+
+
+
 @query("emb_pq_quantize")  # rows-only: iterative codebook learning (k-means per subspace)
 def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization — the memory backbone of billion-scale ANN
@@ -401,7 +476,8 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean within-code squared error (the PQ distortion that ADC recall
     tracks), and live-code counts. Rows-only lane (iterative); exactness
     pinned in tests/test_iterative_pins.py on a planted ≤16-patterns-per-
-    subspace corpus that PQ must encode losslessly."""
+    subspace corpus that PQ must encode losslessly. Training loop shared
+    with sim_ann_ivfpq via pq_train/_pq_encode."""
     emb = (
         t(spark, sf_dir, "embeddings")
         .select(
@@ -410,57 +486,7 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda m: F.slice("e", m * _PQ_D + 1, _PQ_D),
-            )
-        ).alias("sub", "sv"),
-    )
-    seed = emb.orderBy("vec_id").limit(_PQ_K).collect()
-    codebooks = [
-        [row["e"][m * _PQ_D : (m + 1) * _PQ_D] for row in seed] for m in range(_PQ_M)
-    ]
-    for _ in range(2):
-        cb_lit = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
-                for cb in codebooks
-            ]
-        )
-        dists = F.transform(
-            F.element_at(cb_lit, F.col("sub") + 1),
-            lambda c: F.aggregate(
-                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        coded = sub.withColumn("ds", dists).select(
-            "vec_id",
-            "sub",
-            "sv",
-            (F.array_position(F.col("ds"), F.array_min("ds")) - 1)
-            .cast("int")
-            .alias("code"),
-            F.array_min("ds").alias("d2"),
-        )
-        upd = (
-            coded.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
-            .groupBy("sub", "code", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
-            .select("sub", "code", F.transform("sm", lambda s: s["m"]).alias("c"))
-            .collect()
-        )
-        by_key = {(r["sub"], r["code"]): r["c"] for r in upd}
-        codebooks = [
-            [by_key.get((m, j), codebooks[m][j]) for j in range(_PQ_K)]
-            for m in range(_PQ_M)
-        ]
+    _, coded = pq_train(emb, iters=2)
     return (
         coded.groupBy("sub")
         .agg(
@@ -471,3 +497,5 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sub")
         .select(bi(F.col("sub")).alias("subspace"), "n_subvectors", "mean_sq_err", "n_codes_used")
     )
+
+

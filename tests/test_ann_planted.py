@@ -114,3 +114,12 @@ def test_recall_eval_reports_planted_columns(q):
     assert pi >= 0.8
     for r in rows:
         assert 0.0 <= r.recall_planted <= 1.0
+
+
+def test_ivfpq_planted_recall_pinned(spark, pdir):
+    """IVF-PQ (ADC scoring over 8-byte codes) must still recover planted
+    1−1e-7 copies: quantization distortion moves distances but cannot
+    reorder a near-identical copy behind organic vectors at this margin."""
+    rec = _planted_recall(spark, pdir, "sim_ann_ivfpq")
+    mean = sum(rec.values()) / len(rec)
+    assert mean >= 0.8, f"IVF-PQ planted recall {mean:.2f} < 0.8: {rec}"

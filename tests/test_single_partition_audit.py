@@ -81,6 +81,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "quantile_accuracy_eval": 1,
     "scan_parquet": 1,
     "sim_ann_ivf": 2,
+    "sim_ann_ivfpq": 2,  # k-row centroid/codebook builds (emb_ivf_kmeans_ann class)
     "sim_recall_eval": 2,  # composes sim_ann_ivf → inherits its centroid build
     "sink_parquet_bloomfilter": 1,
     "sort_multikey": 3,

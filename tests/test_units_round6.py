@@ -200,3 +200,30 @@ def test_bestfit_hand_fixture():
     assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 2}
     fills = dict(zip(out.bin_id, out.bin_fill))
     assert fills == {0: 512, 1: 500, 2: 100}
+
+
+def test_lpa_separates_planted_cliques(spark):
+    """Two disjoint 5-cliques must resolve to exactly two communities
+    labeled by each clique's min node, deterministically."""
+    from itertools import combinations
+
+    from sap_cta_data_pipeline_spark.operators.surface12 import _lpa
+
+    edges = [(a, b) for a, b in combinations(range(5), 2)]
+    edges += [(a + 10, b + 10) for a, b in combinations(range(5), 2)]
+    sym = edges + [(b, a) for a, b in edges]
+    ud = spark.createDataFrame(sym, "u long, v long")
+    labels = {r.node: r.label for r in _lpa(ud, rounds=4).collect()}
+    assert all(labels[n] == 0 for n in range(5))
+    assert all(labels[n + 10] == 10 for n in range(5))
+    again = {r.node: r.label for r in _lpa(ud, rounds=4).collect()}
+    assert labels == again
+
+
+def test_ivfpq_ranks_are_contiguous(spark, sf_dir):
+    df = QUERIES["sim_ann_ivfpq"](spark, sf_dir)
+    per = df.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"), F.min("rank").alias("mn")
+    )
+    for r in per.collect():
+        assert r.n == 5 and r.mn == 1 and r.mx == 5
