@@ -550,7 +550,8 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall side by side. Organic recall on the uniform synthetic corpus
     is bounded by corpus geometry (no real neighborhood structure
     exists — nothing to recall); the planted columns re-run all three
-    lanes against planted_embeddings_dir's corpus, where each probe has
+    lanes (round 6: plus IVF-PQ's ADC path) against
+    planted_embeddings_dir's corpus, where each probe has
     5 true near-copies (cos ≈ 1−1e-7) that a correctly-tuned index MUST
     find. recall_planted_* ≥ 0.8 for multi-probe and IVF is pinned in
     tests/test_ann_planted.py — the planted number licenses the index,
@@ -578,6 +579,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_hits(exact_p, pdir, "sim_ann_lsh", "p1"), "probe_id", "left")
         .join(_hits(exact_p, pdir, "sim_ann_lsh_multiprobe", "pm"), "probe_id", "left")
         .join(_hits(exact_p, pdir, "sim_ann_ivf", "pi"), "probe_id", "left")
+        .join(_hits(exact_p, pdir, "sim_ann_ivfpq", "pq"), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("h1", F.lit(0)).alias("n_hits"),
@@ -594,6 +596,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_planted_multiprobe"
             ),
             r6(F.coalesce("pi", F.lit(0)) / F.lit(5.0)).alias("recall_planted_ivf"),
+            r6(F.coalesce("pq", F.lit(0)) / F.lit(5.0)).alias("recall_planted_ivfpq"),
         )
     )
 

@@ -110,8 +110,10 @@ def test_recall_eval_reports_planted_columns(q):
     assert len(rows) == 10
     pm = sum(r.recall_planted_multiprobe for r in rows) / len(rows)
     pi = sum(r.recall_planted_ivf for r in rows) / len(rows)
+    pq = sum(r.recall_planted_ivfpq for r in rows) / len(rows)
     assert pm >= 0.8
     assert pi >= 0.8
+    assert pq >= 0.8
     for r in rows:
         assert 0.0 <= r.recall_planted <= 1.0
 
