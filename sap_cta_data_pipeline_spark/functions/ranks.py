@@ -92,6 +92,33 @@ def with_global_cumsum(
     return out.drop(_PID, "_soff")
 
 
+def with_global_running_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    max_col: str = "_runmax",
+    n_parts: int = 32,
+) -> DataFrame:
+    """All input columns + ``max_col`` = EXCLUSIVE global running max of
+    ``value_col`` under ``order_cols`` (max over strictly preceding rows;
+    NULL for the global first row) — the skyline/frontier primitive —
+    via local exclusive running maxes + broadcast prior-partition max
+    offsets; no single-partition exchange on the data path."""
+    part = _ranged(df, order_cols, n_parts)
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    maxes = part.groupBy(_PID).agg(F.max(value_col).alias("_m"))
+    offs = maxes.select(_PID, F.max("_m").over(w_off).alias("_moff"))
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = part.join(F.broadcast(offs), _PID).withColumn(
+        max_col, F.greatest(F.max(value_col).over(w_local), F.col("_moff"))
+    )
+    return out.drop(_PID, "_moff")
+
+
 def ntile_expr(rn: Column, total: Column, k: int) -> Column:
     """SQL-standard ``ntile(k)`` from a global row_number and total row
     count: the first ``total mod k`` tiles get ``ceil(total/k)`` rows,

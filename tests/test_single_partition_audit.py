@@ -80,10 +80,12 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "profile_table": 1,
     "quantile_accuracy_eval": 1,
     "scan_parquet": 1,
+    "source_json_malformed": 1,  # 1-row ingestion-audit global final
     "sim_ann_ivf": 2,
     "sim_ann_ivfpq": 2,  # k-row centroid/codebook builds (emb_ivf_kmeans_ann class)
     "sim_recall_eval": 2,  # composes sim_ann_ivf → inherits its centroid build
     "sink_parquet_bloomfilter": 1,
+    "part_skyline_pareto": 3,  # n_parts-row offsets table (with_global_running_max)
     "sort_multikey": 3,
     "stats_mutual_information": 2,  # 1-row grand-total broadcast over the joint frame
     "sort_nulls_explicit": 3,

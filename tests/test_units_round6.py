@@ -227,3 +227,54 @@ def test_ivfpq_ranks_are_contiguous(spark, sf_dir):
     )
     for r in per.collect():
         assert r.n == 5 and r.mn == 1 and r.mx == 5
+
+
+def test_json_malformed_dropmalformed_and_failfast(spark, sf_dir):
+    """The same feed under DROPMALFORMED keeps only good rows; FAILFAST
+    raises — the three reader modes the docstring promises."""
+    import os
+
+    from sap_cta_data_pipeline_spark.operators.sources import _scratch
+
+    QUERIES["source_json_malformed"](spark, sf_dir).collect()  # build feed
+    path = _scratch(sf_dir, "json_malformed_feed")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    good = (
+        spark.read.schema("id bigint, price double")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .count()
+    )
+    total = spark.read.text(path).count()
+    assert 0 < good < total
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.schema("id bigint, price double").option(
+            "mode", "FAILFAST"
+        ).json(path).count()
+
+
+def test_skyline_no_dominated_rows_and_maximal(spark, sf_dir):
+    """Every emitted row is undominated, and adding any non-emitted part
+    would be dominated — checked directly against the full part table."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    sky = {(r.partkey, float(r.price), r.size)
+           for r in QUERIES["part_skyline_pareto"](spark, sf_dir).collect()}
+    parts = [(r.p_partkey, float(r.p_retailprice), r.p_size)
+             for r in load_table(spark, sf_dir, "part").select(
+                 "p_partkey", "p_retailprice", "p_size").collect()]
+
+    def dominated(x, pool):
+        return any(
+            (q[1] <= x[1] and q[2] >= x[2] and (q[1] < x[1] or q[2] > x[2]))
+            for q in pool
+        )
+
+    sky_keys = {k for k, _, _ in sky}
+    for x in parts:
+        if x[0] in sky_keys:
+            assert not dominated(x, parts), x
+        else:
+            assert dominated(x, parts), x
