@@ -882,9 +882,7 @@ def emb_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.withColumn("rn", bi(F.row_number().over(w))).filter(F.col("rn") <= 5)
 
 
-@query("sim_ann_ivfpq")  # rows-only: iterative (k-means cells + PQ books);
-# planted recall pinned in tests/test_ann_planted.py
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """IVF-PQ — the FAISS-style production ANN composition, closing the
     lane ladder (LSH → multiprobe → IVF → learned-cell IVF → IVF-PQ):
     learned k-means cells bound WHICH vectors a probe scans (nprobe=2),
@@ -995,11 +993,60 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("adc_d2", adc_d2)
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        .where(F.col("rn") <= k)
         .select(
             "probe_id",
             F.col("vec_id").alias("cand_id"),
             r6(F.col("adc_d2")).alias("adc_d2"),
             F.col("rn").cast("bigint").alias("rank"),
         )
+    )
+
+
+@query("sim_ann_ivfpq")  # rows-only: iterative (k-means cells + PQ books);
+# planted recall pinned in tests/test_ann_planted.py
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-ADC IVF-PQ top-5 (see _ivfpq_candidates for the full design
+    docstring): measures what the compressed index alone can do; the
+    production refinement is sim_ann_ivfpq_rerank."""
+    return _ivfpq_candidates(spark, sf_dir, k=5)
+
+
+@query("sim_ann_ivfpq_rerank")  # rows-only: iterative index + refine
+def sim_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with EXACT re-ranking — the full FAISS recipe: ADC over
+    8-byte codes shortlists top-20 per probe (cheap, compressed-domain),
+    then exact cosine re-scores only that shortlist and keeps top-5.
+    Quantization error now only matters if a true neighbor falls outside
+    the 4× shortlist — recall recovers toward exact at 20/corpus of the
+    exact cost. The re-rank join touches 20 rows per probe (probe-keyed
+    broadcast), so the refinement is free at any corpus scale; planted
+    recall pinned ≥ the pure-ADC lane in tests/test_ann_planted.py."""
+    shortlist = _ivfpq_candidates(spark, sf_dir, k=20).select(
+        "probe_id", "cand_id"
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        _l2(F.col("e")).alias("pn"),
+    )
+    scored = (
+        shortlist.join(e, shortlist.cand_id == e.vec_id)
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            r6(
+                _dot(F.col("pe"), F.col("e")) / (F.col("pn") * _l2(F.col("e")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn("rn", bi(F.row_number().over(w))).filter(
+        F.col("rn") <= 5
     )

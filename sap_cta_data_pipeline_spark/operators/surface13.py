@@ -237,3 +237,155 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 2).alias("price"),
         bi(F.col("size")).alias("size"),
     )
+
+
+# ------------------------------------------------------- round-6 batch CB
+
+
+@query(
+    "customer_survival_km",
+    oracle="""
+    WITH horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             lead(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS nxt
+      FROM orders
+    ),
+    obs AS (
+      SELECT CASE WHEN nxt IS NOT NULL
+                  THEN date_diff('day', d, nxt)
+                  ELSE date_diff('day', d, (SELECT h FROM horizon)) END AS days,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM seq
+    ),
+    weekly AS (
+      SELECT CAST(floor(days / 7) AS BIGINT) AS tw,
+             sum(event) AS d,
+             sum(1 - event) AS c
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT tw, d, c,
+             (SELECT count(*) FROM obs)
+             - coalesce(sum(d + c) OVER (
+                 ORDER BY tw ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS n_risk
+      FROM weekly
+    )
+    SELECT tw AS week,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           round(CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY tw ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) = 1 THEN 0
+                 ELSE exp(sum(CASE WHEN d < n_risk
+                              THEN ln(1 - CAST(d AS DOUBLE) / n_risk) END) OVER (
+                   ORDER BY tw ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )) END, 6) AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier repurchase-survival curve: each order-to-next-order
+    gap is an observed event, the tail after a customer's LAST order is
+    RIGHT-CENSORED at the dataset horizon — dropping censored intervals
+    (the naive mistake) biases survival down, and the oracle certifies
+    the censoring arithmetic. Week grain: risk set n_i = total − (events
+    + censored before week i), S = Π(1 − dᵢ/nᵢ) computed as exp(Σ ln ·)
+    — both engines run the identical product-as-logsum. The week table
+    is calendar-bounded (§R class 3 window), the corpus passes are one
+    keyed lead window + one agg."""
+    from ..functions.parity import um  # noqa: F401  (keeps import style uniform)
+
+    o = t(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lead(F.to_date("o_orderdate")).over(w).alias("nxt"),
+    ).crossJoin(F.broadcast(horizon))
+    obs = seq.select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "d")
+        ).otherwise(F.datediff("h", "d")).alias("days"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    weekly = obs.groupBy(F.floor(F.col("days") / 7).cast("bigint").alias("tw")).agg(
+        F.sum("event").alias("d"), F.sum(1 - F.col("event")).alias("c")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    wt = Window.orderBy("tw").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.orderBy("tw").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (
+        weekly.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wt), F.lit(0)),
+        )
+        .withColumn(
+            "_zero_seen",
+            F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(wrun),
+        )
+        .withColumn(
+            "survival_raw",
+            # S hits exactly 0 once a week's events exhaust the risk set;
+            # ln() must skip that term (both engines error/−inf on ln(0))
+            F.when(F.col("_zero_seen") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") < F.col("n_risk"),
+                            F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+                        )
+                    ).over(wrun)
+                )
+            ),
+        )
+    )
+    return risk.where(F.col("d") > 0).select(
+        F.col("tw").alias("week"),
+        bi(F.col("n_risk")).alias("n_at_risk"),
+        bi(F.col("d")).alias("n_events"),
+        bi(F.col("c")).alias("n_censored"),
+        r6(F.col("survival_raw")).alias("survival"),
+    )
+
+
+@query(
+    "sql_table_function",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey, t.bucket AS bucket, t.ub AS ub
+    FROM nation n, (SELECT 0 AS bucket, 8 AS ub UNION ALL
+                    SELECT 1, 16 UNION ALL SELECT 2, 24 UNION ALL
+                    SELECT 3, 32) t
+    WHERE n.n_nationkey < t.ub AND n.n_nationkey >= t.ub - 8
+    """,
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE FUNCTION (Spark 4 `CREATE TEMPORARY FUNCTION … RETURNS
+    TABLE … RETURN SELECT`) applied per row via LATERAL — the
+    SQL-native UDTF surface next to the Python UDTFs (§2-L): the
+    function maps a nation key to its 8-wide bucket row. The oracle
+    re-expresses the lateral apply as a plain join, so the hash
+    certifies the function's per-row semantics. Catalyst inlines the
+    function body — the plan is the same join you would write by hand,
+    no Python boundary at all."""
+    n = t(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("sql_tf_nation")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION nation_bucket(k INT)
+        RETURNS TABLE (bucket INT, ub INT)
+        RETURN SELECT CAST(floor(k / 8) AS INT), CAST((floor(k / 8) + 1) * 8 AS INT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT n.n_nationkey AS nationkey, t.bucket AS bucket, t.ub AS ub
+        FROM sql_tf_nation n, LATERAL nation_bucket(n.n_nationkey) t
+        """
+    )

@@ -125,3 +125,15 @@ def test_ivfpq_planted_recall_pinned(spark, pdir):
     rec = _planted_recall(spark, pdir, "sim_ann_ivfpq")
     mean = sum(rec.values()) / len(rec)
     assert mean >= 0.8, f"IVF-PQ planted recall {mean:.2f} < 0.8: {rec}"
+
+
+def test_ivfpq_rerank_recall_at_least_pure_adc(spark, pdir):
+    """Exact re-ranking of the ADC shortlist can only help: planted
+    recall ≥ the pure-ADC lane, and ≥ 0.9 (a 1−1e-7 copy that survives
+    the 4× shortlist is unmissable under exact scoring)."""
+    adc = _planted_recall(spark, pdir, "sim_ann_ivfpq")
+    rr = _planted_recall(spark, pdir, "sim_ann_ivfpq_rerank")
+    m_adc = sum(adc.values()) / len(adc)
+    m_rr = sum(rr.values()) / len(rr)
+    assert m_rr >= m_adc - 1e-9, (m_rr, m_adc)
+    assert m_rr >= 0.9, rr

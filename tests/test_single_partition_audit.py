@@ -40,6 +40,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "corpus_mix_exact": 2,
     "customer_interpurchase_time": 1,
     "customer_rfm_segments": 3,
+    "customer_survival_km": 3,  # calendar-bounded week-grain KM windows + 1-row total
     "customer_spend_gini": 3,
     "dedup_semantic_recall_eval": 1,
     "dq_benford_check": 2,  # 1-row digit-total broadcast
@@ -83,6 +84,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "source_json_malformed": 1,  # 1-row ingestion-audit global final
     "sim_ann_ivf": 2,
     "sim_ann_ivfpq": 2,  # k-row centroid/codebook builds (emb_ivf_kmeans_ann class)
+    "sim_ann_ivfpq_rerank": 2,  # composes sim_ann_ivfpq — inherits its builds
     "sim_recall_eval": 2,  # composes sim_ann_ivf → inherits its centroid build
     "sink_parquet_bloomfilter": 1,
     "part_skyline_pareto": 3,  # n_parts-row offsets table (with_global_running_max)
