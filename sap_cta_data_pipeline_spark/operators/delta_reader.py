@@ -46,11 +46,12 @@ from .sources import _scratch
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
 # Reader feature set this module implements. PROTOCOL.md requires readers
-# to FAIL on tables demanding more (reader v2 = column mapping, v3 =
-# table features such as deletionVectors — both would be silently misread
-# by a plain log replay: deleted rows resurface, columns resolve wrongly).
-_SUPPORTED_READER_VERSION = 1
-_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+# to FAIL on tables demanding more (v3 = table features such as
+# deletionVectors would be silently misread by a plain log replay: deleted
+# rows resurface). Reader v2 column mapping IS implemented (round 6).
+_SUPPORTED_READER_VERSION = 2  # v2 = column mapping (implemented);
+# v3+ table features (deletionVectors, …) still rejected below
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"columnMapping"})
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -87,10 +88,11 @@ def _read_commit(log_dir: str, version: int) -> list[dict]:
 
 def delta_state(
     spark: SparkSession, base: str, version: int | None = None
-) -> tuple[dict[str, dict], str, list[str]]:
+) -> tuple[dict[str, dict], str, list[str], dict]:
     """Reconstruct the live file set at ``version`` (None = latest).
 
-    Returns (live: path -> partitionValues, schemaString, partitionColumns).
+    Returns (live: path -> partitionValues, schemaString, partitionColumns,
+    tableConfiguration — e.g. delta.columnMapping.mode).
     Uses the ``_last_checkpoint`` → checkpoint-parquet fast path when the
     checkpoint version is ≤ the target, then replays only the JSON
     commits after it; a time-travel target BEFORE the checkpoint replays
@@ -124,6 +126,7 @@ def delta_state(
     live: dict[str, dict] = {}
     schema_string: str | None = None
     part_cols: list[str] = []
+    config: dict = {}
     protocol_seen = False
     start = 0
 
@@ -154,6 +157,8 @@ def delta_state(
                 if r["metaData"] is not None:
                     schema_string = r["metaData"]["schemaString"]
                     part_cols = list(r["metaData"]["partitionColumns"] or [])
+                    md = r["metaData"]
+                    config = dict(md["configuration"] or {}) if "configuration" in md else {}
             start = cp_version + 1
 
     if start == 0 and commits and commits[0] > 0:
@@ -180,6 +185,7 @@ def delta_state(
             elif "metaData" in a:
                 schema_string = a["metaData"]["schemaString"]
                 part_cols = list(a["metaData"].get("partitionColumns") or [])
+                config = dict(a["metaData"].get("configuration") or {})
     if schema_string is None:
         raise ValueError(f"no metaData action found replaying {log_dir} to {target}")
     if not protocol_seen:
@@ -187,7 +193,7 @@ def delta_state(
             f"no protocol action found replaying {log_dir} to {target}; "
             "a valid Delta log carries one and readers must check it"
         )
-    return live, schema_string, part_cols
+    return live, schema_string, part_cols, config
 
 
 def delta_snapshot(
@@ -204,7 +210,7 @@ def delta_snapshot(
     Partition columns are reconstructed from ``partitionValues`` (they are
     absent from the data files, per the protocol) and cast per the
     table's schemaString."""
-    live, schema_string, part_cols = delta_state(spark, base, version)
+    live, schema_string, part_cols, config = delta_state(spark, base, version)
     if partition_filter:
         live = {
             p: pv
@@ -220,20 +226,46 @@ def delta_snapshot(
     for p, pv in live.items():
         key = tuple(pv.get(c) for c in part_cols)
         by_pv.setdefault(key, []).append(os.path.join(base, p))
+    # column mapping (reader protocol v2, mode "name"): data files store
+    # PHYSICAL column names carried in each field's metadata; read under
+    # the physical schema, then rename physical → logical. Without
+    # mapping, physical == logical.
+    mapping_on = config.get("delta.columnMapping.mode") in ("name", "id")
+    phys_of = {
+        f.name: (
+            f.metadata.get("delta.columnMapping.physicalName", f.name)
+            if mapping_on
+            else f.name
+        )
+        for f in schema.fields
+    }
     # schema evolution: files written before a metaData column-add lack
     # the new column — the CURRENT schemaString governs the read, so scan
     # with it EXPLICITLY (per file, Spark's parquet reader resolves
     # present columns by name and fills absent ones with typed nulls);
     # never footer-merge, never let one file's physical schema win.
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            T.StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
     pieces: list[DataFrame] = []
     for pvals, paths in sorted(by_pv.items(), key=lambda kv: kv[0]):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
         for c, v in zip(part_cols, pvals):
             df = df.withColumn(c, F.lit(v).cast(schema[c].dataType))
-        pieces.append(df.select([f.name for f in schema.fields]))
+        pieces.append(
+            df.select(
+                [
+                    F.col(phys_of[f.name]).alias(f.name)
+                    if f.name not in part_cols
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
     out = pieces[0]
     for d in pieces[1:]:
         out = out.unionByName(d)

@@ -496,3 +496,80 @@ def scan_hudi_cow_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hudi_cow_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+def _build_colmap_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Reader-v2 column-mapping table (mode "name"): data files store
+    PHYSICAL column names (col-<uuid>-style), the schemaString carries
+    the logical→physical mapping in field metadata."""
+    base = _scratch(sf_dir, "delta_colmap")
+    if os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        return base
+    n, lo, hi = _nation_parts(spark, sf_dir)
+    phys = {
+        "n_nationkey": "col-9f1a-key",
+        "n_name": "col-3c2b-name",
+        "n_regionkey": "col-77d0-region",
+    }
+    fields = [
+        {
+            "name": logical,
+            "type": "integer" if logical != "n_name" else "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": p,
+            },
+        }
+        for i, (logical, p) in enumerate(phys.items())
+    ]
+    meta = {
+        "metaData": {
+            "id": "colmap-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }
+    }
+    for rel, df in (("part-lo.parquet", lo), ("part-hi.parquet", hi)):
+        renamed = df.select(
+            *[F.col(c).alias(phys[c]) for c in ("n_nationkey", "n_name", "n_regionkey")]
+        )
+        _stage_single_parquet(renamed, os.path.join(base, rel))
+    _commit(
+        os.path.join(base, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            _add("part-lo.parquet"),
+            _add("part-hi.parquet"),
+        ],
+    )
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+    return base
+
+
+@query(
+    "scan_delta_column_mapping",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader protocol v2 — column mapping (mode "name"): data files
+    store opaque PHYSICAL column names; the logical names exist ONLY in
+    the schemaString's per-field metadata. The reader scans under the
+    physical schema and renames to logical — a reader that ignored the
+    mapping would return no columns (or, with id-reuse after a
+    drop/re-add, silently WRONG ones; that is why PROTOCOL.md gates it
+    behind minReaderVersion 2, which this reader now accepts — v3 table
+    features remain rejected, pinned in tests). Identity oracle
+    certifies the mapping end-to-end."""
+    base = _build_colmap_fixture(spark, sf_dir)
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

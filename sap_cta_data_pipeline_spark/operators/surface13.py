@@ -389,3 +389,201 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sql_tf_nation n, LATERAL nation_bucket(n.n_nationkey) t
         """
     )
+
+
+@query(
+    "ml_ols_two_feature",
+    oracle="""
+    WITH feat AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DOUBLE) AS y,
+             CAST(count(*) AS DOUBLE) AS x1,
+             CAST(sum(l.l_quantity) AS DOUBLE) AS x2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+             sum(x1 * x1) AS s11r, sum(x2 * x2) AS s22r,
+             sum(x1 * x2) AS s12r, sum(x1 * y) AS s1yr,
+             sum(x2 * y) AS s2yr, sum(y * y) AS syyr
+      FROM feat
+    ),
+    coef AS (
+      SELECT n, m1, m2, my,
+             (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+             (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+             syy
+      FROM (
+        SELECT n, m1, m2, my,
+               s11r - n * m1 * m1 AS s11, s22r - n * m2 * m2 AS s22,
+               s12r - n * m1 * m2 AS s12, s1yr - n * m1 * my AS s1y,
+               s2yr - n * m2 * my AS s2y, syyr - n * my * my AS syy
+        FROM s
+      )
+    ),
+    resid AS (
+      SELECT c.n, c.b1, c.b2, c.my - c.b1 * c.m1 - c.b2 * c.m2 AS intercept,
+             c.syy,
+             sum(pow(f.y - (c.my - c.b1 * c.m1 - c.b2 * c.m2)
+                     - c.b1 * f.x1 - c.b2 * f.x2, 2)) AS sse
+      FROM feat f CROSS JOIN coef c
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(b1, 6) AS beta_n_items,
+           round(b2, 6) AS beta_sum_qty,
+           round(intercept, 6) AS intercept,
+           round(1 - sse / syy, 6) AS r2
+    FROM resid
+    """,
+)
+def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS by explicit normal equations — predict an order's
+    total price from its line count and summed quantity: centered cross
+    sums from ONE aggregate pass, the 2×2 system solved in closed form,
+    then ONE residual pass (coefficients broadcast as a 1-row frame) for
+    R². This is how regression actually distributes: sufficient
+    statistics are a map-side-combinable agg, the solve is O(p³) driver
+    math (p=2), and no iteration touches the corpus — the normal-
+    equation shape every MLlib linear model reduces to for small p.
+    Fully value-oracled including R² (both engines run the identical
+    algebra on the identical doubles)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    feat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x1"),
+            F.sum("l_quantity").cast("double").alias("x2"),
+        )
+        .select(F.col("o_totalprice").cast("double").alias("y"), "x1", "x2")
+    )
+    s = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11r"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22r"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12r"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1yr"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2yr"),
+        F.sum(F.col("y") * F.col("y")).alias("syyr"),
+    )
+    cent = s.select(
+        "n", "m1", "m2", "my",
+        (F.col("s11r") - F.col("n") * F.col("m1") * F.col("m1")).alias("s11"),
+        (F.col("s22r") - F.col("n") * F.col("m2") * F.col("m2")).alias("s22"),
+        (F.col("s12r") - F.col("n") * F.col("m1") * F.col("m2")).alias("s12"),
+        (F.col("s1yr") - F.col("n") * F.col("m1") * F.col("my")).alias("s1y"),
+        (F.col("s2yr") - F.col("n") * F.col("m2") * F.col("my")).alias("s2y"),
+        (F.col("syyr") - F.col("n") * F.col("my") * F.col("my")).alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    coef = cent.select(
+        "n", "m1", "m2", "my", "syy",
+        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias("b1"),
+        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias("b2"),
+    ).withColumn(
+        "intercept", F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2")
+    )
+    resid = feat.crossJoin(F.broadcast(coef)).agg(
+        F.max("n").alias("n"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+        F.max("intercept").alias("intercept"),
+        F.max("syy").alias("syy"),
+        F.sum(
+            F.pow(
+                F.col("y")
+                - F.col("intercept")
+                - F.col("b1") * F.col("x1")
+                - F.col("b2") * F.col("x2"),
+                2,
+            )
+        ).alias("sse"),
+    )
+    return resid.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        r6(F.col("b1")).alias("beta_n_items"),
+        r6(F.col("b2")).alias("beta_sum_qty"),
+        r6(F.col("intercept")).alias("intercept"),
+        r6(1 - F.col("sse") / F.col("syy")).alias("r2"),
+    )
+
+
+@query(
+    "emb_outlier_mahalanobis",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i, avg(e[i]) AS mu, var_pop(e[i]) AS sg
+      FROM v, range(1, 65) t(i) GROUP BY i
+    ),
+    stats AS (
+      SELECT list(mu ORDER BY i) AS mus, list(sg ORDER BY i) AS sgs FROM dims
+    ),
+    scored AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> pow(v.e[i] - s.mus[i], 2) / s.sgs[i])) AS d2
+      FROM v CROSS JOIN stats s
+    )
+    SELECT vec_id, round(d2, 6) AS mahalanobis_d2,
+           CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY d2 DESC, vec_id LIMIT 20
+    """,
+)
+def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen by diagonal Mahalanobis distance — the
+    corpus-hygiene pass run before any embedding-based dedup/clustering
+    (a handful of far-out vectors poison centroids and recall evals):
+    per-dimension mean/variance from ONE posexplode agg (64 rows),
+    collapsed to a single broadcast row; each vector's distance is an
+    in-row fold (zero shuffle on the corpus branch); top-20 reported.
+    Diagonal covariance is the deliberate scale choice — the full
+    Σ⁻¹ needs a d×d solve (emb_covariance_block has the blocks), while
+    the diagonal screen is one pass and catches magnitude/axis outliers,
+    which is what corrupt embeddings look like."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    dims = (
+        emb.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"), F.var_pop("x").alias("sg"))
+    )
+    stats = dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mu", "sg"))).alias("pairs")
+    ).select(
+        F.transform("pairs", lambda p: p["mu"]).alias("mus"),
+        F.transform("pairs", lambda p: p["sg"]).alias("sgs"),
+    )
+    scored = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.pow(
+                F.element_at("e", i.cast("int") + 1)
+                - F.element_at("mus", i.cast("int") + 1),
+                2,
+            )
+            / F.element_at("sgs", i.cast("int") + 1),
+        ).alias("d2"),
+    )
+    w = Window.orderBy(F.col("d2").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("d2").desc(), "vec_id")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .select("vec_id", r6(F.col("d2")).alias("mahalanobis_d2"), "rnk")
+    )

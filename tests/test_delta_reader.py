@@ -69,18 +69,18 @@ def test_checkpoint_fast_path_survives_commit_deletion(spark, base, tmp_path):
 
 
 def test_state_live_set_exact(spark, base):
-    live, schema_string, part_cols = delta_state(spark, base)
+    live, schema_string, part_cols, _ = delta_state(spark, base)
     assert set(live) == {"part-c.parquet", "part-e.parquet"}
     assert part_cols == []
     assert "n_nationkey" in schema_string
-    live0, _, _ = delta_state(spark, base, version=0)
+    live0, _, _, _ = delta_state(spark, base, version=0)
     assert set(live0) == {"part-a.parquet", "part-b.parquet"}
 
 
 def test_partition_prune_plans_exactly_one_file(spark, pbase):
     """File skipping happens in METADATA: the filtered state holds one
     file of five, before any scan is planned."""
-    live_all, _, part_cols = delta_state(spark, pbase)
+    live_all, _, part_cols, _ = delta_state(spark, pbase)
     assert len(live_all) == 5
     assert part_cols == ["n_regionkey"]
     df = delta_snapshot(spark, pbase, partition_filter={"n_regionkey": "2"})
@@ -202,7 +202,7 @@ def test_url_encoded_add_path_decoded(spark, base, tmp_path):
             )
             + "\n"
         )
-    live, _, _ = delta_state(spark, clone)
+    live, _, _, _ = delta_state(spark, clone)
     assert "part e.parquet" in live
     assert delta_snapshot(spark, clone).count() == 25
 

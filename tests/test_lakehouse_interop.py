@@ -44,7 +44,7 @@ def test_writer_log_is_spec_shaped(spark, sink):
     with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
         a1 = [json.loads(l) for l in fh if l.strip()]
     assert [next(iter(a)) for a in a1] == ["add"]
-    live, schema_string, _ = delta_state(spark, sink)
+    live, schema_string, _, _ = delta_state(spark, sink)
     assert set(live) == {"part-00000-c0.parquet", "part-00000-c1.parquet"}
     assert "n_nationkey" in schema_string
 
@@ -120,3 +120,34 @@ def test_checkpoint_only_table_readable(spark, sink, tmp_path):
         if f.endswith(".json") and not f.startswith("_"):
             os.remove(os.path.join(clone, "_delta_log", f))
     assert delta_snapshot(spark, clone).count() == 25
+
+
+def test_column_mapping_physical_names_on_disk(spark, sf_dir):
+    """The data files must NOT contain logical names — only the mapping
+    in the schemaString metadata connects them."""
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_colmap_fixture,
+    )
+
+    base = _build_colmap_fixture(spark, sf_dir)
+    raw = spark.read.parquet(os.path.join(base, "part-lo.parquet"))
+    assert raw.columns == ["col-9f1a-key", "col-3c2b-name", "col-77d0-region"]
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+
+    df = delta_snapshot(spark, base)
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert df.count() == 25
+
+
+def test_reader_v2_accepted_v3_still_rejected(spark, sf_dir):
+    from sap_cta_data_pipeline_spark.operators.delta_reader import _check_protocol
+
+    _check_protocol({"minReaderVersion": 2, "minWriterVersion": 5})
+    _check_protocol(
+        {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["columnMapping"]}
+    )
+    with pytest.raises(ValueError, match="unsupported Delta reader protocol"):
+        _check_protocol(
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["deletionVectors"]}
+        )

@@ -50,6 +50,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "dq_referential_integrity": 1,
     "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
     "emb_norm_audit": 2,
+    "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
     "events_ab_ttest": 1,
     "events_churn_flags": 2,
     "events_did_estimator": 1,  # 4-cell agg → 1-row DiD fold
@@ -68,6 +69,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ml_ks_test": 3,
     "ml_kfold_assign": 2,  # 1-row grand-total broadcast (complement identity)
     "ml_lift_gains_table": 3,
+    "ml_ols_two_feature": 1,  # sufficient-stats 1-row frames (normal equations)
     "ml_pr_auc": 3,  # value-grain running window, ml_auc_roc class
     "ml_psi_drift": 2,
     "ml_target_encoding": 2,
