@@ -587,3 +587,75 @@ def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("vec_id", r6(F.col("d2")).alias("mahalanobis_d2"), "rnk")
     )
+
+
+@query(
+    "orders_queue_backlog_lindley",
+    oracle="""
+    WITH arr AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS a
+      FROM orders GROUP BY 1
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM arr),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    cal AS (
+      SELECT d.day, coalesce(a.a, 0) AS a
+      FROM days d LEFT JOIN arr a ON a.day = d.day
+    ),
+    cap AS (SELECT ceil(avg(a)) AS c FROM cal),
+    s AS (
+      SELECT day, a,
+             sum(a - (SELECT c FROM cap)) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM cal
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(a AS BIGINT) AS arrivals,
+           CAST(cum - least(0, min(cum) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS BIGINT) AS backlog
+    FROM s
+    """,
+)
+def orders_queue_backlog_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue backlog under fixed daily service capacity — the Lindley
+    recursion q_d = max(0, q_{d−1} + a_d − c), which is NON-linear (the
+    clamp) and so has no direct window form... except via the classical
+    identity q_d = s_d − min(0, min_{j≤d} s_j) where s is the UNclamped
+    running sum of (a − c): one cumulative-sum window plus one
+    running-min window recovers the whole clamped trajectory — the
+    transformation that turns a sequential simulation into two
+    day-grain windows (§R class 3, calendar-bounded). Capacity c =
+    ceil(mean daily arrivals) over the gap-FILLED calendar (missing
+    days must serve, not skip — the day axis is generated, not
+    observed). The operations answer: how deep does the backlog get
+    when the system runs at its average load."""
+    o = t(spark, sf_dir, "orders")
+    arr = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    span = arr.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    cal = days.join(arr, "day", "left").select(
+        "day", F.coalesce("a", F.lit(0)).alias("a")
+    )
+    cap = cal.agg(F.ceil(F.avg("a")).alias("c"))
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = cal.crossJoin(F.broadcast(cap)).withColumn(
+        "cum", F.sum(F.col("a") - F.col("c")).over(wrun)
+    )
+    return s.select(
+        F.col("day").cast("string").alias("day"),
+        bi(F.col("a")).alias("arrivals"),
+        (F.col("cum") - F.least(F.lit(0).cast("long"), F.min("cum").over(wrun)))
+        .cast("bigint")
+        .alias("backlog"),
+    )

@@ -77,6 +77,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "part_abc_xyz_matrix": 3,
     "orders_growth_mom_yoy": 3,
     "orders_open_backlog_daily": 3,
+    "orders_queue_backlog_lindley": 3,  # calendar-bounded day-grain cumsum/min windows
     "orders_seasonality_index": 3,
     "profile_histogram_auto": 2,
     "profile_join_key_skew": 1,
