@@ -659,3 +659,150 @@ def orders_queue_backlog_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("backlog"),
     )
+
+
+@query(
+    "events_funnel_conversion_window",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND epoch_us(e.ts) - epoch_us(s1.t1) <= 7 * 86400000000
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND epoch_us(e.ts) - epoch_us(s2.t2) <= 7 * 86400000000
+      GROUP BY 1
+    )
+    SELECT
+      CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_step1_view,
+      CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_step2_click_7d,
+      CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_step3_purchase_7d,
+      round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+            / (SELECT count(*) FROM s1), 6) AS conv_1_to_2,
+      round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+            / nullif((SELECT count(*) FROM s2), 0), 6) AS conv_2_to_3
+    """,
+)
+def events_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a CONVERSION WINDOW — each step must land within 7
+    days of the previous step's first qualifying event (the unbounded
+    funnel, events_funnel_steps, overstates conversion by crediting
+    arbitrarily-late steps; every product-analytics funnel defaults to a
+    window). Same step-N-joins-step-N−1-survivors shape — user-keyed
+    min aggregates, filters pushed to each scan — plus the window bound
+    as a residual predicate; emits step counts and step-over-step
+    conversion rates."""
+    from ..functions.parity import um
+
+    e = t(spark, sf_dir, "events")
+    week_us = 7 * 86_400_000_000
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (um("ts") - um("t1") <= week_us))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (um("ts") - um("t2") <= week_us))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            F.col("n1").cast("bigint").alias("n_step1_view"),
+            F.col("n2").cast("bigint").alias("n_step2_click_7d"),
+            F.col("n3").cast("bigint").alias("n_step3_purchase_7d"),
+            r6(F.col("n2").cast("double") / F.col("n1")).alias("conv_1_to_2"),
+            r6(
+                F.col("n3").cast("double") / F.nullif(F.col("n2"), F.lit(0))
+            ).alias("conv_2_to_3"),
+        )
+    )
+
+
+@query(
+    "fn_ipv4_cidr_match",
+    oracle="""
+    WITH ips AS (
+      SELECT user_id,
+             ((user_id * 2654435761) % 4294967296) AS ip
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cidr AS (
+      SELECT * FROM (VALUES
+        ('10.0.0.0/8',     167772160, 8),
+        ('172.16.0.0/12',  2886729728, 12),
+        ('192.168.0.0/16', 3232235520, 16),
+        ('0.0.0.0/2',      0, 2),
+        ('128.0.0.0/3',    2147483648, 3)
+      ) t(block, base, prefix)
+    )
+    SELECT c.block AS block,
+           CAST(count(i.user_id) AS BIGINT) AS n_users,
+           CAST(min(i.user_id) AS BIGINT) AS min_user,
+           CAST(max(i.user_id) AS BIGINT) AS max_user
+    FROM cidr c
+    LEFT JOIN ips i
+      ON CAST(floor(i.ip / pow(2, 32 - c.prefix)) AS BIGINT)
+         = CAST(floor(c.base / pow(2, 32 - c.prefix)) AS BIGINT)
+    GROUP BY 1
+    """,
+)
+def fn_ipv4_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 CIDR containment — the security-analytics join (which users
+    fall in which network blocks): synthetic per-user IPs (deterministic
+    multiplicative hash), a 5-block CIDR dim, and membership by
+    prefix arithmetic — ip >> (32−prefix) == base >> (32−prefix) — not
+    string manipulation. The dim broadcasts (CIDR tables are always
+    dim-sized); per-block membership is a residual predicate on the
+    broadcast join, so the user set streams once for all blocks. Counts
+    + id ranges per block are fully oracled."""
+    e = t(spark, sf_dir, "events")
+    ips = e.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id") * 2654435761) % F.lit(4294967296)).alias("ip"),
+    )
+    cidr = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", 167772160, 8),
+            ("172.16.0.0/12", 2886729728, 12),
+            ("192.168.0.0/16", 3232235520, 16),
+            ("0.0.0.0/2", 0, 2),
+            ("128.0.0.0/3", 2147483648, 3),
+        ],
+        "block string, base long, prefix int",
+    )
+    shift = F.pow(F.lit(2.0), 32 - F.col("prefix"))
+    j = F.broadcast(cidr).join(
+        ips,
+        F.floor(F.col("ip") / shift).cast("long")
+        == F.floor(F.col("base") / shift).cast("long"),
+        "left",
+    )
+    return j.groupBy("block").agg(
+        F.count("user_id").cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+    )

@@ -58,6 +58,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "events_conversion_latency": 1,
     "events_cumulative_users": 3,
     "events_funnel_steps": 1,
+    "events_funnel_conversion_window": 1,  # three 1-row step-count finals
     "events_lateness_report": 3,
     "graph_bfs_layers": 1,  # 1-row seed (global min) + per-layer bounded frontiers
     "graph_triangle_count": 1,
