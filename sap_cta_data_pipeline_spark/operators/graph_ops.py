@@ -180,7 +180,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
 
 
-@query("graph_pagerank")  # no SQL oracle: iterative fixpoint (rows-only lane)
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    ud AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e),
+    od AS (SELECT src, count(*) AS outdeg FROM ud GROUP BY src),
+    ed AS MATERIALIZED (SELECT ud.src, ud.dst, od.outdeg FROM ud JOIN od USING (src)),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ud),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    r1 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r0.rank / ed.outdeg) AS csum FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r2 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r1.rank / ed.outdeg) AS csum FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r3 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r2.rank / ed.outdeg) AS csum FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r4 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r3.rank / ed.outdeg) AS csum FROM ed JOIN r3 ON r3.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r5 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r4.rank / ed.outdeg) AS csum FROM ed JOIN r4 ON r4.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r6 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r5.rank / ed.outdeg) AS csum FROM ed JOIN r5 ON r5.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r7 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r6.rank / ed.outdeg) AS csum FROM ed JOIN r6 ON r6.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r8 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r7.rank / ed.outdeg) AS csum FROM ed JOIN r7 ON r7.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r9 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r8.rank / ed.outdeg) AS csum FROM ed JOIN r8 ON r8.node = ed.src GROUP BY ed.dst) s USING (node)),
+    r10 AS MATERIALIZED (SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.csum, 0) AS rank FROM nodes LEFT JOIN (SELECT ed.dst AS node, sum(r9.rank / ed.outdeg) AS csum FROM ed JOIN r9 ON r9.node = ed.src GROUP BY ed.dst) s USING (node))
+    SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r10
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (d=0.85, 10 iterations) on the undirected
     co-purchase graph, the canonical iterative DataFrame loop. Each
@@ -190,7 +212,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical plan doubles per iteration and plan compilation, not data,
     becomes the scale bottleneck. The undirected graph has no dangling
     nodes (every node has >= 1 edge), so no dangling-mass term is needed.
-    Rows-only lane: iterative fixpoints have no ANSI-SQL twin."""
+    Round 6: fully VALUE-ORACLED — the oracle unrolls the identical 10
+    damped iterations as MATERIALIZED CTEs (the events_markov_stationary
+    pattern), so both engines sit on the same trajectory and the r6 hash
+    certifies rank values, not just row counts."""
     e = _edges(spark, sf_dir)
     # undirected -> both directions; out_degree per src
     edges = (

@@ -342,3 +342,16 @@ def test_dynamic_gap_session_window_runs_in_streaming(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == batch and got > 0
+
+
+def test_windowed_funnel_bounded_by_unbounded(spark, sf_dir):
+    """A 7-day conversion window can only lose users vs the unbounded
+    funnel, and step counts are monotone non-increasing."""
+    win = QUERIES["events_funnel_conversion_window"](spark, sf_dir).collect()[0]
+    assert win.n_step1_view >= win.n_step2_click_7d >= win.n_step3_purchase_7d
+    unb = {r.step: r.n_users for r in
+           QUERIES["events_funnel_steps"](spark, sf_dir).collect()}
+    # unbounded funnel reports per-step user counts; map by order
+    vals = [unb[k] for k in sorted(unb)]
+    assert win.n_step2_click_7d <= vals[1]
+    assert win.n_step3_purchase_7d <= vals[2]
