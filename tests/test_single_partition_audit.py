@@ -51,6 +51,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
     "emb_norm_audit": 2,
     "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
+    "events_ab_cuped": 2,  # 1-row theta/mean broadcast (sub_scalar_global class)
     "events_ab_ttest": 1,
     "events_churn_flags": 2,
     "events_did_estimator": 1,  # 4-cell agg → 1-row DiD fold
