@@ -287,13 +287,31 @@ def _write_parquet_file(src_schema, pdf, path: str) -> None:
     )
 
 
+class CommitConflict(Exception):
+    """Another writer already committed this version (the loser of the
+    put-if-absent race). Callers retry at version+1 — Delta's optimistic
+    concurrency contract."""
+
+
 def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    """PUT-IF-ABSENT commit: os.link fails with EEXIST if the version
+    file already exists (os.rename would silently CLOBBER a concurrent
+    writer's commit — the one failure mode a transaction log must never
+    have). On object stores this is the store's conditional put."""
     os.makedirs(log_dir, exist_ok=True)
-    tmp = os.path.join(log_dir, f".tmp-{version:020d}.json")
+    tmp = os.path.join(log_dir, f".tmp-{os.getpid()}-{version:020d}.json")
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    dst = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed under {log_dir}"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
 def _add(path: str, partition_values: dict | None = None) -> dict:

@@ -46,6 +46,7 @@ from .delta_reader import (
     _CHECKPOINT_SCHEMA,
     _COMMIT_RE,
     _NATION_SCHEMA_JSON,
+    CommitConflict,
     _add,
     _commit,
     _meta_action,
@@ -119,7 +120,20 @@ def delta_append_commit(
             _meta_action([]),
         ]
     actions.append(add)
-    _commit(log_dir, version, actions)
+    # optimistic concurrency: the staged data file is conflict-free (its
+    # name is ours alone); only the VERSION slot is contended. A loser of
+    # the put-if-absent race re-reads the log tip and retries — appends
+    # never semantically conflict, so blind retry is safe (a real MERGE
+    # writer re-validates its read set here before retrying).
+    for _ in range(10):
+        try:
+            _commit(log_dir, version, actions)
+            return
+        except CommitConflict:
+            version += 1
+    raise CommitConflict(
+        f"gave up after 10 contended versions under {log_dir}"
+    )
 
 
 def delta_checkpoint(spark: SparkSession, base: str) -> int:

@@ -151,3 +151,65 @@ def test_reader_v2_accepted_v3_still_rejected(spark, sf_dir):
             {"minReaderVersion": 3, "minWriterVersion": 7,
              "readerFeatures": ["deletionVectors"]}
         )
+
+
+def test_commit_is_put_if_absent(tmp_path):
+    """Two writers racing the same version: the loser must get
+    CommitConflict — NEVER a silent clobber of the winner's commit."""
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        CommitConflict,
+        _commit,
+        _read_commit,
+    )
+
+    log_dir = str(tmp_path / "_delta_log")
+    _commit(log_dir, 0, [{"commitInfo": {"writer": "a"}}])
+    with pytest.raises(CommitConflict):
+        _commit(log_dir, 0, [{"commitInfo": {"writer": "b"}}])
+    # winner's content intact
+    assert _read_commit(log_dir, 0) == [{"commitInfo": {"writer": "a"}}]
+
+
+def test_append_retries_past_conflict(spark, sf_dir, tmp_path):
+    """delta_append_commit under contention: pre-occupying the next
+    version slot forces one conflict; the append must land at the
+    following version with both commits' files live."""
+    import shutil
+
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _add,
+        _commit,
+        delta_snapshot,
+        delta_state,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        _stage_single_parquet,
+        delta_append_commit,
+    )
+
+    clone = str(tmp_path / "contended")
+    shutil.copytree(_build_sink_fixture(spark, sf_dir), clone)
+    log_dir = os.path.join(clone, "_delta_log")
+    # a "concurrent writer" takes version 2 with an independent file
+    n = load_table(spark, sf_dir, "nation").limit(3)
+    _stage_single_parquet(
+        n.selectExpr("n_nationkey + 100 AS n_nationkey", "n_name", "n_regionkey"),
+        os.path.join(clone, "rival.parquet"),
+    )
+    _commit(log_dir, 2, [_add("rival.parquet")])
+    # our append targets version 2 too (it lists [0,1]+rival? no — it
+    # lists the log, sees 2 taken only if it lists after; force the race
+    # by calling with the rival already committed: first attempt at
+    # version 3 is computed from the CURRENT tip, so instead pre-commit
+    # version 3 to force the conflict path
+    _commit(log_dir, 3, [{"commitInfo": {"writer": "rival2"}}])
+    extra = n.selectExpr("n_nationkey + 200 AS n_nationkey", "n_name", "n_regionkey")
+    # monkey-free conflict: delta_append_commit computes version=4 (tip 3),
+    # so pre-take 4 as well, then call — it must land at 5
+    _commit(log_dir, 4, [{"commitInfo": {"writer": "rival3"}}])
+    delta_append_commit(spark, clone, extra, "ours.parquet")
+    live, _, _, _ = delta_state(spark, clone)
+    assert "ours.parquet" in live and "rival.parquet" in live
+    assert delta_snapshot(spark, clone).count() == 25 + 3 + 3
