@@ -385,7 +385,77 @@ def _sweep_objective(spark: SparkSession, sf_dir: str, grid: list[tuple[float, f
     )
 
 
-@query("pipe_optimize_threshold")  # rows-only: iterative, not SQL-expressible
+@query(
+    "pipe_optimize_threshold",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    d1 AS (SELECT * FROM (VALUES (-0.1), (0.0), (0.1)) v(d)),
+    g1 AS MATERIALIZED (
+      SELECT DISTINCT round(greatest(0.2 + a.d, 0.01), 4) AS t_pic,
+                      round(greatest(0.1 + c.d, 0.005), 4) AS t_bnd
+      FROM d1 a CROSS JOIN d1 c
+    ),
+    s1 AS MATERIALIZED (
+      SELECT t_pic, t_bnd, round(avg(ke) - 0.01 * avg(nk), 6) AS objective
+      FROM (
+        SELECT g.t_pic, g.t_bnd, cells.vec_id,
+               sum(CASE WHEN (x >= g.t_pic OR (x >= g.t_bnd AND (left_x >= g.t_pic OR right_x >= g.t_pic))) THEN x ELSE 0.0 END) AS ke,
+               sum(CASE WHEN (x >= g.t_pic OR (x >= g.t_bnd AND (left_x >= g.t_pic OR right_x >= g.t_pic))) THEN 1.0 ELSE 0.0 END) AS nk
+        FROM cells CROSS JOIN g1 g
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    b1 AS MATERIALIZED (
+      SELECT t_pic, t_bnd, objective FROM s1
+      ORDER BY objective DESC, t_pic ASC, t_bnd ASC LIMIT 1
+    ),
+    d2 AS (SELECT * FROM (VALUES (-0.05), (0.0), (0.05)) v(d)),
+    g2 AS MATERIALIZED (
+      SELECT DISTINCT round(greatest(b.t_pic + a.d, 0.01), 4) AS t_pic,
+                      round(greatest(b.t_bnd + c.d, 0.005), 4) AS t_bnd
+      FROM d2 a CROSS JOIN d2 c, b1 b
+    ),
+    s2 AS MATERIALIZED (
+      SELECT t_pic, t_bnd, round(avg(ke) - 0.01 * avg(nk), 6) AS objective
+      FROM (
+        SELECT g.t_pic, g.t_bnd, cells.vec_id,
+               sum(CASE WHEN (x >= g.t_pic OR (x >= g.t_bnd AND (left_x >= g.t_pic OR right_x >= g.t_pic))) THEN x ELSE 0.0 END) AS ke,
+               sum(CASE WHEN (x >= g.t_pic OR (x >= g.t_bnd AND (left_x >= g.t_pic OR right_x >= g.t_pic))) THEN 1.0 ELSE 0.0 END) AS nk
+        FROM cells CROSS JOIN g2 g
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    b2 AS MATERIALIZED (
+      SELECT t_pic, t_bnd, objective FROM s2
+      ORDER BY objective DESC, t_pic ASC, t_bnd ASC LIMIT 1
+    ),
+    d3 AS (SELECT * FROM (VALUES (-0.025), (0.0), (0.025)) v(d)),
+    g3 AS MATERIALIZED (
+      SELECT DISTINCT round(greatest(b.t_pic + a.d, 0.01), 4) AS t_pic,
+                      round(greatest(b.t_bnd + c.d, 0.005), 4) AS t_bnd
+      FROM d3 a CROSS JOIN d3 c, b2 b
+    ),
+    s3 AS MATERIALIZED (
+      SELECT t_pic, t_bnd, round(avg(ke) - 0.01 * avg(nk), 6) AS objective
+      FROM (
+        SELECT g.t_pic, g.t_bnd, cells.vec_id,
+               sum(CASE WHEN (x >= g.t_pic OR (x >= g.t_bnd AND (left_x >= g.t_pic OR right_x >= g.t_pic))) THEN x ELSE 0.0 END) AS ke,
+               sum(CASE WHEN (x >= g.t_pic OR (x >= g.t_bnd AND (left_x >= g.t_pic OR right_x >= g.t_pic))) THEN 1.0 ELSE 0.0 END) AS nk
+        FROM cells CROSS JOIN g3 g
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    b3 AS MATERIALIZED (
+      SELECT t_pic, t_bnd, objective FROM s3
+      ORDER BY objective DESC, t_pic ASC, t_bnd ASC LIMIT 1
+    )
+    SELECT CAST(0 AS BIGINT) AS iteration, t_pic, t_bnd, objective FROM b1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), t_pic, t_bnd, objective FROM b2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), t_pic, t_bnd, objective FROM b3
+    """,
+)
 def pipe_optimize_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimization-driver analogue (the reference's third entry point: a
     scipy brute/differential-evolution loop re-running the WHOLE per-image
@@ -393,7 +463,11 @@ def pipe_optimize_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, each evaluating its entire candidate grid in one
     broadcast-cross-join pass; the driver-side loop only shrinks the grid
     around the incumbent — O(iterations) Spark jobs total, not
-    O(grid points × corpus passes). Returns the best point per iteration."""
+    O(grid points × corpus passes). Returns the best point per iteration.
+    Round 6: fully VALUE-ORACLED — the 3 refine iterations unroll as
+    chained argmax CTEs (grid from the previous winner via the same
+    clamp+round arithmetic, tiebreak objective DESC / t_pic / t_bnd);
+    the hash certifies the whole optimize trajectory."""
     center, step = (0.2, 0.1), 0.1
     history = []
     for it in range(3):
