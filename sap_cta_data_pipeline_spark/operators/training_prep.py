@@ -521,7 +521,235 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_pca_power")  # no SQL oracle: iterative linear algebra (rows-only lane)
+@query(
+    "emb_pca_power",
+    oracle="""
+    WITH vv AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    gram AS MATERIALIZED (
+      SELECT i.i AS i, j.j AS j, sum(e[i.i] * e[j.j]) AS g
+      FROM vv, range(1, 65) i(i), range(1, 65) j(j)
+      GROUP BY 1, 2
+    ),
+    nn AS (SELECT count(*) AS n FROM vv),
+    v0 AS MATERIALIZED (SELECT i AS dim, 1.0 / sqrt(64) AS x FROM range(1, 65) t(i)),
+    w1 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v0.x) AS x FROM gram g JOIN v0 ON v0.dim = g.j GROUP BY 1),
+    v1 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w1)) AS x FROM w1),
+    w2 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v1.x) AS x FROM gram g JOIN v1 ON v1.dim = g.j GROUP BY 1),
+    v2 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w2)) AS x FROM w2),
+    w3 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v2.x) AS x FROM gram g JOIN v2 ON v2.dim = g.j GROUP BY 1),
+    v3 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w3)) AS x FROM w3),
+    w4 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v3.x) AS x FROM gram g JOIN v3 ON v3.dim = g.j GROUP BY 1),
+    v4 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w4)) AS x FROM w4),
+    w5 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v4.x) AS x FROM gram g JOIN v4 ON v4.dim = g.j GROUP BY 1),
+    v5 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w5)) AS x FROM w5),
+    w6 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v5.x) AS x FROM gram g JOIN v5 ON v5.dim = g.j GROUP BY 1),
+    v6 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w6)) AS x FROM w6),
+    w7 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v6.x) AS x FROM gram g JOIN v6 ON v6.dim = g.j GROUP BY 1),
+    v7 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w7)) AS x FROM w7),
+    w8 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v7.x) AS x FROM gram g JOIN v7 ON v7.dim = g.j GROUP BY 1),
+    v8 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w8)) AS x FROM w8),
+    w9 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v8.x) AS x FROM gram g JOIN v8 ON v8.dim = g.j GROUP BY 1),
+    v9 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w9)) AS x FROM w9),
+    w10 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v9.x) AS x FROM gram g JOIN v9 ON v9.dim = g.j GROUP BY 1),
+    v10 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w10)) AS x FROM w10),
+    w11 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v10.x) AS x FROM gram g JOIN v10 ON v10.dim = g.j GROUP BY 1),
+    v11 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w11)) AS x FROM w11),
+    w12 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v11.x) AS x FROM gram g JOIN v11 ON v11.dim = g.j GROUP BY 1),
+    v12 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w12)) AS x FROM w12),
+    w13 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v12.x) AS x FROM gram g JOIN v12 ON v12.dim = g.j GROUP BY 1),
+    v13 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w13)) AS x FROM w13),
+    w14 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v13.x) AS x FROM gram g JOIN v13 ON v13.dim = g.j GROUP BY 1),
+    v14 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w14)) AS x FROM w14),
+    w15 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v14.x) AS x FROM gram g JOIN v14 ON v14.dim = g.j GROUP BY 1),
+    v15 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w15)) AS x FROM w15),
+    w16 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v15.x) AS x FROM gram g JOIN v15 ON v15.dim = g.j GROUP BY 1),
+    v16 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w16)) AS x FROM w16),
+    w17 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v16.x) AS x FROM gram g JOIN v16 ON v16.dim = g.j GROUP BY 1),
+    v17 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w17)) AS x FROM w17),
+    w18 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v17.x) AS x FROM gram g JOIN v17 ON v17.dim = g.j GROUP BY 1),
+    v18 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w18)) AS x FROM w18),
+    w19 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v18.x) AS x FROM gram g JOIN v18 ON v18.dim = g.j GROUP BY 1),
+    v19 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w19)) AS x FROM w19),
+    w20 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v19.x) AS x FROM gram g JOIN v19 ON v19.dim = g.j GROUP BY 1),
+    v20 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w20)) AS x FROM w20),
+    w21 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v20.x) AS x FROM gram g JOIN v20 ON v20.dim = g.j GROUP BY 1),
+    v21 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w21)) AS x FROM w21),
+    w22 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v21.x) AS x FROM gram g JOIN v21 ON v21.dim = g.j GROUP BY 1),
+    v22 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w22)) AS x FROM w22),
+    w23 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v22.x) AS x FROM gram g JOIN v22 ON v22.dim = g.j GROUP BY 1),
+    v23 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w23)) AS x FROM w23),
+    w24 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v23.x) AS x FROM gram g JOIN v23 ON v23.dim = g.j GROUP BY 1),
+    v24 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w24)) AS x FROM w24),
+    w25 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v24.x) AS x FROM gram g JOIN v24 ON v24.dim = g.j GROUP BY 1),
+    v25 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w25)) AS x FROM w25),
+    w26 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v25.x) AS x FROM gram g JOIN v25 ON v25.dim = g.j GROUP BY 1),
+    v26 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w26)) AS x FROM w26),
+    w27 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v26.x) AS x FROM gram g JOIN v26 ON v26.dim = g.j GROUP BY 1),
+    v27 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w27)) AS x FROM w27),
+    w28 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v27.x) AS x FROM gram g JOIN v27 ON v27.dim = g.j GROUP BY 1),
+    v28 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w28)) AS x FROM w28),
+    w29 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v28.x) AS x FROM gram g JOIN v28 ON v28.dim = g.j GROUP BY 1),
+    v29 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w29)) AS x FROM w29),
+    w30 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v29.x) AS x FROM gram g JOIN v29 ON v29.dim = g.j GROUP BY 1),
+    v30 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w30)) AS x FROM w30),
+    w31 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v30.x) AS x FROM gram g JOIN v30 ON v30.dim = g.j GROUP BY 1),
+    v31 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w31)) AS x FROM w31),
+    w32 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v31.x) AS x FROM gram g JOIN v31 ON v31.dim = g.j GROUP BY 1),
+    v32 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w32)) AS x FROM w32),
+    w33 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v32.x) AS x FROM gram g JOIN v32 ON v32.dim = g.j GROUP BY 1),
+    v33 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w33)) AS x FROM w33),
+    w34 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v33.x) AS x FROM gram g JOIN v33 ON v33.dim = g.j GROUP BY 1),
+    v34 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w34)) AS x FROM w34),
+    w35 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v34.x) AS x FROM gram g JOIN v34 ON v34.dim = g.j GROUP BY 1),
+    v35 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w35)) AS x FROM w35),
+    w36 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v35.x) AS x FROM gram g JOIN v35 ON v35.dim = g.j GROUP BY 1),
+    v36 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w36)) AS x FROM w36),
+    w37 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v36.x) AS x FROM gram g JOIN v36 ON v36.dim = g.j GROUP BY 1),
+    v37 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w37)) AS x FROM w37),
+    w38 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v37.x) AS x FROM gram g JOIN v37 ON v37.dim = g.j GROUP BY 1),
+    v38 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w38)) AS x FROM w38),
+    w39 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v38.x) AS x FROM gram g JOIN v38 ON v38.dim = g.j GROUP BY 1),
+    v39 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w39)) AS x FROM w39),
+    w40 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v39.x) AS x FROM gram g JOIN v39 ON v39.dim = g.j GROUP BY 1),
+    v40 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w40)) AS x FROM w40),
+    w41 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v40.x) AS x FROM gram g JOIN v40 ON v40.dim = g.j GROUP BY 1),
+    v41 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w41)) AS x FROM w41),
+    w42 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v41.x) AS x FROM gram g JOIN v41 ON v41.dim = g.j GROUP BY 1),
+    v42 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w42)) AS x FROM w42),
+    w43 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v42.x) AS x FROM gram g JOIN v42 ON v42.dim = g.j GROUP BY 1),
+    v43 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w43)) AS x FROM w43),
+    w44 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v43.x) AS x FROM gram g JOIN v43 ON v43.dim = g.j GROUP BY 1),
+    v44 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w44)) AS x FROM w44),
+    w45 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v44.x) AS x FROM gram g JOIN v44 ON v44.dim = g.j GROUP BY 1),
+    v45 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w45)) AS x FROM w45),
+    w46 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v45.x) AS x FROM gram g JOIN v45 ON v45.dim = g.j GROUP BY 1),
+    v46 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w46)) AS x FROM w46),
+    w47 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v46.x) AS x FROM gram g JOIN v46 ON v46.dim = g.j GROUP BY 1),
+    v47 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w47)) AS x FROM w47),
+    w48 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v47.x) AS x FROM gram g JOIN v47 ON v47.dim = g.j GROUP BY 1),
+    v48 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w48)) AS x FROM w48),
+    w49 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v48.x) AS x FROM gram g JOIN v48 ON v48.dim = g.j GROUP BY 1),
+    v49 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w49)) AS x FROM w49),
+    w50 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v49.x) AS x FROM gram g JOIN v49 ON v49.dim = g.j GROUP BY 1),
+    v50 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w50)) AS x FROM w50),
+    w51 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v50.x) AS x FROM gram g JOIN v50 ON v50.dim = g.j GROUP BY 1),
+    v51 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w51)) AS x FROM w51),
+    w52 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v51.x) AS x FROM gram g JOIN v51 ON v51.dim = g.j GROUP BY 1),
+    v52 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w52)) AS x FROM w52),
+    w53 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v52.x) AS x FROM gram g JOIN v52 ON v52.dim = g.j GROUP BY 1),
+    v53 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w53)) AS x FROM w53),
+    w54 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v53.x) AS x FROM gram g JOIN v53 ON v53.dim = g.j GROUP BY 1),
+    v54 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w54)) AS x FROM w54),
+    w55 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v54.x) AS x FROM gram g JOIN v54 ON v54.dim = g.j GROUP BY 1),
+    v55 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w55)) AS x FROM w55),
+    w56 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v55.x) AS x FROM gram g JOIN v55 ON v55.dim = g.j GROUP BY 1),
+    v56 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w56)) AS x FROM w56),
+    w57 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v56.x) AS x FROM gram g JOIN v56 ON v56.dim = g.j GROUP BY 1),
+    v57 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w57)) AS x FROM w57),
+    w58 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v57.x) AS x FROM gram g JOIN v57 ON v57.dim = g.j GROUP BY 1),
+    v58 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w58)) AS x FROM w58),
+    w59 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v58.x) AS x FROM gram g JOIN v58 ON v58.dim = g.j GROUP BY 1),
+    v59 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w59)) AS x FROM w59),
+    w60 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v59.x) AS x FROM gram g JOIN v59 ON v59.dim = g.j GROUP BY 1),
+    v60 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w60)) AS x FROM w60),
+    w61 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v60.x) AS x FROM gram g JOIN v60 ON v60.dim = g.j GROUP BY 1),
+    v61 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w61)) AS x FROM w61),
+    w62 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v61.x) AS x FROM gram g JOIN v61 ON v61.dim = g.j GROUP BY 1),
+    v62 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w62)) AS x FROM w62),
+    w63 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v62.x) AS x FROM gram g JOIN v62 ON v62.dim = g.j GROUP BY 1),
+    v63 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w63)) AS x FROM w63),
+    w64 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v63.x) AS x FROM gram g JOIN v63 ON v63.dim = g.j GROUP BY 1),
+    v64 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w64)) AS x FROM w64),
+    w65 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v64.x) AS x FROM gram g JOIN v64 ON v64.dim = g.j GROUP BY 1),
+    v65 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w65)) AS x FROM w65),
+    w66 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v65.x) AS x FROM gram g JOIN v65 ON v65.dim = g.j GROUP BY 1),
+    v66 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w66)) AS x FROM w66),
+    w67 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v66.x) AS x FROM gram g JOIN v66 ON v66.dim = g.j GROUP BY 1),
+    v67 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w67)) AS x FROM w67),
+    w68 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v67.x) AS x FROM gram g JOIN v67 ON v67.dim = g.j GROUP BY 1),
+    v68 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w68)) AS x FROM w68),
+    w69 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v68.x) AS x FROM gram g JOIN v68 ON v68.dim = g.j GROUP BY 1),
+    v69 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w69)) AS x FROM w69),
+    w70 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v69.x) AS x FROM gram g JOIN v69 ON v69.dim = g.j GROUP BY 1),
+    v70 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w70)) AS x FROM w70),
+    w71 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v70.x) AS x FROM gram g JOIN v70 ON v70.dim = g.j GROUP BY 1),
+    v71 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w71)) AS x FROM w71),
+    w72 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v71.x) AS x FROM gram g JOIN v71 ON v71.dim = g.j GROUP BY 1),
+    v72 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w72)) AS x FROM w72),
+    w73 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v72.x) AS x FROM gram g JOIN v72 ON v72.dim = g.j GROUP BY 1),
+    v73 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w73)) AS x FROM w73),
+    w74 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v73.x) AS x FROM gram g JOIN v73 ON v73.dim = g.j GROUP BY 1),
+    v74 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w74)) AS x FROM w74),
+    w75 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v74.x) AS x FROM gram g JOIN v74 ON v74.dim = g.j GROUP BY 1),
+    v75 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w75)) AS x FROM w75),
+    w76 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v75.x) AS x FROM gram g JOIN v75 ON v75.dim = g.j GROUP BY 1),
+    v76 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w76)) AS x FROM w76),
+    w77 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v76.x) AS x FROM gram g JOIN v76 ON v76.dim = g.j GROUP BY 1),
+    v77 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w77)) AS x FROM w77),
+    w78 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v77.x) AS x FROM gram g JOIN v77 ON v77.dim = g.j GROUP BY 1),
+    v78 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w78)) AS x FROM w78),
+    w79 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v78.x) AS x FROM gram g JOIN v78 ON v78.dim = g.j GROUP BY 1),
+    v79 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w79)) AS x FROM w79),
+    w80 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v79.x) AS x FROM gram g JOIN v79 ON v79.dim = g.j GROUP BY 1),
+    v80 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w80)) AS x FROM w80),
+    w81 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v80.x) AS x FROM gram g JOIN v80 ON v80.dim = g.j GROUP BY 1),
+    v81 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w81)) AS x FROM w81),
+    w82 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v81.x) AS x FROM gram g JOIN v81 ON v81.dim = g.j GROUP BY 1),
+    v82 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w82)) AS x FROM w82),
+    w83 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v82.x) AS x FROM gram g JOIN v82 ON v82.dim = g.j GROUP BY 1),
+    v83 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w83)) AS x FROM w83),
+    w84 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v83.x) AS x FROM gram g JOIN v83 ON v83.dim = g.j GROUP BY 1),
+    v84 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w84)) AS x FROM w84),
+    w85 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v84.x) AS x FROM gram g JOIN v84 ON v84.dim = g.j GROUP BY 1),
+    v85 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w85)) AS x FROM w85),
+    w86 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v85.x) AS x FROM gram g JOIN v85 ON v85.dim = g.j GROUP BY 1),
+    v86 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w86)) AS x FROM w86),
+    w87 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v86.x) AS x FROM gram g JOIN v86 ON v86.dim = g.j GROUP BY 1),
+    v87 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w87)) AS x FROM w87),
+    w88 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v87.x) AS x FROM gram g JOIN v87 ON v87.dim = g.j GROUP BY 1),
+    v88 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w88)) AS x FROM w88),
+    w89 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v88.x) AS x FROM gram g JOIN v88 ON v88.dim = g.j GROUP BY 1),
+    v89 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w89)) AS x FROM w89),
+    w90 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v89.x) AS x FROM gram g JOIN v89 ON v89.dim = g.j GROUP BY 1),
+    v90 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w90)) AS x FROM w90),
+    w91 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v90.x) AS x FROM gram g JOIN v90 ON v90.dim = g.j GROUP BY 1),
+    v91 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w91)) AS x FROM w91),
+    w92 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v91.x) AS x FROM gram g JOIN v91 ON v91.dim = g.j GROUP BY 1),
+    v92 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w92)) AS x FROM w92),
+    w93 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v92.x) AS x FROM gram g JOIN v92 ON v92.dim = g.j GROUP BY 1),
+    v93 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w93)) AS x FROM w93),
+    w94 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v93.x) AS x FROM gram g JOIN v93 ON v93.dim = g.j GROUP BY 1),
+    v94 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w94)) AS x FROM w94),
+    w95 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v94.x) AS x FROM gram g JOIN v94 ON v94.dim = g.j GROUP BY 1),
+    v95 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w95)) AS x FROM w95),
+    w96 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v95.x) AS x FROM gram g JOIN v95 ON v95.dim = g.j GROUP BY 1),
+    v96 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w96)) AS x FROM w96),
+    w97 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v96.x) AS x FROM gram g JOIN v96 ON v96.dim = g.j GROUP BY 1),
+    v97 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w97)) AS x FROM w97),
+    w98 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v97.x) AS x FROM gram g JOIN v97 ON v97.dim = g.j GROUP BY 1),
+    v98 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w98)) AS x FROM w98),
+    w99 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v98.x) AS x FROM gram g JOIN v98 ON v98.dim = g.j GROUP BY 1),
+    v99 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w99)) AS x FROM w99),
+    w100 AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v99.x) AS x FROM gram g JOIN v99 ON v99.dim = g.j GROUP BY 1),
+    v100 AS MATERIALIZED (SELECT dim, x / sqrt((SELECT sum(x * x) FROM w100)) AS x FROM w100),
+    sgn AS (
+      SELECT CASE WHEN (SELECT x FROM v100 ORDER BY abs(x) DESC, dim ASC LIMIT 1) < 0
+                  THEN -1.0 ELSE 1.0 END AS s
+    ),
+    eig AS (
+      SELECT sum(a.x * g.g * b.x) / (SELECT n FROM nn) AS ev
+      FROM gram g JOIN v100 a ON a.dim = g.i JOIN v100 b ON b.dim = g.j
+    )
+    SELECT CAST(v100.dim - 1 AS INTEGER) AS dim,
+           round(v100.x * (SELECT s FROM sgn), 6) AS loading,
+           round((SELECT ev FROM eig), 6) AS eigval,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n_vectors
+    FROM v100
+    """,
+)
 def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus via one distributed
     pass + driver-side power iteration. The data-sized work is a single
@@ -534,8 +762,11 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mergeable), so the shuffle is |partitions|·d² regardless of corpus
     size — the eigen-solve never touches distributed data. Deterministic:
     fixed start vector, fixed iteration count, sign fixed by the
-    largest-magnitude loading. Rows-only lane: no ANSI-SQL twin exists
-    for an iterative eigen-solve."""
+    largest-magnitude loading. Round 6: fully VALUE-ORACLED — the oracle
+    builds the same raw Gram matrix in SQL and unrolls the identical 100
+    power iterations as materialized matvec+normalize CTE pairs, with
+    the same argmax-|loading| sign rule; the hash certifies the
+    eigenvector AND eigenvalue to 6 decimals."""
     import numpy as np
     import pandas as pd
 
@@ -567,11 +798,17 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigval = float(v @ gram @ v) / max(n_total, 1)
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
-    out = [
-        (i, round(float(v[i]), 6), round(eigval, 6), n_total) for i in range(d)
-    ]
-    return spark.createDataFrame(
-        out, schema="dim int, loading double, eigval double, n_vectors long"
+    out = [(i, float(v[i]), float(eigval), n_total) for i in range(d)]
+    raw = spark.createDataFrame(
+        out, schema="dim int, loading_raw double, eigval_raw double, n_vectors long"
+    )
+    # r6 on the DataFrame (half-away-from-zero — the oracle's SQL round),
+    # never Python round() (banker's): the markov-rounding discipline
+    return raw.select(
+        "dim",
+        r6(F.col("loading_raw")).alias("loading"),
+        r6(F.col("eigval_raw")).alias("eigval"),
+        "n_vectors",
     )
 
 
