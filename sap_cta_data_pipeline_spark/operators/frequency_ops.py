@@ -373,7 +373,237 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_LEARN_ROUNDS = 8
 
 
-@query("text_bpe_learn")  # rows-only: iterative merge-learning loop
+@query(
+    "text_bpe_learn",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    s0 AS MATERIALIZED (
+      SELECT n, list_transform(range(1, length(tok) + 1),
+                               i -> substring(tok, i, 1)) AS sym
+      FROM words
+    ),
+    p1 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s0 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b1 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p1
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s1 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s0 CROSS JOIN b1 b
+    ),
+    v1 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s1)
+    ),
+    p2 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s1 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b2 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p2
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s1 CROSS JOIN b2 b
+    ),
+    v2 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s2)
+    ),
+    p3 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s2 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b3 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p3
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s3 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s2 CROSS JOIN b3 b
+    ),
+    v3 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s3)
+    ),
+    p4 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s3 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b4 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p4
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s4 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s3 CROSS JOIN b4 b
+    ),
+    v4 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s4)
+    ),
+    p5 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s4 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b5 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p5
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s5 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s4 CROSS JOIN b5 b
+    ),
+    v5 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s5)
+    ),
+    p6 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s5 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b6 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p6
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s6 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s5 CROSS JOIN b6 b
+    ),
+    v6 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s6)
+    ),
+    p7 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s6 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b7 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p7
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s7 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s6 CROSS JOIN b7 b
+    ),
+    v7 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s7)
+    ),
+    p8 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s7 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b8 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p8
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s8 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s7 CROSS JOIN b8 b
+    ),
+    v8 AS (
+      SELECT count(DISTINCT sy) AS v
+      FROM (SELECT unnest(sym) AS sy FROM s8)
+    )
+    SELECT CAST(1 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v1) AS BIGINT) AS vocab_size_after
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v2) AS BIGINT) AS vocab_size_after
+    FROM b2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v3) AS BIGINT) AS vocab_size_after
+    FROM b3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v4) AS BIGINT) AS vocab_size_after
+    FROM b4
+    UNION ALL
+    SELECT CAST(5 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v5) AS BIGINT) AS vocab_size_after
+    FROM b5
+    UNION ALL
+    SELECT CAST(6 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v6) AS BIGINT) AS vocab_size_after
+    FROM b6
+    UNION ALL
+    SELECT CAST(7 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v7) AS BIGINT) AS vocab_size_after
+    FROM b7
+    UNION ALL
+    SELECT CAST(8 AS BIGINT) AS round, l AS left, r2 AS right, m AS merged,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST((SELECT v FROM v8) AS BIGINT) AS vocab_size_after
+    FROM b8
+    """,
+)
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-round BPE merge LEARNING — the actual tokenizer-training loop
     that text_bpe_pair_counts is one round of: for 8 deterministic rounds,
@@ -392,9 +622,12 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     whenever right is non-empty); per round ONE alphabet²-bounded pair
     agg crosses the shuffle, ONE best-pair row crosses the driver
     (bounded literal, the k-means-centroid class), and the symbol frame
-    is localCheckpoint-ed so round R's plan stays flat. Rows-only lane
-    (iterative; no ANSI-SQL twin) — the merge sequence is pinned on a
-    hand-computed fixture in tests/test_iterative_pins.py."""
+    is localCheckpoint-ed so round R's plan stays flat. Round 6: fully
+    VALUE-ORACLED — the 8 learning rounds unroll as chained CTEs (pair
+    agg → argmax under the same total order → the identical
+    last-element-check merge fold via list_reduce), so the hash
+    certifies the merge SEQUENCE and per-round vocab sizes; the
+    hand-computed fixture pin in tests/test_iterative_pins.py remains."""
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -460,7 +693,245 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_apply")  # rows-only: applies the learned (iterative) merge table
+@query(
+    "text_bpe_apply",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    s0 AS MATERIALIZED (
+      SELECT n, list_transform(range(1, length(tok) + 1),
+                               i -> substring(tok, i, 1)) AS sym
+      FROM words
+    ),
+    p1 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s0 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b1 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p1
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s1 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s0 CROSS JOIN b1 b
+    ),
+    p2 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s1 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b2 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p2
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s1 CROSS JOIN b2 b
+    ),
+    p3 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s2 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b3 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p3
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s3 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s2 CROSS JOIN b3 b
+    ),
+    p4 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s3 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b4 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p4
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s4 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s3 CROSS JOIN b4 b
+    ),
+    p5 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s4 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b5 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p5
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s5 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s4 CROSS JOIN b5 b
+    ),
+    p6 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s5 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b6 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p6
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s6 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s5 CROSS JOIN b6 b
+    ),
+    p7 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s6 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b7 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p7
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s7 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s6 CROSS JOIN b7 b
+    ),
+    p8 AS (
+      SELECT pr[1] AS l, pr[2] AS r2, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_zip(list_slice(sym, 1, len(sym) - 1),
+                                      list_slice(sym, 2, len(sym)))) AS pr
+            FROM s7 WHERE len(sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    b8 AS MATERIALIZED (
+      SELECT l, r2, l || r2 AS m, cnt FROM p8
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+    ),
+    s8 AS MATERIALIZED (
+      SELECT n, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM s7 CROSS JOIN b8 b
+    ),
+    lw AS MATERIALIZED (
+      SELECT lang, tok, count(*) AS cnt
+      FROM (SELECT lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT lang, tok, cnt,
+             list_transform(range(1, length(tok) + 1),
+                            i -> substring(tok, i, 1)) AS sym
+      FROM lw
+    ),
+    e1 AS MATERIALIZED (
+      SELECT lang, tok, e0.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e0 CROSS JOIN b1 b
+    ),
+    e2 AS MATERIALIZED (
+      SELECT lang, tok, e1.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e1 CROSS JOIN b2 b
+    ),
+    e3 AS MATERIALIZED (
+      SELECT lang, tok, e2.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e2 CROSS JOIN b3 b
+    ),
+    e4 AS MATERIALIZED (
+      SELECT lang, tok, e3.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e3 CROSS JOIN b4 b
+    ),
+    e5 AS MATERIALIZED (
+      SELECT lang, tok, e4.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e4 CROSS JOIN b5 b
+    ),
+    e6 AS MATERIALIZED (
+      SELECT lang, tok, e5.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e5 CROSS JOIN b6 b
+    ),
+    e7 AS MATERIALIZED (
+      SELECT lang, tok, e6.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e6 CROSS JOIN b7 b
+    ),
+    e8 AS MATERIALIZED (
+      SELECT lang, tok, e7.cnt AS cnt, list_reduce(list_transform(sym, x -> [x]),
+        (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND xx[1] = b.r2
+                     THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.m])
+                     ELSE list_concat(acc, xx) END) AS sym
+      FROM e7 CROSS JOIN b8 b
+    )
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * length(tok)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * len(sym)) AS BIGINT) AS n_tokens_bpe,
+           round(sum(cnt * length(tok)) / CAST(sum(cnt * len(sym)) AS DOUBLE), 6)
+             AS chars_per_token,
+           round(sum(cnt * len(sym)) / CAST(sum(cnt * length(tok)) AS DOUBLE), 6)
+             AS compression_vs_chars
+    FROM e8
+    GROUP BY lang
+    """,
+)
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer INFERENCE: apply the merge table text_bpe_learn trained
     to encode the corpus — the deploy-side half of BPE (train once,
@@ -472,9 +943,12 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per language: word-token count before/after, characters per
     token after — the compression-ratio readout that decides whether a
     vocabulary is paying for itself. One corpus scan + tokenize, the
-    per-word encode is pure in-row JVM folds; the rows-only lane's
-    values are pinned via the banana/bandana fixture in
-    tests/test_iterative_pins.py."""
+    per-word encode is pure in-row JVM folds. Round 6: fully
+    VALUE-ORACLED — the oracle re-learns the same 8 merges (the
+    text_bpe_learn chain) and re-encodes at (lang, word)-TYPE grain with
+    occurrence weights (identical integer sums to Spark's per-instance
+    encode, vocabulary-sized work); the banana/bandana fixture pin in
+    tests/test_iterative_pins.py remains."""
     from ..registry import QUERIES
 
     merges = [
