@@ -305,7 +305,152 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_k_core")  # no SQL oracle: iterative peeling fixpoint (rows-only lane)
+@query(
+    "graph_k_core",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    e0 AS MATERIALIZED (SELECT u, v FROM e),
+    deg1 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      GROUP BY node
+    ),
+    surv1 AS (SELECT node FROM deg1 WHERE d >= 2),
+    e1 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e0 x
+      JOIN surv1 a ON a.node = x.u
+      JOIN surv1 b ON b.node = x.v
+    ),
+    deg2 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1)
+      GROUP BY node
+    ),
+    surv2 AS (SELECT node FROM deg2 WHERE d >= 2),
+    e2 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e1 x
+      JOIN surv2 a ON a.node = x.u
+      JOIN surv2 b ON b.node = x.v
+    ),
+    deg3 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
+      GROUP BY node
+    ),
+    surv3 AS (SELECT node FROM deg3 WHERE d >= 2),
+    e3 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e2 x
+      JOIN surv3 a ON a.node = x.u
+      JOIN surv3 b ON b.node = x.v
+    ),
+    deg4 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+      GROUP BY node
+    ),
+    surv4 AS (SELECT node FROM deg4 WHERE d >= 2),
+    e4 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e3 x
+      JOIN surv4 a ON a.node = x.u
+      JOIN surv4 b ON b.node = x.v
+    ),
+    deg5 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4)
+      GROUP BY node
+    ),
+    surv5 AS (SELECT node FROM deg5 WHERE d >= 2),
+    e5 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e4 x
+      JOIN surv5 a ON a.node = x.u
+      JOIN surv5 b ON b.node = x.v
+    ),
+    deg6 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e5 UNION ALL SELECT v AS node FROM e5)
+      GROUP BY node
+    ),
+    surv6 AS (SELECT node FROM deg6 WHERE d >= 2),
+    e6 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e5 x
+      JOIN surv6 a ON a.node = x.u
+      JOIN surv6 b ON b.node = x.v
+    ),
+    deg7 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6)
+      GROUP BY node
+    ),
+    surv7 AS (SELECT node FROM deg7 WHERE d >= 2),
+    e7 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e6 x
+      JOIN surv7 a ON a.node = x.u
+      JOIN surv7 b ON b.node = x.v
+    ),
+    deg8 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e7 UNION ALL SELECT v AS node FROM e7)
+      GROUP BY node
+    ),
+    surv8 AS (SELECT node FROM deg8 WHERE d >= 2),
+    e8 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e7 x
+      JOIN surv8 a ON a.node = x.u
+      JOIN surv8 b ON b.node = x.v
+    ),
+    deg9 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e8 UNION ALL SELECT v AS node FROM e8)
+      GROUP BY node
+    ),
+    surv9 AS (SELECT node FROM deg9 WHERE d >= 2),
+    e9 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e8 x
+      JOIN surv9 a ON a.node = x.u
+      JOIN surv9 b ON b.node = x.v
+    ),
+    deg10 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e9 UNION ALL SELECT v AS node FROM e9)
+      GROUP BY node
+    ),
+    surv10 AS (SELECT node FROM deg10 WHERE d >= 2),
+    e10 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e9 x
+      JOIN surv10 a ON a.node = x.u
+      JOIN surv10 b ON b.node = x.v
+    ),
+    deg11 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e10 UNION ALL SELECT v AS node FROM e10)
+      GROUP BY node
+    ),
+    surv11 AS (SELECT node FROM deg11 WHERE d >= 2),
+    e11 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e10 x
+      JOIN surv11 a ON a.node = x.u
+      JOIN surv11 b ON b.node = x.v
+    ),
+    deg12 AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e11 UNION ALL SELECT v AS node FROM e11)
+      GROUP BY node
+    ),
+    surv12 AS (SELECT node FROM deg12 WHERE d >= 2),
+    e12 AS MATERIALIZED (
+      SELECT x.u, x.v FROM e11 x
+      JOIN surv12 a ON a.node = x.u
+      JOIN surv12 b ON b.node = x.v
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM e12 UNION ALL SELECT v AS node FROM e12)
+    -- convergence self-check: if 12 unrolled peels did NOT reach the
+    -- fixpoint the oracle emits ZERO rows (loud rows-mismatch), never a
+    -- silently-unconverged core
+    WHERE (SELECT count(*) FROM e12) = (SELECT count(*) FROM e11)
+    GROUP BY node
+    """,
+)
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core decomposition of the co-purchase graph: iteratively peel
     nodes of degree < 2 until the remaining subgraph has minimum degree
