@@ -62,8 +62,46 @@ def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-@query("pack_sequences_bestfit")  # rows-only: BFD is an inherently
-# sequential heuristic with no ANSI-SQL twin; pinned in tests instead
+@query(
+    "pack_sequences_bestfit",
+    oracle="""
+    WITH items AS (
+      SELECT doc_id, lang,
+             least(CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                        AS BIGINT), 512) AS n_tok
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang,
+             list(struct_pack(n_tok := n_tok, doc_id := doc_id)
+                  ORDER BY n_tok DESC, doc_id ASC) AS its
+      FROM items GROUP BY lang
+    ),
+    folded AS (
+      SELECT lang, its,
+        list_reduce(
+          list_transform(its, it ->
+            [CAST(it.n_tok AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)]),
+          (acc, x) -> CASE
+            WHEN len(list_filter(list_slice(acc, 1, list_position(acc, -1) - 1), f -> f + x[1] <= 512)) = 0
+            THEN list_concat(list_concat(list_append(list_slice(acc, 1, list_position(acc, -1) - 1), x[1]), [CAST(-1 AS BIGINT)]), list_append(list_slice(acc, list_position(acc, -1) + 1, len(acc)), CAST(list_position(acc, -1) - 1 AS BIGINT)))
+            ELSE list_concat(list_concat(list_concat(list_concat(list_slice(list_slice(acc, 1, list_position(acc, -1) - 1), 1, list_position(list_slice(acc, 1, list_position(acc, -1) - 1), list_max(list_filter(list_slice(acc, 1, list_position(acc, -1) - 1), f -> f + x[1] <= 512))) - 1), [list_max(list_filter(list_slice(acc, 1, list_position(acc, -1) - 1), f -> f + x[1] <= 512)) + x[1]]), list_slice(list_slice(acc, 1, list_position(acc, -1) - 1), list_position(list_slice(acc, 1, list_position(acc, -1) - 1), list_max(list_filter(list_slice(acc, 1, list_position(acc, -1) - 1), f -> f + x[1] <= 512))) + 1, list_position(acc, -1) - 1)), [CAST(-1 AS BIGINT)]), list_append(list_slice(acc, list_position(acc, -1) + 1, len(acc)), CAST(list_position(list_slice(acc, 1, list_position(acc, -1) - 1), list_max(list_filter(list_slice(acc, 1, list_position(acc, -1) - 1), f -> f + x[1] <= 512))) - 1 AS BIGINT)))
+          END) AS st
+      FROM per_lang
+    ),
+    flat AS (
+      SELECT lang, st,
+             list_position(st, -1) AS d,
+             unnest(list_zip(its, list_slice(st, list_position(st, -1) + 1, len(st)))) AS z
+      FROM folded
+    )
+    SELECT z[1].doc_id AS doc_id, lang,
+           CAST(z[1].n_tok AS BIGINT) AS n_tok,
+           z[2] AS bin_id,
+           st[z[2] + 1] AS bin_fill
+    FROM flat
+    """,
+)
 def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing packing, capacity 512 tokens, docs NOT split:
     items sorted by (n_tok DESC, doc_id ASC) drop into the fullest bin
@@ -72,7 +110,12 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs only shard-local context, so the lane scales by sharding, and
     each Arrow batch is one shard's (doc_id, n_tok) pairs, never text.
     Pins: per-bin capacity, ceil(Σtok/cap) lower bound, 11/9·OPT+1 BFD
-    guarantee vs that bound, determinism, and a hand-packed fixture."""
+    guarantee vs that bound, determinism, and a hand-packed fixture.
+    Round 6: fully VALUE-ORACLED — DuckDB replays the IDENTICAL
+    best-fit-decreasing fold (bin state as a single delimiter-encoded
+    BIGINT list, because list_reduce struct-of-list accumulators are
+    broken in DuckDB 1.0; same fullest-that-fits / first-on-tie rule),
+    so the hash certifies every doc's bin assignment and final fill."""
     docs = t(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     items = docs.select(
