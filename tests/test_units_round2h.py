@@ -174,6 +174,7 @@ def test_new_keys_registered_with_oracles():
     ]
     for k in keys:
         assert k in QUERIES
-    for k in keys[:-1]:
+    for k in keys:
         assert k in ORACLES
-    assert "emb_pca_power" not in ORACLES  # iterative => rows-only lane
+    # emb_pca_power was rows-only when this batch landed (round 2);
+    # round 6 upgraded it to a full unrolled-CTE value oracle
