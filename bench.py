@@ -5,11 +5,18 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"<key>": sec, ...}, "sf": <sf>,
+     "queries": {"<key>": min_sec, ...}, "queries_median": {...},
+     "n_runs": N, "spread_flags": {"<key>": median/min, ...}, "sf": <sf>,
      "sf1": {"sf": <10x sf>, "profile": "dup-sparse", "value": ...,
-             "queries": {...}},
+             "queries": {...}, "queries_median": {...}, "spread_flags": {...}},
      "diagnostics": {"pair_lane_sf": {...}, "pair_lane_sf1_sparse": {...},
                      "sf1_dense": {...}}}
+
+"queries" is per-query MIN over n_runs (the load-robust estimator);
+"queries_median" + "spread_flags" (median/min > 2) are the round-6
+verdict's variance self-report: a flagged key means the host was noisy
+during THIS run — deltas on it are not evidence of a plan regression
+until re-measured (BASELINE.md documents the protocol).
 
 The "sf1" section (round-4 verdict ask #1) re-runs the same headline at a
 synthesized 10× replication of the input (scripts/make_sf_scaled.py —
@@ -135,17 +142,39 @@ def _ensure_scaled(src_dir: str, out_dir: str, dup_sparse: bool = False) -> str 
 
 def _run_headline(
     spark, sf_dir: str, n_runs: int, keys: list[str] | None = None
-) -> dict[str, float]:
-    timings: dict[str, float] = {}
+) -> dict[str, list[float]]:
+    """All per-run wall times per key (run 1 pays one-time plan-compile +
+    Python-worker spawn; later runs measure the plan)."""
+    runs: dict[str, list[float]] = {}
     for key in keys if keys is not None else HEADLINE:
-        best = float("inf")
+        times: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             _materialize(QUERIES[key](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
-        print(f"{key}: {timings[key]}s", file=sys.stderr)
-    return timings
+            times.append(round(time.perf_counter() - t0, 3))
+        runs[key] = times
+        print(f"{key}: min {min(times)}s  runs {times}", file=sys.stderr)
+    return runs
+
+
+def _stats(runs: dict[str, list[float]]) -> tuple[dict, dict, dict]:
+    """(min, median, spread-flags) per key. The spread flag
+    (median/min > 2 — the round-6 verdict ask) marks a measurement the
+    host-noise protocol says to re-measure before reading as a
+    regression: BENCH deltas on flagged keys are NOISE until a pinned
+    re-measure lands in BASELINE.md. Run 1's one-time plan-compile cost
+    can trip the flag on sub-second queries — that is the flag working
+    (the min is the estimator; the median documents the spread)."""
+    import statistics
+
+    mins = {k: min(v) for k, v in runs.items()}
+    medians = {k: round(statistics.median(v), 3) for k, v in runs.items()}
+    flags = {
+        k: round(medians[k] / mins[k], 2)
+        for k in runs
+        if mins[k] > 0 and medians[k] / mins[k] > 2
+    }
+    return mins, medians, flags
 
 
 def main() -> int:
@@ -175,20 +204,24 @@ def main() -> int:
     # load-robust wall-clock estimator. Run 1 also pays one-time
     # plan-compile + Python-worker spawn; run 2 measures the plan.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings = _run_headline(spark, sf_dir, n_runs)
+    runs = _run_headline(spark, sf_dir, n_runs)
+    timings, medians, flags = _stats(runs)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "n_runs": n_runs,
+        "spread_flags": flags,
         "sf": sf,
     }
 
     # pair-enumeration minhash diagnostic at the primary scale (1 run —
     # diagnostic, not a gated headline number)
     try:
-        d0 = _run_headline(spark, sf_dir, 1, DIAGNOSTIC)
+        d0, _, _ = _stats(_run_headline(spark, sf_dir, 1, DIAGNOSTIC))
         out["diagnostics"] = {"pair_lane_sf": d0}
     except Exception as ex:  # noqa: BLE001
         print(f"diagnostic bench failed: {ex}", file=sys.stderr)
@@ -200,16 +233,19 @@ def main() -> int:
         if sparse_dir is not None:
             try:
                 print(f"== 10x scale, dup-sparse ({sparse_dir}) ==", file=sys.stderr)
-                t1 = _run_headline(spark, sparse_dir, n_runs)
+                t1, m1, f1 = _stats(_run_headline(spark, sparse_dir, n_runs))
                 out["sf1"] = {
                     "sf": round(sf * 10, 3),
                     "profile": "dup-sparse",
                     "value": round(sum(t1.values()), 3),
                     "queries": t1,
+                    "queries_median": m1,
+                    "n_runs": n_runs,
+                    "spread_flags": f1,
                 }
                 print("== 10x pair-lane diagnostic (dup-sparse) ==", file=sys.stderr)
                 out.setdefault("diagnostics", {})["pair_lane_sf1_sparse"] = (
-                    _run_headline(spark, sparse_dir, 1, DIAGNOSTIC)
+                    _stats(_run_headline(spark, sparse_dir, 1, DIAGNOSTIC))[0]
                 )
             except Exception as ex:  # noqa: BLE001
                 print(f"sf1 bench failed: {ex}", file=sys.stderr)
@@ -226,9 +262,9 @@ def main() -> int:
                         else DIAGNOSTIC
                     )
                     print("== 10x diagnostics (dup-dense) ==", file=sys.stderr)
-                    out.setdefault("diagnostics", {})["sf1_dense"] = _run_headline(
-                        spark, dense_dir, 1, keys
-                    )
+                    out.setdefault("diagnostics", {})["sf1_dense"] = _stats(
+                        _run_headline(spark, dense_dir, 1, keys)
+                    )[0]
             except Exception as ex:  # noqa: BLE001
                 print(f"dup-dense diagnostic failed: {ex}", file=sys.stderr)
 

@@ -115,9 +115,13 @@ def delta_append_commit(
         add["add"]["stats"] = _stats_json(df, stats_col)
     actions = []
     if first:
+        # metaData schemaString derives from df's ACTUAL schema
+        # (StructType.jsonValue() is exactly the Delta schema-JSON shape) —
+        # a hardcoded schema here would silently surface typed NULLs for
+        # any non-nation frame on read-back.
         actions += [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            _meta_action([]),
+            _meta_action([], schema_json=df.schema.jsonValue()),
         ]
     actions.append(add)
     # optimistic concurrency: the staged data file is conflict-free (its
@@ -147,26 +151,77 @@ def delta_checkpoint(spark: SparkSession, base: str) -> int:
     )
     version = commits[-1]
     live: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     removed: list[str] = []
-    schema_string = None
-    part_cols: list[str] = []
+    meta: dict | None = None
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     for v in commits:
         for a in _read_commit(log_dir, v):
             if "add" in a:
-                live[a["add"]["path"]] = dict(a["add"].get("partitionValues") or {})
+                p = a["add"]["path"]
+                live[p] = dict(a["add"].get("partitionValues") or {})
+                dv = a["add"].get("deletionVector")
+                if dv is not None:
+                    dvs[p] = dict(dv)
+                else:
+                    dvs.pop(p, None)
             elif "remove" in a:
                 if a["remove"]["path"] in live:
                     del live[a["remove"]["path"]]
+                    dvs.pop(a["remove"]["path"], None)
                     removed.append(a["remove"]["path"])
             elif "metaData" in a:
-                schema_string = a["metaData"]["schemaString"]
-                part_cols = list(a["metaData"].get("partitionColumns") or [])
+                meta = a["metaData"]
+            elif "protocol" in a:
+                protocol = a["protocol"]
+    # the checkpoint must persist the REPLAYED protocol and the FULL
+    # metaData (configuration included): dropping configuration loses
+    # delta.columnMapping.mode on the fast path (logical-name scans of
+    # physical-named parquet → silent all-NULL columns), and downgrading
+    # the protocol row bypasses the reader version gate.
+    assert meta is not None, f"no metaData action in log under {log_dir}"
+
+    def _dv_tuple(p: str):
+        if p not in dvs:
+            return None
+        d = dvs[p]
+        return (
+            d["storageType"],
+            d["pathOrInlineDv"],
+            d.get("offset"),
+            d["sizeInBytes"],
+            d["cardinality"],
+        )
+
     rows = [
-        ((1, 2), None, None, None),
-        (None, ("ckpt-table", ("parquet",), schema_string, part_cols), None, None),
+        (
+            (
+                protocol.get("minReaderVersion", 1),
+                protocol.get("minWriterVersion", 2),
+                protocol.get("readerFeatures"),
+                protocol.get("writerFeatures"),
+            ),
+            None,
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                meta.get("id", "ckpt-table"),
+                (meta.get("format", {}).get("provider", "parquet"),),
+                meta["schemaString"],
+                list(meta.get("partitionColumns") or []),
+                dict(meta.get("configuration") or {}),
+            ),
+            None,
+            None,
+        ),
     ]
     for p in sorted(live):
-        rows.append((None, None, (p, live[p], 1024, 1700000000000, True), None))
+        rows.append(
+            (None, None, (p, live[p], 1024, 1700000000000, True, _dv_tuple(p)), None)
+        )
     for p in removed:
         rows.append((None, None, None, (p, 1700000000000, True)))
     cp_df = spark.createDataFrame(rows, schema=_CHECKPOINT_SCHEMA)

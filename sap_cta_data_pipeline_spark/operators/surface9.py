@@ -300,8 +300,8 @@ def scan_delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .delta_reader import _build_fixture, _fixture_dir, delta_state
 
     base = _fixture_dir(spark, sf_dir, "delta_table", _build_fixture)
-    live0, _, _, _ = delta_state(spark, base, version=0)
-    liveN, _, _, _ = delta_state(spark, base, version=None)
+    live0, _, _, _, _ = delta_state(spark, base, version=0)
+    liveN, _, _, _, _ = delta_state(spark, base, version=None)
     only0 = sorted(set(live0) - set(liveN))
     onlyN = sorted(set(liveN) - set(live0))
 

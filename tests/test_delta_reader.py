@@ -69,18 +69,18 @@ def test_checkpoint_fast_path_survives_commit_deletion(spark, base, tmp_path):
 
 
 def test_state_live_set_exact(spark, base):
-    live, schema_string, part_cols, _ = delta_state(spark, base)
+    live, schema_string, part_cols, _, _ = delta_state(spark, base)
     assert set(live) == {"part-c.parquet", "part-e.parquet"}
     assert part_cols == []
     assert "n_nationkey" in schema_string
-    live0, _, _, _ = delta_state(spark, base, version=0)
+    live0, _, _, _, _ = delta_state(spark, base, version=0)
     assert set(live0) == {"part-a.parquet", "part-b.parquet"}
 
 
 def test_partition_prune_plans_exactly_one_file(spark, pbase):
     """File skipping happens in METADATA: the filtered state holds one
     file of five, before any scan is planned."""
-    live_all, _, part_cols, _ = delta_state(spark, pbase)
+    live_all, _, part_cols, _, _ = delta_state(spark, pbase)
     assert len(live_all) == 5
     assert part_cols == ["n_regionkey"]
     df = delta_snapshot(spark, pbase, partition_filter={"n_regionkey": "2"})
@@ -118,8 +118,10 @@ def _clone(base, tmp_path, name):
 
 
 def test_unsupported_reader_version_raises(spark, base, tmp_path):
-    """PROTOCOL.md reader gate: a table demanding reader v3 (e.g. deletion
-    vectors) must FAIL, not be silently misread with resurfaced rows."""
+    """PROTOCOL.md reader gate: a table demanding a reader v3 feature this
+    reader does NOT implement (e.g. v2Checkpoint) must FAIL, not be
+    silently misread. deletionVectors + columnMapping ARE implemented, so
+    a v3 table listing only those passes the gate."""
     clone = _clone(base, tmp_path, "delta_v3")
     log_dir = os.path.join(clone, "_delta_log")
     with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
@@ -129,7 +131,7 @@ def test_unsupported_reader_version_raises(spark, base, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                     }
                 }
             )
@@ -139,6 +141,35 @@ def test_unsupported_reader_version_raises(spark, base, tmp_path):
         delta_state(spark, clone)
     # historical versions before the upgrade stay readable
     assert len(delta_state(spark, clone, version=3)[0]) == 2
+
+
+def test_v3_supported_features_pass_gate(spark, base, tmp_path):
+    """A v3 protocol whose readerFeatures ⊆ {columnMapping,
+    deletionVectors} is readable (the round-7 DV lane); a v3 protocol
+    with EMPTY readerFeatures is malformed per the spec and refused."""
+    clone = _clone(base, tmp_path, "delta_v3_ok")
+    log_dir = os.path.join(clone, "_delta_log")
+    with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors", "columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    live, _, _, _, _ = delta_state(spark, clone)
+    assert set(live) == {"part-c.parquet", "part-e.parquet"}
+    with pytest.raises(ValueError, match="unsupported Delta reader protocol"):
+        from sap_cta_data_pipeline_spark.operators.delta_reader import (
+            _check_protocol,
+        )
+
+        _check_protocol({"minReaderVersion": 3, "minWriterVersion": 7})
 
 
 def test_time_travel_past_latest_raises(spark, base):
@@ -202,7 +233,7 @@ def test_url_encoded_add_path_decoded(spark, base, tmp_path):
             )
             + "\n"
         )
-    live, _, _, _ = delta_state(spark, clone)
+    live, _, _, _, _ = delta_state(spark, clone)
     assert "part e.parquet" in live
     assert delta_snapshot(spark, clone).count() == 25
 

@@ -44,7 +44,7 @@ def test_writer_log_is_spec_shaped(spark, sink):
     with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
         a1 = [json.loads(l) for l in fh if l.strip()]
     assert [next(iter(a)) for a in a1] == ["add"]
-    live, schema_string, _, _ = delta_state(spark, sink)
+    live, schema_string, _, _, _ = delta_state(spark, sink)
     assert set(live) == {"part-00000-c0.parquet", "part-00000-c1.parquet"}
     assert "n_nationkey" in schema_string
 
@@ -146,10 +146,16 @@ def test_reader_v2_accepted_v3_still_rejected(spark, sf_dir):
     _check_protocol(
         {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["columnMapping"]}
     )
+    # deletionVectors is implemented since round 7 — v3 rejection now
+    # applies to features this reader does NOT implement
+    _check_protocol(
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["deletionVectors"]}
+    )
     with pytest.raises(ValueError, match="unsupported Delta reader protocol"):
         _check_protocol(
             {"minReaderVersion": 3, "minWriterVersion": 7,
-             "readerFeatures": ["deletionVectors"]}
+             "readerFeatures": ["deletionVectors", "v2Checkpoint"]}
         )
 
 
@@ -170,46 +176,65 @@ def test_commit_is_put_if_absent(tmp_path):
     assert _read_commit(log_dir, 0) == [{"commitInfo": {"writer": "a"}}]
 
 
-def test_append_retries_past_conflict(spark, sf_dir, tmp_path):
-    """delta_append_commit under contention: pre-occupying the next
-    version slot forces one conflict; the append must land at the
-    following version with both commits' files live."""
+def test_append_retries_past_conflict(spark, sf_dir, tmp_path, monkeypatch):
+    """delta_append_commit under a REAL race: a rival takes the exact
+    version slot our append computed, AFTER it listed the log but BEFORE
+    its put — the loser must retry at version+1 and land with both
+    commits' files live. (Pre-committing rivals before the call never
+    exercises the retry loop: the append lists the log after them and
+    computes a free slot — the round-6 advice finding.)"""
     import shutil
 
     from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators import lakehouse_interop as li
     from sap_cta_data_pipeline_spark.operators.delta_reader import (
-        _add,
         _commit,
         delta_snapshot,
         delta_state,
     )
-    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
-        _build_sink_fixture,
-        _stage_single_parquet,
-        delta_append_commit,
-    )
 
     clone = str(tmp_path / "contended")
-    shutil.copytree(_build_sink_fixture(spark, sf_dir), clone)
+    shutil.copytree(li._build_sink_fixture(spark, sf_dir), clone)
     log_dir = os.path.join(clone, "_delta_log")
-    # a "concurrent writer" takes version 2 with an independent file
     n = load_table(spark, sf_dir, "nation").limit(3)
-    _stage_single_parquet(
-        n.selectExpr("n_nationkey + 100 AS n_nationkey", "n_name", "n_regionkey"),
-        os.path.join(clone, "rival.parquet"),
-    )
-    _commit(log_dir, 2, [_add("rival.parquet")])
-    # our append targets version 2 too (it lists [0,1]+rival? no — it
-    # lists the log, sees 2 taken only if it lists after; force the race
-    # by calling with the rival already committed: first attempt at
-    # version 3 is computed from the CURRENT tip, so instead pre-commit
-    # version 3 to force the conflict path
-    _commit(log_dir, 3, [{"commitInfo": {"writer": "rival2"}}])
     extra = n.selectExpr("n_nationkey + 200 AS n_nationkey", "n_name", "n_regionkey")
-    # monkey-free conflict: delta_append_commit computes version=4 (tip 3),
-    # so pre-take 4 as well, then call — it must land at 5
-    _commit(log_dir, 4, [{"commitInfo": {"writer": "rival3"}}])
-    delta_append_commit(spark, clone, extra, "ours.parquet")
-    live, _, _, _ = delta_state(spark, clone)
-    assert "ours.parquet" in live and "rival.parquet" in live
-    assert delta_snapshot(spark, clone).count() == 25 + 3 + 3
+
+    real_commit = li._commit
+    raced: dict[str, int] = {}
+
+    def racing_commit(ld, version, actions):
+        # the rival wins the slot in the list→put window, exactly once
+        if "raced" not in raced:
+            raced["raced"] = version
+            real_commit(ld, version, [{"commitInfo": {"writer": "rival"}}])
+        return real_commit(ld, version, actions)
+
+    monkeypatch.setattr(li, "_commit", racing_commit)
+    li.delta_append_commit(spark, clone, extra, "ours.parquet")
+    monkeypatch.undo()
+    assert raced["raced"] == 2  # tip was 1 → first attempt at 2, lost
+    live, _, _, _, _ = delta_state(spark, clone)
+    assert "ours.parquet" in live
+    assert delta_snapshot(spark, clone).count() == 25 + 3
+    # and the winner's commit content is intact at the contested version
+    with open(os.path.join(log_dir, f"{2:020d}.json")) as fh:
+        assert json.loads(fh.readline())["commitInfo"]["writer"] == "rival"
+
+
+def test_append_gives_up_after_ten_conflicts(spark, sf_dir, tmp_path, monkeypatch):
+    import shutil
+
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators import lakehouse_interop as li
+    from sap_cta_data_pipeline_spark.operators.delta_reader import CommitConflict
+
+    clone = str(tmp_path / "hopeless")
+    shutil.copytree(li._build_sink_fixture(spark, sf_dir), clone)
+    n = load_table(spark, sf_dir, "nation").limit(2)
+
+    def always_lose(ld, version, actions):
+        raise CommitConflict(f"version {version} taken")
+
+    monkeypatch.setattr(li, "_commit", always_lose)
+    with pytest.raises(CommitConflict, match="gave up after 10"):
+        li.delta_append_commit(spark, clone, n, "never.parquet")
