@@ -1,0 +1,198 @@
+"""Pins for the Iceberg v2 reader (round 7): the from-scratch Avro
+container codec (functions/avro_codec.py) against hand-built bytes and
+roundtrips, and the snapshot/manifest semantics — snapshot-id time
+travel, DELETED-entry exclusion, position-delete application, and the
+unsupported-feature guards."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import struct
+
+import pytest
+
+from sap_cta_data_pipeline_spark.functions.avro_codec import (
+    _zigzag_decode,
+    _zigzag_encode,
+    read_container,
+    write_container,
+)
+from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+    _MANIFEST_ENTRY_SCHEMA,
+    _build_iceberg_fixture,
+    iceberg_snapshot,
+    iceberg_state,
+)
+
+
+@pytest.fixture(scope="module")
+def ibase(spark, sf_dir):
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import _fixture
+
+    return _fixture(spark, sf_dir)
+
+
+# ------------------------------------------------------------- avro codec
+
+
+def test_zigzag_spec_values():
+    """The Avro spec's varint/zigzag examples."""
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+             -64: b"\x7f", 64: b"\x80\x01"}
+    for n, enc in cases.items():
+        assert _zigzag_encode(n) == enc
+        assert _zigzag_decode(io.BytesIO(enc)) == n
+
+
+def test_container_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "o", "type": ["null", "int"], "default": None},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    recs = [
+        {"l": -(2**40), "s": "héllo", "d": 2.5, "o": None, "a": [1, 2], "m": {"x": "y"}},
+        {"l": 2**40, "s": "", "d": -0.0, "o": 7, "a": [], "m": {}},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t-{codec}.avro")
+        write_container(p, schema, recs, codec=codec)
+        s2, r2 = read_container(p)
+        assert (s2, r2) == (schema, recs)
+
+
+def test_container_negative_block_count(tmp_path):
+    """Some writers emit array blocks with NEGATIVE count + byte size;
+    readers must accept them (spec). Hand-patch an encoded record."""
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}],
+    }
+    p = str(tmp_path / "neg.avro")
+    write_container(p, schema, [{"a": [5, 6]}], codec="null")
+    raw = bytearray(open(p, "rb").read())
+    # locate the payload: last 16 bytes are sync; block payload precedes.
+    # encoded record = [count=2][5][6][0] = 04 0a 0c 00 — rewrite as
+    # negative form [-2][size=2][5][6][0] = 03 04 0a 0c 00 (1 byte longer,
+    # so fix the block's byte-size varint from 4 → 5 too)
+    body = bytes([0x04, 0x0A, 0x0C, 0x00])
+    idx = bytes(raw).rindex(body)
+    new = raw[: idx - 1] + bytes([0x0A, 0x03, 0x04, 0x0A, 0x0C, 0x00]) + raw[idx + 4 :]
+    # idx-1 held the byte-size varint 0x08 (=4); 0x0A (=5) replaces it
+    assert raw[idx - 1] == 0x08
+    with open(p, "wb") as fh:
+        fh.write(bytes(new))
+    _, recs = read_container(p)
+    assert recs == [{"a": [5, 6]}]
+
+
+def test_container_bad_magic_and_codec(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as fh:
+        fh.write(b"NOPE" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="bad magic"):
+        read_container(p)
+    with pytest.raises(ValueError, match="unsupported Avro codec"):
+        write_container(str(tmp_path / "x.avro"), {"type": "record", "name": "r", "fields": []}, [], codec="snappy")
+
+
+# ------------------------------------------------------------- reader
+
+
+def test_state_file_sets(ibase):
+    schema, data, dels = iceberg_state(ibase)
+    assert [os.path.basename(p) for p in data] == [
+        "part-hi.parquet",
+        "part-lo.parquet",
+    ]
+    assert [os.path.basename(p) for p in dels] == ["delete-0.parquet"]
+    assert [f.name for f in schema.fields] == [
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    ]
+    _, data1, dels1 = iceberg_state(ibase, snapshot_id=1001)
+    assert len(data1) == 2 and dels1 == []
+
+
+def test_snapshot_applies_position_deletes(spark, ibase):
+    keys = sorted(r.n_nationkey for r in iceberg_snapshot(spark, ibase).collect())
+    assert keys == [k for k in range(25) if k not in (1, 3, 5, 12, 14)]
+
+
+def test_time_travel_full_nation(spark, ibase):
+    assert iceberg_snapshot(spark, ibase, snapshot_id=1001).count() == 25
+
+
+def test_unknown_snapshot_raises(ibase):
+    with pytest.raises(ValueError, match="unknown Iceberg snapshot-id"):
+        iceberg_state(ibase, snapshot_id=9999)
+
+
+def test_unsupported_format_version_raises(spark, ibase, tmp_path):
+    clone = str(tmp_path / "ib_v9")
+    shutil.copytree(ibase, clone)
+    mp = os.path.join(clone, "metadata", "v2.metadata.json")
+    md = json.load(open(mp))
+    md["format-version"] = 9
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(ValueError, match="unsupported Iceberg format-version"):
+        iceberg_state(clone)
+
+
+def _repoint(clone: str, ibase: str) -> None:
+    """Fixture paths are absolute file: URIs — rewrite a clone's metadata
+    + manifest lists to point inside the clone."""
+    for n in (1, 2):
+        mp = os.path.join(clone, "metadata", f"v{n}.metadata.json")
+        md = json.load(open(mp))
+        for s in md["snapshots"]:
+            s["manifest-list"] = s["manifest-list"].replace(ibase, clone)
+        with open(mp, "w") as fh:
+            json.dump(md, fh)
+    for sl in ("snap-1001.avro", "snap-1002.avro"):
+        lp = os.path.join(clone, "metadata", sl)
+        s, recs = read_container(lp)
+        for r in recs:
+            r["manifest_path"] = r["manifest_path"].replace(ibase, clone)
+        write_container(lp, s, recs)
+
+
+def test_equality_deletes_refused(spark, ibase, tmp_path):
+    """content=2 (equality deletes) must RAISE — silently ignoring them
+    would resurface deleted rows."""
+    clone = str(tmp_path / "ib_eq")
+    shutil.copytree(ibase, clone)
+    _repoint(clone, ibase)
+    # rewrite the delete manifest's entry to content=2
+    mpath = os.path.join(clone, "metadata", "m2-deletes.avro")
+    schema, entries = read_container(mpath)
+    entries[0]["data_file"]["content"] = 2
+    write_container(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    with pytest.raises(ValueError, match="equality deletes"):
+        iceberg_state(clone)
+
+
+def test_deleted_manifest_entry_excluded(spark, ibase, tmp_path):
+    """status=2 entries are tombstones: a snapshot whose manifest marks
+    part-lo DELETED plans only part-hi."""
+    clone = str(tmp_path / "ib_del")
+    shutil.copytree(ibase, clone)
+    _repoint(clone, ibase)
+    mpath = os.path.join(clone, "metadata", "m1-data.avro")
+    schema, entries = read_container(mpath)
+    for e in entries:
+        if e["data_file"]["file_path"].endswith("part-lo.parquet"):
+            e["status"] = 2
+    write_container(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    _, data, _ = iceberg_state(clone, snapshot_id=1001)
+    assert [os.path.basename(p) for p in data] == ["part-hi.parquet"]
