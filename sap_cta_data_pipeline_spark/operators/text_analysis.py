@@ -414,6 +414,88 @@ def _simhash_sig_udf():
     return _UDF_CACHE["simhash_sig"]
 
 
+_SIMHASH_PLANTED_ID_BASE = 9_000_000
+
+
+def planted_documents_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per scratch lifetime) a documents corpus with a
+    KNOWN near-duplicate structure for the simhash pin: the organic
+    corpus plus, for every probe (doc_id < 10), 3 copies each appending
+    ONE unique synthetic token (``plantedtok<probe>x<j>``). One extra
+    token shifts every bit weight by ±1, so a plant's signature sits a
+    FEW Hamming bits from its probe (≈2 expected at ~50 distinct
+    tokens) — the regime the 4×8-bit banding must recover perfectly
+    (pigeonhole: ≤3 flipped bits leave ≥1 band identical). Deterministic
+    pure-column ops, no RNG (the planted_embeddings_dir pattern,
+    similarity.py). Returns a dir usable as sf_dir by any lane reading
+    only `documents`."""
+    import os
+
+    from .sources import _scratch
+
+    base = _scratch(sf_dir, "simhash_planted")
+    out = os.path.join(base, "documents.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = t(spark, sf_dir, "documents")
+        plants = (
+            docs.filter(F.col("doc_id") < 10)
+            .select(
+                "*", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j")
+            )
+            .select(
+                (
+                    F.lit(_SIMHASH_PLANTED_ID_BASE)
+                    + F.col("doc_id") * 100
+                    + F.col("j")
+                ).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" plantedtok"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    F.col("j").cast("string"),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        docs.unionByName(plants).coalesce(1).write.mode("overwrite").parquet(out)
+    return base
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rep_id, simhash) for every distinct-fingerprint representative —
+    the shared signature pass under dedup_simhash AND its planted-recall
+    pin (tests/test_simhash_planted.py verifies the banded join recovers
+    EVERY brute-force Hamming≤3 pair over these signatures — the 4×8-bit
+    pigeonhole completeness property).
+
+    The 32 bit-weight folds are ONE Arrow-batched pandas_udf (round 3,
+    same move as dedup_minhash_lsh's signature pass): per doc,
+    weight_j = Σ_tokens (bit_j(h)·2 − 1), bit set iff weight > 0 —
+    identical int64 arithmetic to the interpreted HOF fold it replaces
+    (numpy >> is arithmetic like Spark's shiftright), vectorized over
+    the (tokens × 32) bit matrix instead of 32·t lambda evaluations."""
+    docs = t(spark, sf_dir, "documents")
+    fingerprint = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
+    )
+    groups = (
+        docs.select("doc_id", fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    th_arr = F.transform(
+        F.filter(F.split("fp", " "), lambda x: x != ""), lambda tk: F.xxhash64(tk)
+    )
+    return (
+        groups.select("rep_id", th_arr.alias("th"))
+        .filter(F.size("th") > 0)
+        .select("rep_id", _simhash_sig_udf()(F.col("th")).alias("simhash"))
+    )
+
+
 @query("dedup_simhash")  # rows-only: simhash bits derive from engine xxhash64
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: per-document 32-bit signature from
@@ -431,30 +513,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on ``.cache()`` keeping 4 plan branches cheap. The one cache
     is the tiny per-distinct-doc signature table feeding both join sides
     and both broadcast lookups."""
-    docs = t(spark, sf_dir, "documents")
-    fingerprint = F.concat_ws(
-        " ", F.array_sort(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")))
-    )
-    groups = (
-        docs.select("doc_id", fingerprint.alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
-    )
-    th_arr = F.transform(
-        F.filter(F.split("fp", " "), lambda x: x != ""), lambda tk: F.xxhash64(tk)
-    )
-    # the 32 bit-weight folds are ONE Arrow-batched pandas_udf (round 3,
-    # same move as dedup_minhash_lsh's signature pass): per doc,
-    # weight_j = Σ_tokens (bit_j(h)·2 − 1), bit set iff weight > 0 —
-    # identical int64 arithmetic to the interpreted HOF fold it replaces
-    # (numpy >> is arithmetic like Spark's shiftright), vectorized over
-    # the (tokens × 32) bit matrix instead of 32·t lambda evaluations.
-    sigs = (
-        groups.select("rep_id", th_arr.alias("th"))
-        .filter(F.size("th") > 0)
-        .select("rep_id", _simhash_sig_udf()(F.col("th")).alias("simhash"))
-        .cache()
-    )
+    sigs = simhash_signatures(spark, sf_dir).cache()
 
     band_arr = F.array(
         *[
