@@ -82,6 +82,38 @@ def session_aggregates(events: DataFrame) -> DataFrame:
     )
 
 
+def session_dynamic_gap(events: DataFrame) -> DataFrame:
+    """Twin of stream_session_dynamic_gap: native ``session_window`` with
+    a PER-EVENT gap expression (purchase holds the session open 45 min,
+    click/view 15, else 30) under a 10-minute watermark, APPEND mode —
+    the incremental-state exercise of the dynamic-gap contract
+    (tests/test_streaming_multibatch.py feeds time-ordered chunks so
+    sessions finalize as the watermark passes their end). The gap must
+    be CalendarIntervalType (make_interval), not a numeric column.
+    Output grain matches the batch lane minus its ordinal session_id
+    (an implementation detail the native operator has no analogue for):
+    (user_id, session_start, n_events, window_span_us) where
+    span = window end − start = max(ts+gap) − min(ts)."""
+    gap = F.expr(
+        "CASE event_type WHEN 'purchase' THEN make_interval(0,0,0,0,0,45,0) "
+        "WHEN 'click' THEN make_interval(0,0,0,0,0,15,0) "
+        "WHEN 'view' THEN make_interval(0,0,0,0,0,15,0) "
+        "ELSE make_interval(0,0,0,0,0,30,0) END"
+    )
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            (um(F.col("w.end")) - um(F.col("w.start"))).alias("window_span_us"),
+        )
+    )
+
+
 def dedup_keyed(events: DataFrame) -> DataFrame:
     """Twin of stream_dedup_keyed: streaming dropDuplicates on
     (user_id, minute) within the watermark. Which duplicate survives is
