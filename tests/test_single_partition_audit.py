@@ -95,6 +95,12 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "part_skyline_pareto": 3,  # n_parts-row offsets table (with_global_running_max)
     "sort_multikey": 3,
     "stats_mutual_information": 2,  # 1-row grand-total broadcast over the joint frame
+    "stats_anova_oneway": 1,  # 1-row sufficient-stats total (k, N, grand mean)
+    "stats_chi2_independence": 3,  # grand-total window over ≤types×7 CELLS, then 1-row final
+    "stats_kendall_tau": 1,  # 25-row grain self-join → 1-row concordance final
+    "ml_mcc": 1,  # 1-row confusion final
+    "ml_brier_decomposition": 1,  # 1-row brier + 1-row bin-total finals
+    "ml_cohens_kappa": 1,  # 1-row marginals final
     "sort_nulls_explicit": 3,
     "sub_not_in_nulls": 1,
     "sub_scalar_global": 1,
