@@ -116,10 +116,19 @@ def _resolve_path(base: str, p: str) -> str:
 
 
 def iceberg_state(
-    base: str, snapshot_id: int | None = None
+    base: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> tuple[T.StructType, list[str], list[str]]:
     """Resolve the file sets for a snapshot (None = current): returns
     (spark schema, data file paths, position-delete file paths).
+
+    ``partition_filter`` (partition field name -> value) drops data
+    files DRIVER-side from each manifest entry's ``data_file.partition``
+    record — Iceberg's metadata file skipping: a one-partition query
+    plans one partition's files from pure manifest metadata, no listing,
+    no footer reads of skipped files (delete manifests are never
+    partition-filtered here: a position delete may target any file).
 
     Driver-side METADATA work only: metadata.json + the snapshot's
     manifest list + its manifests — one record per file, never row data.
@@ -142,6 +151,16 @@ def iceberg_state(
         for e in entries:
             if e["status"] == 2:  # DELETED — file dropped from snapshot
                 continue
+            if (
+                partition_filter
+                and m.get("content", 0) == 0
+                and e["data_file"].get("content", 0) == 0
+                and any(
+                    e["data_file"].get("partition", {}).get(k) != v
+                    for k, v in partition_filter.items()
+                )
+            ):
+                continue
             df = e["data_file"]
             if df.get("file_format", "PARQUET").upper() != "PARQUET":
                 raise ValueError(
@@ -161,11 +180,16 @@ def iceberg_state(
 
 
 def iceberg_snapshot(
-    spark: SparkSession, base: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    base: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed read of an Iceberg snapshot with v2 position deletes
     applied as a (file, row-position) anti-join — merge-on-read."""
-    schema, data_files, delete_files = iceberg_state(base, snapshot_id)
+    schema, data_files, delete_files = iceberg_state(
+        base, snapshot_id, partition_filter
+    )
     if not data_files:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*data_files)
@@ -455,3 +479,163 @@ def scan_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot(spark, base, snapshot_id=1001).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+_MANIFEST_ENTRY_PART_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [
+                                {
+                                    "name": "n_regionkey",
+                                    "type": ["null", "int"],
+                                    "default": None,
+                                    "field-id": 1000,
+                                }
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {
+                        "name": "file_size_in_bytes",
+                        "type": "long",
+                        "field-id": 104,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def _build_iceberg_part_fixture(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """Single-snapshot Iceberg v2 table over nation PARTITIONED by
+    identity(n_regionkey): five data files (which — Iceberg-style, unlike
+    Hive/Delta — STILL CONTAIN the partition column), each manifest entry
+    carrying the typed ``partition`` record the reader prunes on."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(table_path(sf_dir, "nation"))
+    pdf = tbl.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    entries = []
+    for rk in sorted(pdf.n_regionkey.unique()):
+        rel = f"rk={int(rk)}.parquet"
+        sub = pdf[pdf.n_regionkey == rk]
+        _write_parquet_file(tbl.schema, sub, os.path.join(base, "data", rel))
+        e = _entry(base, rel, 0, len(sub))
+        e["data_file"]["partition"] = {"n_regionkey": int(rk)}
+        entries.append(e)
+    write_container(
+        os.path.join(base, "metadata", "m1-data.avro"),
+        _MANIFEST_ENTRY_PART_SCHEMA,
+        entries,
+    )
+    write_container(
+        os.path.join(base, "metadata", "snap-2001.avro"),
+        _MANIFEST_FILE_SCHEMA,
+        [_manifest_file_rec(base, "m1-data.avro", 0, 2001, 1)],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "0f1e2d3c-0000-4000-8000-000000005678",
+        "location": "file://" + base,
+        "last-sequence-number": 1,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": _NATION_ICEBERG_FIELDS}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "n_regionkey",
+                        "transform": "identity",
+                        "source-id": 3,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 2001,
+        "snapshots": [
+            {
+                "snapshot-id": 2001,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://"
+                + os.path.join(base, "metadata", "snap-2001.avro"),
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    os.makedirs(os.path.join(base, "metadata"), exist_ok=True)
+    with open(os.path.join(base, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+
+
+def _part_fixture(spark: SparkSession, sf_dir: str) -> str:
+    base = _scratch(sf_dir, "iceberg_table_part")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_iceberg_part_fixture(spark, sf_dir, base)
+    return base
+
+
+@query(
+    "scan_iceberg_partition_prune",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 2
+    """,
+)
+def scan_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned Iceberg read: each manifest entry carries a TYPED
+    ``partition`` record (identity(n_regionkey) spec), so a one-partition
+    query drops 4 of 5 files DRIVER-side from pure manifest metadata —
+    no listing, no footer reads of skipped files (pinned via inputFiles
+    in tests). Unlike Hive/Delta layouts the data files still contain
+    the partition column (Iceberg keeps it), so the scan needs no column
+    reconstruction — pruning is purely a file-set decision. At 100 TB
+    this is why Iceberg plans in O(manifest entries), not O(files
+    listed)."""
+    base = _part_fixture(spark, sf_dir)
+    return iceberg_snapshot(
+        spark, base, partition_filter={"n_regionkey": 2}
+    ).select("n_nationkey", "n_name", "n_regionkey")

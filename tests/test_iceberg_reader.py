@@ -196,3 +196,20 @@ def test_deleted_manifest_entry_excluded(spark, ibase, tmp_path):
     write_container(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
     _, data, _ = iceberg_state(clone, snapshot_id=1001)
     assert [os.path.basename(p) for p in data] == ["part-hi.parquet"]
+
+
+def test_partition_prune_plans_exactly_one_file(spark, sf_dir):
+    """Metadata file skipping: the one-partition query plans 1 of 5
+    files — asserted on the PLANNED file set, not the result."""
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        _part_fixture,
+        iceberg_snapshot,
+        iceberg_state,
+    )
+
+    base = _part_fixture(spark, sf_dir)
+    _, all_files, _ = iceberg_state(base)
+    assert len(all_files) == 5
+    df = iceberg_snapshot(spark, base, partition_filter={"n_regionkey": 2})
+    assert [os.path.basename(f) for f in df.inputFiles()] == ["rk=2.parquet"]
+    assert df.count() == 5
