@@ -1,0 +1,263 @@
+"""§2 round-7 batch CJ — time-series decomposition & trading-style bands.
+
+Completes the forecasting/monitoring surface (rounds 2-6: rollups, OHLC,
+LOCF gapfill, CUSUM changepoints, Holt, Croston, seasonal-naive, MAD and
+seasonal anomalies) with the three shapes users reach for next:
+
+- classical additive DECOMPOSITION (trend = centered moving average,
+  seasonal = day-of-week means of the detrended series normalized to sum
+  zero, residual = remainder) plus the seasonal-strength statistic,
+- Bollinger bands (rolling mean ± 2σ) with breach flags — the ops
+  monitoring staple,
+- running-peak drawdown (max peak-to-trough decline of cumulative
+  revenue) — the canonical "how bad did it get" statistic.
+
+Scale notes: everything is one day-grain aggregation (rows → days, the
+only corpus-sized shuffle) followed by day-grain windows — a year is
+365 rows per series key, so the window stages are metadata-sized. The
+daily series is gap-FILLED from a generated calendar first (a missing
+day is a zero-revenue day, not a skipped lag), the same discipline as
+ts_gapfill_locf / orders_open_backlog_daily. Centered-MA edges emit NULL
+trend (no partial windows — partial means would bias the seasonal fit);
+the seasonal fit simply skips NULL-trend days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table as t
+from ..functions.parity import bi, r6
+from ..registry import query
+
+#: shared day-grain revenue series: calendar-gap-filled daily order totals
+_DAILY_SQL = """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    cal AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                    (SELECT max(day) FROM d),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    s AS (
+      SELECT cal.day, coalesce(d.revenue, 0.0) AS revenue
+      FROM cal LEFT JOIN d ON cal.day = d.day
+    )
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, revenue) gap-filled daily revenue — the shared series under
+    every batch-CJ lane. One corpus-sized aggregation; the calendar join
+    is day-grain (sequence on a 1-row min/max frame)."""
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return cal.join(d, "day", "left").select(
+        "day", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
+    )
+
+
+@query(
+    "ts_stl_decompose_daily",
+    oracle=_DAILY_SQL
+    + """,
+    tr AS (
+      SELECT day, revenue,
+             CASE WHEN count(*) OVER w = 7
+                  THEN avg(revenue) OVER w END AS trend
+      FROM s
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    se AS (
+      SELECT dayofweek(day) AS dow,
+             avg(revenue - trend) AS raw_seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+    ),
+    sn AS (
+      SELECT dow, raw_seasonal - avg(raw_seasonal) OVER () AS seasonal
+      FROM se
+    )
+    SELECT CAST(tr.day AS VARCHAR) AS day,
+           round(tr.revenue, 2) AS revenue,
+           round(tr.trend, 6) AS trend,
+           round(sn.seasonal, 6) AS seasonal,
+           round(tr.revenue - tr.trend - sn.seasonal, 6) AS residual
+    FROM tr JOIN sn ON dayofweek(tr.day) = sn.dow
+    """,
+)
+def ts_stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue: trend = 7-day
+    CENTERED moving average (full windows only — edge days emit NULL
+    trend rather than a biased partial mean), seasonal = day-of-week
+    means of (revenue − trend) normalized to sum zero over the week,
+    residual = the remainder. This is the decomposition under every
+    'is this dip seasonal or real' question; the windowed form is what
+    STL's loess smoother degrades to with a fixed period and no
+    robustness iterations — and unlike STL it is expressible as three
+    hash aggs + day-grain windows, so the 100 TB plan is one corpus
+    shuffle. Seasonal normalization uses a 7-row window (metadata)."""
+    s = _daily_series(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = s.select(
+        "day",
+        "revenue",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("revenue").over(w)).alias(
+            "trend"
+        ),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy((F.dayofweek("day") - 1).alias("dow"))
+        .agg(F.avg(F.col("revenue") - F.col("trend")).alias("raw_seasonal"))
+    )
+    sn = se.select(
+        "dow",
+        (
+            F.col("raw_seasonal")
+            - F.avg("raw_seasonal").over(Window.partitionBy())
+        ).alias("seasonal"),
+    )
+    return (
+        tr.join(F.broadcast(sn), (F.dayofweek(tr.day) - 1) == sn.dow)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            r6(F.col("trend")).alias("trend"),
+            r6(F.col("seasonal")).alias("seasonal"),
+            r6(F.col("revenue") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_bollinger_breach",
+    oracle=_DAILY_SQL
+    + """,
+    b AS (
+      SELECT day, revenue,
+             avg(revenue) OVER w AS ma,
+             stddev_samp(revenue) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM s
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(revenue, 2) AS revenue,
+           round(ma, 6) AS ma20,
+           round(ma + 2 * sd, 6) AS upper_band,
+           round(ma - 2 * sd, 6) AS lower_band,
+           CASE WHEN revenue > ma + 2 * sd THEN 1
+                WHEN revenue < ma - 2 * sd THEN -1 ELSE 0 END AS breach
+    FROM b WHERE n = 20
+    """,
+)
+def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue: trailing 20-day mean ± 2 sample
+    std deviations, with a breach flag (+1 above, −1 below). Emitted
+    only for FULL 20-day windows — a partial-window σ is an
+    underestimate that fires false breaches in the first weeks, the
+    classic monitoring bug. The band computation is two frame aggregates
+    over the day-grain series; at 100 TB the series is still O(days) per
+    key, so the window stage never sees corpus-sized data."""
+    s = _daily_series(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    b = s.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("ma"),
+        F.stddev_samp("revenue").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == 20)
+    return b.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("revenue", 2).alias("revenue"),
+        r6(F.col("ma")).alias("ma20"),
+        r6(F.col("ma") + 2 * F.col("sd")).alias("upper_band"),
+        r6(F.col("ma") - 2 * F.col("sd")).alias("lower_band"),
+        F.when(F.col("revenue") > F.col("ma") + 2 * F.col("sd"), 1)
+        .when(F.col("revenue") < F.col("ma") - 2 * F.col("sd"), -1)
+        .otherwise(0)
+        .alias("breach"),
+    )
+
+
+@query(
+    "ts_drawdown_max",
+    oracle=_DAILY_SQL
+    + """,
+    c AS (
+      SELECT day, sum(CAST(round(revenue * 100, 0) AS BIGINT)) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    ),
+    dd AS (
+      SELECT day, cum,
+             max(cum) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c
+    )
+    SELECT round(max(peak - cum) / 100.0, 2) AS max_drawdown,
+           round(max(CASE WHEN peak > 0
+                          THEN (peak - cum) / (peak * 1.0) END), 6)
+             AS max_drawdown_pct,
+           CAST(max(CASE WHEN peak - cum =
+                 (SELECT max(peak - cum) FROM dd) THEN day END) AS VARCHAR)
+             AS trough_day
+    FROM dd
+    """,
+)
+def ts_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue: running peak minus
+    current cumulative, maximized — with the trough day (latest, if
+    tied) and the peak-relative percentage. Two running windows over the
+    day-grain series then a 1-row final; the finance-style statistic
+    every 'how bad was the worst stretch' dashboard needs. Revenue is
+    quantized to integer CENTS before the running sums: float windowed
+    sums accumulate in engine-specific order, and a 6e-8 peak−cum
+    residue is enough to flip the tie-broken trough day cross-engine
+    (measured) — exact integers make the drawdown and its argmax
+    deterministic. On REAL signed series (refunds, PnL) the same plan
+    applies unchanged; tests pin a signed synthetic case."""
+    s = _daily_series(spark, sf_dir)
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.round(F.col("revenue") * 100, 0).cast("long")
+    c = s.select("day", F.sum(cents).over(wrun).alias("cum"))
+    dd = c.select(
+        "day", "cum", F.max("cum").over(wrun).alias("peak")
+    ).select(
+        "day", "cum", "peak", (F.col("peak") - F.col("cum")).alias("dd")
+    )
+    mx = dd.agg(F.max("dd").alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.round(F.max("dd") / 100.0, 2).alias("max_drawdown"),
+            r6(
+                F.max(
+                    F.when(
+                        F.col("peak") > 0,
+                        F.col("dd") / F.col("peak").cast("double"),
+                    )
+                )
+            ).alias("max_drawdown_pct"),
+            F.max(
+                F.when(F.col("dd") == F.col("mdd"), F.col("day"))
+            )
+            .cast("string")
+            .alias("trough_day"),
+        )
+    )
