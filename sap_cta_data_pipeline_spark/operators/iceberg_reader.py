@@ -132,6 +132,11 @@ def iceberg_state(
 
     Driver-side METADATA work only: metadata.json + the snapshot's
     manifest list + its manifests — one record per file, never row data.
+    Returns equality-delete metadata too (``eq_deletes``: path,
+    equality field NAMES resolved from the schema's field ids, and the
+    delete's data sequence number) so the snapshot reader can honor the
+    spec's sequence gate: an equality delete applies only to data files
+    with a STRICTLY SMALLER data sequence number.
     """
     meta = _load_metadata(base)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -140,12 +145,15 @@ def iceberg_state(
         raise ValueError(
             f"unknown Iceberg snapshot-id {sid} (have {sorted(snaps)})"
         )
-    schema = _spark_schema(_current_schema(meta))
+    fields = _current_schema(meta)
+    schema = _spark_schema(fields)
+    name_of_id = {f["id"]: f["name"] for f in fields}
     _, manifests = read_container(
         _resolve_path(base, snaps[sid]["manifest-list"])
     )
-    data_files: list[str] = []
+    data_files: list[dict] = []
     delete_files: list[str] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         _, entries = read_container(_resolve_path(base, m["manifest_path"]))
         for e in entries:
@@ -167,16 +175,34 @@ def iceberg_state(
                     f"unsupported Iceberg file format {df['file_format']!r}"
                 )
             path = _resolve_path(base, df["file_path"])
+            # entry-level sequence number; null inherits the manifest's
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number", 0)
             content = max(m.get("content", 0), df.get("content", 0))
             if content == 0:
-                data_files.append(path)
+                data_files.append({"path": path, "seq": seq})
             elif content == 1:
                 delete_files.append(path)
-            else:
-                raise ValueError(
-                    "equality deletes (content=2) not supported by this reader"
-                )
-    return schema, sorted(data_files), sorted(delete_files)
+            else:  # content == 2: equality delete
+                ids = df.get("equality_ids") or []
+                if not ids:
+                    raise ValueError(
+                        f"equality delete {path} carries no equality_ids"
+                    )
+                try:
+                    cols = [name_of_id[i] for i in ids]
+                except KeyError as ex:
+                    raise ValueError(
+                        f"equality delete {path} names unknown field id {ex}"
+                    ) from None
+                eq_deletes.append({"path": path, "cols": cols, "seq": seq})
+    return (
+        schema,
+        sorted(data_files, key=lambda d: d["path"]),
+        sorted(delete_files),
+        sorted(eq_deletes, key=lambda d: d["path"]),
+    )
 
 
 def iceberg_snapshot(
@@ -185,35 +211,70 @@ def iceberg_snapshot(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
 ) -> DataFrame:
-    """Distributed read of an Iceberg snapshot with v2 position deletes
-    applied as a (file, row-position) anti-join — merge-on-read."""
-    schema, data_files, delete_files = iceberg_state(
+    """Distributed read of an Iceberg snapshot with v2 row-level deletes
+    applied merge-on-read: POSITION deletes as a (file, row-position)
+    anti-join over all planned files, EQUALITY deletes as anti-joins on
+    their equality columns applied ONLY to data files with a strictly
+    smaller data sequence number (the spec's gate — a row re-inserted
+    AFTER the delete must survive it, pinned in tests). Delete groups
+    are metadata-sized, so the plan composes one branch per distinct
+    (equality columns, sequence) group plus one branch for untouched
+    files; both delete sides are distributed parquet scans."""
+    schema, data_entries, delete_files, eq_deletes = iceberg_state(
         base, snapshot_id, partition_filter
     )
-    if not data_files:
+    if not data_entries:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*data_files)
-    if not delete_files:
-        return df
-    dels = (
-        spark.read.parquet(*delete_files)
-        .select(
+
+    dels = None
+    if delete_files:
+        dels = spark.read.parquet(*delete_files).select(
             F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
                 "__ib_fp"
             ),
             F.col("pos").alias("__ib_ri"),
         )
-    )
-    tagged = df.select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-            "__ib_fp"
-        ),
-        F.col("_metadata.row_index").alias("__ib_ri"),
-    )
-    return tagged.join(dels, ["__ib_fp", "__ib_ri"], "left_anti").drop(
-        "__ib_fp", "__ib_ri"
-    )
+
+    def _read(paths: list[str]) -> DataFrame:
+        df = spark.read.schema(schema).parquet(*paths)
+        if dels is None:
+            return df
+        # position deletes are applied AT THE SCAN (the _metadata columns
+        # resolve against the file-source relation, before any union)
+        tagged = df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__ib_fp"),
+            F.col("_metadata.row_index").alias("__ib_ri"),
+        )
+        return tagged.join(dels, ["__ib_fp", "__ib_ri"], "left_anti").drop(
+            "__ib_fp", "__ib_ri"
+        )
+
+    if not eq_deletes:
+        return _read([d["path"] for d in data_entries])
+    # group data files by the SET of eq-delete groups that apply
+    # (seq gate: delete.seq > file.seq); one plan branch per signature —
+    # group count is bounded by distinct delete sequences, metadata-sized
+    groups: dict[tuple, list[str]] = {}
+    for d in data_entries:
+        sig = tuple(
+            i for i, ed in enumerate(eq_deletes) if ed["seq"] > d["seq"]
+        )
+        groups.setdefault(sig, []).append(d["path"])
+    pieces = []
+    for sig, paths in sorted(groups.items()):
+        piece = _read(paths)
+        for i in sig:
+            ed = eq_deletes[i]
+            keys = spark.read.parquet(ed["path"]).select(*ed["cols"])
+            piece = piece.join(keys, ed["cols"], "left_anti")
+        pieces.append(piece)
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 # ---------------------------------------------------------------- fixture
@@ -639,3 +700,192 @@ def scan_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot(
         spark, base, partition_filter={"n_regionkey": 2}
     ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_MANIFEST_ENTRY_EQ_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 3,
+        },
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {
+                        "name": "file_size_in_bytes",
+                        "type": "long",
+                        "field-id": 104,
+                    },
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                        "field-id": 135,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def _eq_entry(
+    base: str, rel: str, content: int, n_rows: int, seq: int,
+    equality_ids: list[int] | None = None,
+) -> dict:
+    e = _entry(base, rel, content, n_rows)
+    e["sequence_number"] = seq
+    e["data_file"]["equality_ids"] = equality_ids
+    return e
+
+
+def _build_iceberg_eq_fixture(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Iceberg v2 table exercising EQUALITY deletes and the sequence
+    gate:
+
+    - part-lo (keys 0-11) + part-hi (keys 12-24), data sequence 1;
+    - del-eq.parquet: equality delete on field id 2 (n_name), values
+      {NATION_8, NATION_20}, sequence 3 — applies to both seq-1 files;
+    - part-new.parquet: the NATION_8 row RE-INSERTED at sequence 4 —
+      strictly after the delete, so the spec's strict-inequality gate
+      must let it SURVIVE.
+
+    Snapshot result = nation minus NATION_20 (NATION_8 deleted then
+    re-added identically)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(table_path(sf_dir, "nation"))
+    pdf = tbl.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    lo = pdf[pdf.n_nationkey < 12]
+    hi = pdf[pdf.n_nationkey >= 12]
+    renew = pdf[pdf.n_nationkey == 8]
+    _write_parquet_file(tbl.schema, lo, os.path.join(base, "data", "part-lo.parquet"))
+    _write_parquet_file(tbl.schema, hi, os.path.join(base, "data", "part-hi.parquet"))
+    _write_parquet_file(
+        tbl.schema, renew, os.path.join(base, "data", "part-new.parquet")
+    )
+    import pandas as pd
+    import pyarrow as pa
+
+    _write_parquet_file(
+        pa.schema([pa.field("n_name", pa.string())]),
+        pd.DataFrame({"n_name": ["NATION_8", "NATION_20"]}),
+        os.path.join(base, "data", "del-eq.parquet"),
+    )
+    entries = [
+        _eq_entry(base, "part-lo.parquet", 0, len(lo), 1),
+        _eq_entry(base, "part-hi.parquet", 0, len(hi), 1),
+        _eq_entry(base, "part-new.parquet", 0, 1, 4),
+    ]
+    write_container(
+        os.path.join(base, "metadata", "m1-data.avro"),
+        _MANIFEST_ENTRY_EQ_SCHEMA,
+        entries,
+    )
+    write_container(
+        os.path.join(base, "metadata", "m2-eqdel.avro"),
+        _MANIFEST_ENTRY_EQ_SCHEMA,
+        [_eq_entry(base, "del-eq.parquet", 2, 2, 3, equality_ids=[2])],
+    )
+    write_container(
+        os.path.join(base, "metadata", "snap-3001.avro"),
+        _MANIFEST_FILE_SCHEMA,
+        [
+            _manifest_file_rec(base, "m1-data.avro", 0, 3001, 1),
+            _manifest_file_rec(base, "m2-eqdel.avro", 1, 3001, 3),
+        ],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "0f1e2d3c-0000-4000-8000-00000000abcd",
+        "location": "file://" + base,
+        "last-sequence-number": 4,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": _NATION_ICEBERG_FIELDS}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 3001,
+        "snapshots": [
+            {
+                "snapshot-id": 3001,
+                "sequence-number": 4,
+                "timestamp-ms": 1700000002000,
+                "manifest-list": "file://"
+                + os.path.join(base, "metadata", "snap-3001.avro"),
+                "summary": {"operation": "overwrite"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    os.makedirs(os.path.join(base, "metadata"), exist_ok=True)
+    with open(os.path.join(base, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+
+
+def _eq_fixture(spark: SparkSession, sf_dir: str) -> str:
+    base = _scratch(sf_dir, "iceberg_table_eq")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_iceberg_eq_fixture(spark, sf_dir, base)
+    return base
+
+
+@query(
+    "scan_iceberg_eq_deletes",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey <> 20
+    """,
+)
+def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes with the sequence gate: the delete
+    file (equality_ids → column names via the schema's field ids) is
+    applied as a distributed anti-join on those columns, but ONLY to
+    data files whose data sequence number is STRICTLY smaller than the
+    delete's — the re-inserted NATION_8 row (sequence 4 > delete's 3)
+    must survive while the original (sequence 1) is deleted, which the
+    oracle certifies: the result is nation minus NATION_20 with
+    NATION_8 present exactly once. Data files are grouped into plan
+    branches by their applicable-delete signature (bounded by distinct
+    delete sequences — metadata-sized), so at 100 TB the eq-delete
+    apply is per-branch anti-joins on distributed scans, never a
+    driver-side row set."""
+    base = _eq_fixture(spark, sf_dir)
+    return iceberg_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -108,18 +108,19 @@ def test_container_bad_magic_and_codec(tmp_path):
 
 
 def test_state_file_sets(ibase):
-    schema, data, dels = iceberg_state(ibase)
-    assert [os.path.basename(p) for p in data] == [
+    schema, data, dels, eqs = iceberg_state(ibase)
+    assert [os.path.basename(d["path"]) for d in data] == [
         "part-hi.parquet",
         "part-lo.parquet",
     ]
     assert [os.path.basename(p) for p in dels] == ["delete-0.parquet"]
+    assert eqs == []
     assert [f.name for f in schema.fields] == [
         "n_nationkey",
         "n_name",
         "n_regionkey",
     ]
-    _, data1, dels1 = iceberg_state(ibase, snapshot_id=1001)
+    _, data1, dels1, _ = iceberg_state(ibase, snapshot_id=1001)
     assert len(data1) == 2 and dels1 == []
 
 
@@ -167,18 +168,19 @@ def _repoint(clone: str, ibase: str) -> None:
         write_container(lp, s, recs)
 
 
-def test_equality_deletes_refused(spark, ibase, tmp_path):
-    """content=2 (equality deletes) must RAISE — silently ignoring them
-    would resurface deleted rows."""
+def test_eq_delete_without_ids_refused(spark, ibase, tmp_path):
+    """An equality delete (content=2) carrying no equality_ids is
+    malformed — silently ignoring it would resurface deleted rows."""
     clone = str(tmp_path / "ib_eq")
     shutil.copytree(ibase, clone)
     _repoint(clone, ibase)
-    # rewrite the delete manifest's entry to content=2
+    # rewrite the delete manifest's entry to content=2 (no equality_ids
+    # field exists in this entry schema -> decoded as absent)
     mpath = os.path.join(clone, "metadata", "m2-deletes.avro")
     schema, entries = read_container(mpath)
     entries[0]["data_file"]["content"] = 2
     write_container(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
-    with pytest.raises(ValueError, match="equality deletes"):
+    with pytest.raises(ValueError, match="no equality_ids"):
         iceberg_state(clone)
 
 
@@ -194,8 +196,8 @@ def test_deleted_manifest_entry_excluded(spark, ibase, tmp_path):
         if e["data_file"]["file_path"].endswith("part-lo.parquet"):
             e["status"] = 2
     write_container(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
-    _, data, _ = iceberg_state(clone, snapshot_id=1001)
-    assert [os.path.basename(p) for p in data] == ["part-hi.parquet"]
+    _, data, _, _ = iceberg_state(clone, snapshot_id=1001)
+    assert [os.path.basename(d["path"]) for d in data] == ["part-hi.parquet"]
 
 
 def test_partition_prune_plans_exactly_one_file(spark, sf_dir):
@@ -208,8 +210,24 @@ def test_partition_prune_plans_exactly_one_file(spark, sf_dir):
     )
 
     base = _part_fixture(spark, sf_dir)
-    _, all_files, _ = iceberg_state(base)
+    _, all_files, _, _ = iceberg_state(base)
     assert len(all_files) == 5
     df = iceberg_snapshot(spark, base, partition_filter={"n_regionkey": 2})
     assert [os.path.basename(f) for f in df.inputFiles()] == ["rk=2.parquet"]
     assert df.count() == 5
+
+
+def test_eq_delete_sequence_gate(spark, sf_dir):
+    """The strict-inequality sequence gate: the seq-4 re-insert survives
+    the seq-3 equality delete; the seq-1 originals do not."""
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        _eq_fixture,
+        iceberg_snapshot,
+    )
+
+    base = _eq_fixture(spark, sf_dir)
+    rows = iceberg_snapshot(spark, base).collect()
+    names = sorted(r.n_name for r in rows)
+    assert "NATION_20" not in names
+    assert names.count("NATION_8") == 1  # deleted at seq 1, re-added at seq 4
+    assert len(rows) == 24
