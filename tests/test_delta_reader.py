@@ -248,3 +248,37 @@ def test_empty_live_set_returns_empty_frame(spark, base, tmp_path):
         "n_name",
         "n_regionkey",
     ]
+
+
+def test_cdf_requires_flag_and_range_guard(spark, sf_dir, tmp_path):
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_cdf_fixture,
+        _build_fixture,
+        _fixture_dir,
+        delta_table_changes,
+    )
+
+    # the plain fixture never enabled CDF → refuse
+    plain = _fixture_dir(spark, sf_dir, "delta_table", _build_fixture)
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        delta_table_changes(spark, plain)
+    cdf = _fixture_dir(spark, sf_dir, "delta_table_cdf", _build_cdf_fixture)
+    with pytest.raises(ValueError, match="outside retained commits"):
+        delta_table_changes(spark, cdf, start=0, end=99)
+
+
+def test_cdf_version_subrange(spark, sf_dir):
+    """start/end bound the feed: [1,1] yields only the cdc-file rows —
+    10 rows, never the rewrite's 25+25 derived noise."""
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_cdf_fixture,
+        _fixture_dir,
+        delta_table_changes,
+    )
+
+    base = _fixture_dir(spark, sf_dir, "delta_table_cdf", _build_cdf_fixture)
+    rows = delta_table_changes(spark, base, start=1, end=1).collect()
+    assert len(rows) == 10
+    kinds = {r._change_type for r in rows}
+    assert kinds == {"update_preimage", "update_postimage"}
+    assert all(r._commit_version == 1 for r in rows)
