@@ -889,3 +889,197 @@ def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ---------------------------------------------------------------- writer
+
+_SPARK_TO_ICEBERG = {
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+}
+
+
+def _iceberg_fields_of(schema: T.StructType) -> list[dict]:
+    out = []
+    for i, f in enumerate(schema.fields, start=1):
+        tn = f.dataType.typeName()
+        if tn not in _SPARK_TO_ICEBERG:
+            raise ValueError(f"unsupported type for Iceberg write: {tn}")
+        out.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _SPARK_TO_ICEBERG[tn],
+            }
+        )
+    return out
+
+
+class IcebergCommitConflict(Exception):
+    """Another writer already produced this metadata version (loser of
+    the put-if-absent race on v<N>.metadata.json — Iceberg's optimistic
+    concurrency is exactly this atomic swap; on object stores it is the
+    catalog's compare-and-swap)."""
+
+
+def _put_metadata_if_absent(meta_dir: str, version: int, md: dict) -> None:
+    tmp = os.path.join(meta_dir, f".tmp-{os.getpid()}-v{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(md, fh)
+    dst = os.path.join(meta_dir, f"v{version}.metadata.json")
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version {version} already committed under {meta_dir}"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def iceberg_append(
+    spark: SparkSession, base: str, df: DataFrame, file_name: str
+) -> int:
+    """Append ``df`` to an Iceberg v2 table (creating it on first use):
+    stage ONE data parquet, write its manifest (Avro) and a NEW manifest
+    list reusing every previous snapshot's manifests, then commit by
+    put-if-absent on ``v<N+1>.metadata.json`` — the atomic swap that IS
+    Iceberg's optimistic concurrency (losers re-read the hint and retry
+    at the next version; appends never semantically conflict). Returns
+    the committed metadata version. version-hint.text is advisory
+    (last-writer-wins) per the spec — readers that miss the newest hint
+    still read a CONSISTENT older snapshot."""
+    meta_dir = os.path.join(base, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    hint = os.path.join(meta_dir, "version-hint.text")
+
+    # stage the data file (single parquet FILE, like the Delta writer)
+    from .lakehouse_interop import _stage_single_parquet
+
+    data_path = os.path.join(base, "data", file_name)
+    os.makedirs(os.path.dirname(data_path), exist_ok=True)
+    _stage_single_parquet(df, data_path)
+    n_rows = df.count()
+
+    import re as _re
+
+    for _ in range(10):
+        # discover the tip by PROBING the directory, not the hint: the
+        # hint is advisory (a racing winner may not have updated it yet),
+        # so trusting it would retry the same taken version forever —
+        # exactly what the conflict test plants.
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(meta_dir)
+            if (m := _re.match(r"^v(\d+)\.metadata\.json$", f))
+        ]
+        if versions:
+            cur_v = max(versions)
+            with open(os.path.join(meta_dir, f"v{cur_v}.metadata.json")) as fh:
+                prev = json.load(fh)
+        else:
+            cur_v, prev = 0, None
+        seq = (prev or {}).get("last-sequence-number", 0) + 1
+        snap_id = 1000 + seq
+        mrel = f"m-{snap_id}.avro"
+        write_container(
+            os.path.join(meta_dir, mrel),
+            _MANIFEST_ENTRY_EQ_SCHEMA,
+            [_eq_entry(base, file_name, 0, n_rows, seq)],
+        )
+        prev_manifests: list[dict] = []
+        if prev is not None and prev.get("current-snapshot-id") is not None:
+            snaps = {s["snapshot-id"]: s for s in prev["snapshots"]}
+            _, prev_manifests = read_container(
+                _resolve_path(base, snaps[prev["current-snapshot-id"]]["manifest-list"])
+            )
+        mlrel = f"snap-{snap_id}.avro"
+        write_container(
+            os.path.join(meta_dir, mlrel),
+            _MANIFEST_FILE_SCHEMA,
+            prev_manifests
+            + [_manifest_file_rec(base, mrel, 0, snap_id, seq)],
+        )
+        snap = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": 1700000000000 + seq,
+            "manifest-list": "file://" + os.path.join(meta_dir, mlrel),
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }
+        if prev is None:
+            md = {
+                "format-version": 2,
+                "table-uuid": "0f1e2d3c-0000-4000-8000-00000000ffff",
+                "location": "file://" + base,
+                "last-updated-ms": snap["timestamp-ms"],
+                "last-column-id": len(df.schema.fields),
+                "current-schema-id": 0,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": _iceberg_fields_of(df.schema),
+                    }
+                ],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999,
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "properties": {},
+                "snapshots": [],
+            }
+        else:
+            md = dict(prev)
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        md["current-snapshot-id"] = snap_id
+        md["snapshots"] = list(md.get("snapshots", [])) + [snap]
+        try:
+            _put_metadata_if_absent(meta_dir, cur_v + 1, md)
+        except IcebergCommitConflict:
+            continue  # re-read the tip, retry
+        with open(hint, "w") as fh:
+            fh.write(str(cur_v + 1))
+        return cur_v + 1
+    raise IcebergCommitConflict(
+        f"gave up after 10 contended metadata versions under {meta_dir}"
+    )
+
+
+@query(
+    "sink_iceberg_append",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_iceberg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-commit Iceberg APPEND round-trip: write nation in two halves
+    via iceberg_append (each commit = one staged parquet + one Avro
+    manifest + a new manifest list carrying forward the previous
+    snapshot's manifests + a put-if-absent v<N>.metadata.json — the
+    atomic swap that IS Iceberg's optimistic concurrency), then read the
+    result back through this module's own snapshot reader. The identity
+    oracle certifies writer ∘ reader = identity over the REAL wire
+    format; snapshot addressing to the first commit is pinned in tests,
+    as is the conflict-retry path. Makes the Iceberg lane two-sided the
+    way round 6 made Delta two-sided."""
+    from ..catalog import load_table
+
+    base = _scratch(sf_dir, "iceberg_sink")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation")
+        iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+        iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return iceberg_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

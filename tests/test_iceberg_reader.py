@@ -11,6 +11,7 @@ import json
 import os
 import shutil
 import struct
+import tempfile
 
 import pytest
 
@@ -231,3 +232,78 @@ def test_eq_delete_sequence_gate(spark, sf_dir):
     assert "NATION_20" not in names
     assert names.count("NATION_8") == 1  # deleted at seq 1, re-added at seq 4
     assert len(rows) == 24
+
+
+def test_append_snapshots_addressable(spark, sf_dir):
+    """After two appends, snapshot 1 (first commit) reads the first half
+    only; the current snapshot reads the union; metadata v1 and v2 both
+    exist (time travel is metadata addressing, never mutation)."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        iceberg_append,
+        iceberg_snapshot,
+    )
+
+    base = tempfile.mkdtemp()
+    n = load_table(spark, sf_dir, "nation")
+    v1 = iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+    v2 = iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+    assert (v1, v2) == (1, 2)
+    assert iceberg_snapshot(spark, base).count() == 25
+    assert iceberg_snapshot(spark, base, snapshot_id=1001).count() == 12
+    for v in (1, 2):
+        assert os.path.exists(
+            os.path.join(base, "metadata", f"v{v}.metadata.json")
+        )
+
+
+def test_append_retries_past_metadata_conflict(spark, sf_dir):
+    """A rival taking the exact metadata version slot between the
+    writer's hint read and its put forces IcebergCommitConflict; the
+    append must land at the next version with both snapshots intact."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators import iceberg_reader as ir
+
+    base = tempfile.mkdtemp()
+    n = load_table(spark, sf_dir, "nation")
+    ir.iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+
+    real_put = ir._put_metadata_if_absent
+    raced = {}
+
+    def racing_put(meta_dir, version, md):
+        if "raced" not in raced:
+            raced["raced"] = version
+            rival = dict(md)
+            rival["current-snapshot-id"] = md["snapshots"][0]["snapshot-id"]
+            real_put(meta_dir, version, rival)
+        return real_put(meta_dir, version, md)
+
+    ir._put_metadata_if_absent = racing_put
+    try:
+        v = ir.iceberg_append(
+            spark, base, n.filter("n_nationkey >= 12"), "a1.parquet"
+        )
+    finally:
+        ir._put_metadata_if_absent = real_put
+    assert raced["raced"] == 2 and v == 3  # lost v2, landed at v3
+    assert ir.iceberg_snapshot(spark, base).count() == 25
+
+
+def test_append_gives_up_after_ten_conflicts(spark, sf_dir):
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators import iceberg_reader as ir
+
+    base = tempfile.mkdtemp()
+    n = load_table(spark, sf_dir, "nation").limit(2)
+
+    def always_lose(meta_dir, version, md):
+        raise ir.IcebergCommitConflict(f"v{version} taken")
+
+    real_put = ir._put_metadata_if_absent
+    ir._put_metadata_if_absent = always_lose
+    try:
+        with pytest.raises(ir.IcebergCommitConflict, match="gave up after 10"):
+            ir.iceberg_append(spark, base, n, "x.parquet")
+    finally:
+        ir._put_metadata_if_absent = real_put
