@@ -73,6 +73,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ml_lift_gains_table": 3,
     "ml_ols_two_feature": 1,  # sufficient-stats 1-row frames (normal equations)
     "ml_pr_auc": 3,  # value-grain running window, ml_auc_roc class
+    "ml_threshold_optimal": 3,  # score-grain cumulative windows + 1-row argmax finals
     "ml_psi_drift": 2,
     "ml_target_encoding": 2,
     "orders_association_rules": 2,
