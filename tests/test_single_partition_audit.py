@@ -96,6 +96,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "part_skyline_pareto": 3,  # n_parts-row offsets table (with_global_running_max)
     "sort_multikey": 3,
     "stats_mutual_information": 2,  # 1-row grand-total broadcast over the joint frame
+    "text_js_divergence_sources": 2,  # 1-row grand-total broadcast feeding both term branches
     "graph_assortativity": 1,  # 1-row corr/count final over the degree-pair frame
     "ts_stl_decompose_daily": 3,  # day-grain centered-MA windows + 7-row seasonal normalize
     "ts_bollinger_breach": 3,  # day-grain trailing-20 windows (O(days) rows)
