@@ -50,6 +50,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "dq_referential_integrity": 1,
     "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
     "emb_norm_audit": 2,
+    "emb_isotropy_score": 2,  # 64-row centroid + 1-row cnorm broadcasts, 1-row final
     "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
     "events_ab_cuped": 2,  # 1-row theta/mean broadcast (sub_scalar_global class)
     "events_ab_ttest": 1,
