@@ -642,3 +642,137 @@ def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# -------------------------------------------------- maintenance: VACUUM / RESTORE
+
+
+def delta_vacuum(spark: SparkSession, base: str) -> tuple[list[str], list[str]]:
+    """VACUUM with zero retention: delete every data file NOT referenced
+    by any retained log version's state — tombstoned rewrites AND
+    crashed-writer orphans — and return (deleted, kept) relative paths.
+
+    Safety contract (the part that matters): the referenced set is the
+    union of LIVE sets across ALL retained versions, so a file any
+    retained version can still plan is never touched; only files no
+    retained version references go. After a zero-retention vacuum, time
+    travel to versions whose files were rewritten FAILS LOUDLY at scan
+    time (the file is gone) — the documented trade every Delta VACUUM
+    makes; idempotent by construction (second run deletes nothing).
+    Listing is driver-side metadata + one directory walk; deletion is
+    O(dead files)."""
+    from .delta_reader import _COMMIT_RE, _read_commit, delta_state
+
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    )
+    referenced: set[str] = set()
+    for v in commits:
+        live, _, _, _, dvs = delta_state(spark, base, version=v)
+        referenced |= set(live)
+        # DV sidecar files are referenced metadata too
+        for d in dvs.values():
+            if d.get("storageType") == "u":
+                from ..functions.deletion_vectors import dv_relative_path
+
+                referenced.add(dv_relative_path(d))
+    deleted, kept = [], []
+    for root, dirs, files in os.walk(base):
+        # Delta's vacuum ignores hidden paths: any segment starting with
+        # "_" or "." (the log itself, _change_data, staging debris,
+        # _SUCCESS/.crc markers) is never a vacuum candidate
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, base)
+            if rel in referenced:
+                kept.append(rel)
+            else:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(deleted), sorted(kept)
+
+
+def delta_restore(spark: SparkSession, base: str, version: int) -> None:
+    """RESTORE TABLE ... TO VERSION AS OF: commit the add/remove delta
+    that makes the LATEST state equal version N's state — history is
+    preserved (restore is one more commit, not a rewrite; time travel
+    still reaches the pre-restore states). Appends never conflict with
+    the restore commit itself: it goes through the same put-if-absent
+    _commit as every writer."""
+    from .delta_reader import _COMMIT_RE, _add, _commit, _remove, delta_state
+
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    )
+    target_live, _, _, _, _ = delta_state(spark, base, version=version)
+    cur_live, _, _, _, _ = delta_state(spark, base, version=None)
+    actions: list[dict] = [{"commitInfo": {"operation": "RESTORE", "version": version}}]
+    for p in sorted(set(cur_live) - set(target_live)):
+        actions.append(_remove(p))
+    for p in sorted(set(target_live) - set(cur_live)):
+        actions.append(_add(p, dict(target_live[p]) or None))
+    _commit(log_dir, commits[-1] + 1, actions)
+
+
+@query(
+    "delta_vacuum_safety",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def delta_vacuum_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-retention VACUUM on (a clone of) the 4-version Delta fixture:
+    deletes the crashed-writer orphan and the tombstoned rewrites
+    (part-a/b/d) while keeping every file ANY retained version still
+    references — then reads the latest snapshot, whose identity oracle
+    certifies the live set survived intact. Deleted/kept sets and
+    idempotence are pinned in tests; the documented trade (time travel
+    to rewritten versions now fails loudly at scan) is pinned too."""
+    from .delta_reader import _build_fixture, delta_snapshot
+
+    base = _scratch(sf_dir, "delta_table_vacuum")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        src = _scratch(sf_dir, "delta_table_vacuum_src")
+        _build_fixture(spark, sf_dir, src)
+        shutil.copytree(src, base, dirs_exist_ok=True)
+        delta_vacuum(spark, base)
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "delta_restore_version",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 12 THEN n_name || '-old' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def delta_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION 0 on (a clone of) the Delta fixture: one
+    additional commit whose add/remove delta makes the latest state
+    equal v0 — the '-old' names resurface WITHOUT rewriting history
+    (the pre-restore states stay time-travelable, pinned in tests).
+    The oracle reconstructs v0 in SQL, so the hash certifies the
+    restore commit reproduced the historical file set exactly."""
+    from .delta_reader import _build_fixture, delta_snapshot
+
+    base = _scratch(sf_dir, "delta_table_restore")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        src = _scratch(sf_dir, "delta_table_restore_src")
+        _build_fixture(spark, sf_dir, src)
+        shutil.copytree(src, base, dirs_exist_ok=True)
+        delta_restore(spark, base, version=0)
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -238,3 +238,58 @@ def test_append_gives_up_after_ten_conflicts(spark, sf_dir, tmp_path, monkeypatc
     monkeypatch.setattr(li, "_commit", always_lose)
     with pytest.raises(CommitConflict, match="gave up after 10"):
         li.delta_append_commit(spark, clone, n, "never.parquet")
+
+
+def test_vacuum_deletes_exactly_the_unreferenced(spark, sf_dir, tmp_path):
+    """Zero-retention vacuum on the 4-version fixture: the orphan goes,
+    the union of all versions' live sets stays (a/b/d are referenced by
+    RETAINED versions 0-2, so they survive zero-retention too — only
+    truly unreferenced debris is deletable while its versions are
+    retained); idempotent; latest snapshot unchanged; time travel keeps
+    working because every retained version's files still exist."""
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_fixture,
+        delta_snapshot,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        delta_vacuum,
+    )
+
+    src = str(tmp_path / "vac_src")
+    _build_fixture(spark, sf_dir, src)
+    deleted, kept = delta_vacuum(spark, src)
+    assert deleted == ["orphan.parquet"]
+    assert set(kept) == {
+        "part-a.parquet", "part-b.parquet", "part-c.parquet",
+        "part-d.parquet", "part-e.parquet",
+    }
+    assert delta_vacuum(spark, src) == ([], sorted(kept))  # idempotent
+    assert delta_snapshot(spark, src).count() == 25
+    assert delta_snapshot(spark, src, version=0).count() == 25
+
+
+def test_restore_preserves_history(spark, sf_dir, tmp_path):
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_fixture,
+        delta_snapshot,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        delta_restore,
+    )
+
+    base = str(tmp_path / "restore_t")
+    _build_fixture(spark, sf_dir, base)
+    delta_restore(spark, base, version=0)
+    latest = delta_snapshot(spark, base).collect()
+    assert sum(1 for r in latest if r.n_name.endswith("-old")) == 12
+    # pre-restore states still time-travelable (restore is a commit)
+    v3 = delta_snapshot(spark, base, version=3).collect()
+    assert not any(r.n_name.endswith("-old") for r in v3)
+    # restoring forward again (to v3's state) round-trips
+    delta_restore(spark, base, version=3)
+    assert not any(
+        r.n_name.endswith("-old")
+        for r in delta_snapshot(spark, base).collect()
+    )
