@@ -54,6 +54,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
     "events_ab_cuped": 2,  # 1-row theta/mean broadcast (sub_scalar_global class)
     "events_ab_ttest": 1,
+    "events_ab_sequential_sprt": 3,  # day-grain cumulative window (O(days) rows)
+    "events_ab_power_mde": 2,  # 1-row base-rate/traffic broadcast x 3-row grid
     "events_churn_flags": 2,
     "events_did_estimator": 1,  # 4-cell agg → 1-row DiD fold
     "events_forecast_snaive": 2,  # 1-row horizon (max day) broadcast
