@@ -972,3 +972,169 @@ def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_table_changes(spark, base).select(
         "_commit_version", "_change_type", "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# --------------------------------------------- CDF as a STREAMING source
+
+
+def _cdf_rows_driver(base: str, v_from: int, v_to: int) -> list[tuple]:
+    """CDF rows for versions [v_from, v_to) as plain tuples
+    (n_nationkey, n_name, n_regionkey, _change_type, _commit_version) —
+    the driver-side row producer under the SimpleDataSourceStreamReader
+    (which yields rows directly; the partition-based DataSourceStreamReader
+    is the executor-shipping variant a 100 TB tail would use, same
+    offset contract). pyarrow reads, no SparkSession — stream readers
+    run outside the session."""
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(base, "_delta_log")
+    out: list[tuple] = []
+
+    def _emit(path: str, change_type: str | None, version: int) -> None:
+        tbl = pq.read_table(os.path.join(base, path))
+        cols = tbl.to_pydict()
+        n = tbl.num_rows
+        ct = cols.get("_change_type", [change_type] * n)
+        for i in range(n):
+            out.append(
+                (
+                    cols["n_nationkey"][i],
+                    cols["n_name"][i],
+                    cols["n_regionkey"][i],
+                    ct[i],
+                    version,
+                )
+            )
+
+    for v in range(v_from, v_to):
+        fp = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(fp):
+            continue
+        actions = _read_commit(log_dir, v)
+        cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
+        if cdc:
+            for p in sorted(cdc):
+                _emit(_decode_path(p), None, v)
+        else:
+            for a in actions:
+                if "add" in a and a["add"].get("dataChange", True):
+                    _emit(_decode_path(a["add"]["path"]), "insert", v)
+            for a in actions:
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    _emit(_decode_path(a["remove"]["path"]), "delete", v)
+    return out
+
+
+def _make_cdf_stream_datasource():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _CdfTailReader(SimpleDataSourceStreamReader):
+        """Offsets are {'version': next_unread}: each micro-batch drains
+        the commits that appeared since the last one — exactly-once per
+        version because readBetweenOffsets replays any committed range
+        verbatim (versions are immutable once written, the property that
+        makes a transaction log a valid streaming source)."""
+
+        def __init__(self, base: str):
+            self._base = base
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def _latest(self) -> int:
+            log_dir = os.path.join(self._base, "_delta_log")
+            vs = [
+                int(m.group(1))
+                for f in os.listdir(log_dir)
+                if (m := _COMMIT_RE.match(f))
+            ]
+            return (max(vs) + 1) if vs else 0
+
+        def read(self, start):
+            end = self._latest()
+            v0 = start["version"]
+            if end <= v0:
+                return iter([]), start
+            return iter(_cdf_rows_driver(self._base, v0, end)), {"version": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                _cdf_rows_driver(self._base, start["version"], end["version"])
+            )
+
+    class DeltaCdfTailDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "delta_cdf_tail"
+
+        def schema(self) -> str:
+            return (
+                "n_nationkey int, n_name string, n_regionkey int, "
+                "_change_type string, _commit_version int"
+            )
+
+        def simpleStreamReader(self, schema):
+            return _CdfTailReader(self.options["path"])
+
+    return DeltaCdfTailDataSource
+
+
+_CDF_STREAM_RUNS = iter(range(1_000_000))
+
+
+@query(
+    "stream_delta_cdf_tail",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey,
+             'insert' AS _change_type, 0 AS _commit_version FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 1
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n_nationkey, n_name || '-v2', n_regionkey, 'update_postimage', 1
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n_nationkey, n_name || '-v2', n_regionkey, 'delete', 2
+      FROM nation WHERE n_nationkey < 5
+    )
+    """,
+)
+def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL a Delta table's change feed as a Structured Streaming source:
+    a Python DataSource whose offsets are LOG VERSIONS — each micro-batch
+    drains the commits since the last, cdc files verbatim and derived
+    insert/delete otherwise (the scan_delta_cdf semantics, incremental).
+    Versions are immutable once committed, so readBetweenOffsets replays
+    any committed range exactly — the recovery contract that makes a
+    transaction log a VALID streaming source (and the design reason
+    'stream from a lakehouse table' works at all). Run to completion
+    against the CDF fixture through a real readStream → memory sink;
+    the oracle is the full 40-row change history. The simple (driver-
+    row) reader is the fixture-scale variant; the partition-based
+    reader shipping file splits to executors is the same offset
+    contract at 100 TB."""
+    import shutil
+
+    from .sources import _scratch
+
+    base = _fixture_dir(spark, sf_dir, "delta_table_cdf", _build_cdf_fixture)
+    spark.dataSource.register(_make_cdf_stream_datasource())
+    run = next(_CDF_STREAM_RUNS)
+    ckpt = _scratch(sf_dir, f"cdf_tail_ckpt_{run}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"cdf_tail_out_{run}"
+    q = (
+        spark.readStream.format("delta_cdf_tail")
+        .option("path", base)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -282,3 +282,51 @@ def test_cdf_version_subrange(spark, sf_dir):
     kinds = {r._change_type for r in rows}
     assert kinds == {"update_preimage", "update_postimage"}
     assert all(r._commit_version == 1 for r in rows)
+
+
+def test_cdf_tail_is_incremental(spark, sf_dir, tmp_path):
+    """The stream's version offsets genuinely advance: drain a 1-commit
+    clone, APPEND the v1 update commit, drain again — the second batch
+    carries only v1's cdc rows (no re-emission of v0)."""
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_cdf_fixture,
+        _fixture_dir,
+        _make_cdf_stream_datasource,
+    )
+
+    src = _fixture_dir(spark, sf_dir, "delta_table_cdf", _build_cdf_fixture)
+    clone = str(tmp_path / "cdf_tail_inc")
+    _sh.copytree(src, clone)
+    held = []
+    for v in (1, 2):
+        p = os.path.join(clone, "_delta_log", f"{v:020d}.json")
+        held.append((p, open(p).read()))
+        os.remove(p)
+
+    spark.dataSource.register(_make_cdf_stream_datasource())
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("delta_cdf_tail")
+        .option("path", clone)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_tail_inc")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("cdf_tail_inc").count() == 25  # v0 inserts only
+        # the table grows: v1 (cdc update) lands
+        with open(held[0][0], "w") as fh:
+            fh.write(held[0][1])
+        q.processAllAvailable()
+        out = spark.table("cdf_tail_inc")
+        assert out.count() == 35
+        assert out.filter("_commit_version = 1").count() == 10
+        # v0 rows were NOT re-emitted
+        assert out.filter("_commit_version = 0").count() == 25
+    finally:
+        q.stop()
