@@ -486,3 +486,87 @@ def pipe_optimize_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         history, "iteration long, t_pic double, t_bnd double, objective double"
     )
+
+
+@query(
+    "pipe_hillas_2d",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    g AS (
+      SELECT vec_id, label,
+             CAST(pos // 8 AS DOUBLE) AS gy, CAST(pos % 8 AS DOUBLE) AS gx,
+             greatest(x, 0.0) AS w
+      FROM cells
+    ),
+    m AS (
+      SELECT vec_id, label,
+             sum(w) AS size_,
+             sum(gx * w) / nullif(sum(w), 0.0) AS mx,
+             sum(gy * w) / nullif(sum(w), 0.0) AS my,
+             sum(gx * gx * w) / nullif(sum(w), 0.0) AS mxx,
+             sum(gy * gy * w) / nullif(sum(w), 0.0) AS myy,
+             sum(gx * gy * w) / nullif(sum(w), 0.0) AS mxy
+      FROM g GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT vec_id, label, size_, mx, my,
+             mxx - mx * mx AS sxx, myy - my * my AS syy, mxy - mx * my AS sxy
+      FROM m
+    )
+    SELECT vec_id, label,
+           round(size_, 6) AS size,
+           round(mx, 6) AS cog_x,
+           round(my, 6) AS cog_y,
+           round(sqrt(greatest((sxx + syy) / 2
+                 + sqrt(pow((sxx - syy) / 2, 2) + sxy * sxy), 0.0)), 6) AS length,
+           round(sqrt(greatest((sxx + syy) / 2
+                 - sqrt(pow((sxx - syy) / 2, 2) + sxy * sxy), 0.0)), 6) AS width,
+           round(atan2(2 * sxy, sxx - syy) / 2, 6) AS psi,
+           round(sqrt(mx * mx + my * my), 6) AS r
+    FROM c
+    """,
+)
+def pipe_hillas_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL 2-D Hillas parametrization — the reference's signature
+    feature extractor (image/hillas_parameters.py in the §0.1
+    reconstruction): each 64-dim vector viewed as an 8×8 camera grid
+    (pos → (row, col)), amplitude-weighted (w = max(x,0)) moments give
+    size, center of gravity (cog_x, cog_y), and the shower-ellipse
+    axes from the 2×2 second-moment matrix — length/width are the
+    sqrt-eigenvalues λ± = (σxx+σyy)/2 ± sqrt(((σxx−σyy)/2)² + σxy²),
+    psi = ½·atan2(2σxy, σxx−σyy) is the ellipse orientation, r the
+    cog's distance from the camera center(-origin). The reference
+    computed this per image in numpy; here the whole corpus is ONE
+    posexplode + hash aggregation + per-row closed-form eigen
+    arithmetic — no iteration, no UDF, shuffle keyed by (vec, label)."""
+    g = _cells(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        (F.col("pos") / 8).cast("int").cast("double").alias("gy"),
+        (F.col("pos") % 8).cast("double").alias("gx"),
+        F.greatest(F.col("x"), F.lit(0.0)).alias("w"),
+    )
+    m = g.groupBy("vec_id", "label").agg(
+        F.sum("w").alias("size_"),
+        (F.sum(F.col("gx") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mx"),
+        (F.sum(F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("my"),
+        (F.sum(F.col("gx") * F.col("gx") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mxx"),
+        (F.sum(F.col("gy") * F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("myy"),
+        (F.sum(F.col("gx") * F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mxy"),
+    )
+    sxx = F.col("mxx") - F.col("mx") * F.col("mx")
+    syy = F.col("myy") - F.col("my") * F.col("my")
+    sxy = F.col("mxy") - F.col("mx") * F.col("my")
+    half_tr = (sxx + syy) / 2
+    disc = F.sqrt(F.pow((sxx - syy) / 2, 2) + sxy * sxy)
+    return m.select(
+        "vec_id",
+        "label",
+        r6(F.col("size_")).alias("size"),
+        r6(F.col("mx")).alias("cog_x"),
+        r6(F.col("my")).alias("cog_y"),
+        r6(F.sqrt(F.greatest(half_tr + disc, F.lit(0.0)))).alias("length"),
+        r6(F.sqrt(F.greatest(half_tr - disc, F.lit(0.0)))).alias("width"),
+        r6(F.atan2(2 * sxy, sxx - syy) / 2).alias("psi"),
+        r6(F.sqrt(F.col("mx") * F.col("mx") + F.col("my") * F.col("my"))).alias("r"),
+    )
