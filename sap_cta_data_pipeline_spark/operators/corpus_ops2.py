@@ -63,10 +63,16 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams whose first corpus appearance (min doc_id) is this doc.
     Duplicated or boilerplate-heavy late documents score near 0 — the
     curve novelty-vs-doc_id is the 'is the tail of this corpus still
-    teaching anything' diagnostic. Two keyed shuffles: first-seen at
-    ngram grain, novelty at doc grain; the join back is ngram-keyed.
-    At 100 TB the ngram table is the big one — exactly the shape the
-    dedup lanes already shuffle, with min() as the combiner."""
+    teaching anything' diagnostic. The corpus is tokenized ONCE:
+    first-seen resolves as a gram-partitioned window min over the same
+    distinct-gram frame the novelty agg consumes (the groupBy + join-
+    back form scans the corpus twice — measured in the plan and
+    replaced), so the whole lane is two keyed shuffles: (doc, gram)
+    distinct → gram-keyed window → doc-keyed agg. At 100 TB the ngram
+    table is the big one — exactly the shape the dedup lanes already
+    shuffle."""
+    from pyspark.sql.window import Window
+
     docs = t(spark, sf_dir, "documents")
     tk = F.filter(F.split("text", " "), lambda x: x != "")
     toks = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 3)
@@ -84,9 +90,9 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).distinct()
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    first_seen = F.min("doc_id").over(Window.partitionBy("gram"))
     return (
-        grams.join(first_seen, "gram")
+        grams.withColumn("first_doc", first_seen)
         .groupBy("doc_id")
         .agg(
             bi(F.count(F.lit(1))).alias("n_distinct_trigrams"),
