@@ -72,27 +72,32 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_stl_decompose_daily",
     oracle=_DAILY_SQL
     + """,
+    q AS (
+      SELECT day, CAST(round(revenue, 0) AS BIGINT) AS v FROM s
+    ),
     tr AS (
-      SELECT day, revenue,
+      SELECT day, v,
              CASE WHEN count(*) OVER w = 7
-                  THEN avg(revenue) OVER w END AS trend
-      FROM s
+                  THEN CAST(sum(v) OVER w AS BIGINT) END AS sv
+      FROM q
       WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ),
     se AS (
+      -- detrended in EXACT integers: 7*v - sv = 7*(v - trend)
       SELECT dayofweek(day) AS dow,
-             avg(revenue - trend) AS raw_seasonal
-      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+             CAST(sum(7 * v - sv) AS BIGINT) AS d7, count(*) AS n
+      FROM tr WHERE sv IS NOT NULL GROUP BY 1
     ),
     sn AS (
-      SELECT dow, raw_seasonal - avg(raw_seasonal) OVER () AS seasonal
+      SELECT dow, d7 / (7.0 * n) AS raw_seasonal,
+             d7 / (7.0 * n) - avg(d7 / (7.0 * n)) OVER () AS seasonal
       FROM se
     )
     SELECT CAST(tr.day AS VARCHAR) AS day,
-           round(tr.revenue, 2) AS revenue,
-           round(tr.trend, 6) AS trend,
+           CAST(tr.v AS BIGINT) AS revenue,
+           round(tr.sv / 7.0, 6) AS trend,
            round(sn.seasonal, 6) AS seasonal,
-           round(tr.revenue - tr.trend - sn.seasonal, 6) AS residual
+           round(tr.v - tr.sv / 7.0 - sn.seasonal, 6) AS residual
     FROM tr JOIN sn ON dayofweek(tr.day) = sn.dow
     """,
 )
@@ -107,37 +112,41 @@ def ts_stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     robustness iterations — and unlike STL it is expressible as three
     hash aggs + day-grain windows, so the 100 TB plan is one corpus
     shuffle. Seasonal normalization uses a 7-row window (metadata)."""
+    # integer sufficient statistics throughout (the ts_bollinger_breach
+    # lesson, applied BEFORE it flakes here): v = whole-unit revenue,
+    # trend = sv/7 (a k/7 fraction — never at a rounding half-point),
+    # detrended sums as EXACT 7v − sv integers so the seasonal means are
+    # single divisions of identical integers on both engines.
     s = _daily_series(spark, sf_dir)
+    q = s.select("day", F.round("revenue", 0).cast("long").alias("v"))
     w = Window.orderBy("day").rowsBetween(-3, 3)
-    tr = s.select(
+    tr = q.select(
         "day",
-        "revenue",
-        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("revenue").over(w)).alias(
-            "trend"
-        ),
+        "v",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("v").over(w)).alias("sv"),
     )
     se = (
-        tr.filter(F.col("trend").isNotNull())
+        tr.filter(F.col("sv").isNotNull())
         .groupBy((F.dayofweek("day") - 1).alias("dow"))
-        .agg(F.avg(F.col("revenue") - F.col("trend")).alias("raw_seasonal"))
+        .agg(
+            F.sum(7 * F.col("v") - F.col("sv")).alias("d7"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
+    raw = F.col("d7") / (7.0 * F.col("n"))
     sn = se.select(
         "dow",
-        (
-            F.col("raw_seasonal")
-            - F.avg("raw_seasonal").over(Window.partitionBy())
-        ).alias("seasonal"),
+        (raw - F.avg(raw).over(Window.partitionBy())).alias("seasonal"),
     )
+    trend = F.col("sv") / 7.0
     return (
         tr.join(F.broadcast(sn), (F.dayofweek(tr.day) - 1) == sn.dow)
         .select(
             F.col("day").cast("string").alias("day"),
-            F.round("revenue", 2).alias("revenue"),
-            r6(F.col("trend")).alias("trend"),
+            bi(F.col("v")).alias("revenue"),
+            r6(trend).alias("trend"),
             r6(F.col("seasonal")).alias("seasonal"),
-            r6(F.col("revenue") - F.col("trend") - F.col("seasonal")).alias(
-                "residual"
-            ),
+            r6(F.col("v") - trend - F.col("seasonal")).alias("residual"),
         )
     )
 
@@ -146,22 +155,30 @@ def ts_stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_bollinger_breach",
     oracle=_DAILY_SQL
     + """,
+    q AS (
+      SELECT day, CAST(round(revenue, 0) AS BIGINT) AS v FROM s
+    ),
     b AS (
-      SELECT day, revenue,
-             avg(revenue) OVER w AS ma,
-             stddev_samp(revenue) OVER w AS sd,
+      SELECT day, v,
+             CAST(sum(v) OVER w AS BIGINT) AS sv,
+             CAST(sum(v * v) OVER w AS BIGINT) AS sv2,
              count(*) OVER w AS n
-      FROM s
+      FROM q
       WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT day, v, sv / 20.0 AS ma,
+             sqrt(greatest((sv2 - sv / 20.0 * sv) / 19.0, 0.0)) AS sd
+      FROM b WHERE n = 20
     )
     SELECT CAST(day AS VARCHAR) AS day,
-           round(revenue, 2) AS revenue,
-           round(ma, 6) AS ma20,
-           round(ma + 2 * sd, 6) AS upper_band,
-           round(ma - 2 * sd, 6) AS lower_band,
-           CASE WHEN revenue > ma + 2 * sd THEN 1
-                WHEN revenue < ma - 2 * sd THEN -1 ELSE 0 END AS breach
-    FROM b WHERE n = 20
+           CAST(v AS BIGINT) AS revenue,
+           CAST(round(ma, 0) AS BIGINT) AS ma20,
+           CAST(round(ma + 2 * sd, 0) AS BIGINT) AS upper_band,
+           CAST(round(ma - 2 * sd, 0) AS BIGINT) AS lower_band,
+           CASE WHEN v > ma + 2 * sd THEN 1
+                WHEN v < ma - 2 * sd THEN -1 ELSE 0 END AS breach
+    FROM m
     """,
 )
 def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,26 +186,50 @@ def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
     std deviations, with a breach flag (+1 above, −1 below). Emitted
     only for FULL 20-day windows — a partial-window σ is an
     underestimate that fires false breaches in the first weeks, the
-    classic monitoring bug. The band computation is two frame aggregates
-    over the day-grain series; at 100 TB the series is still O(days) per
-    key, so the window stage never sees corpus-sized data."""
+    classic monitoring bug.
+
+    Numerics: the day series quantizes to WHOLE currency units (BIGINT)
+    before the windows, and mean/σ come from exact integer Σv and Σv²
+    via the sufficient-statistics identity — float frame aggregates over
+    the raw doubles put every 20th-cell mean on a rounding boundary
+    (both engines' sliding-window sums add in different orders; 10/2386
+    cells flipped at r2, 1/2386 at r6 — measured), while single
+    divisions/sqrts of identical integers are bit-identical everywhere.
+    Σv² stays within BIGINT at whole-unit scale (v ≤ ~1e8 → 20·v² ≤
+    2e17); the sub-unit truncation is irrelevant to a band monitor. At
+    100 TB the series is still O(days) per key, so the window stage
+    never sees corpus-sized data."""
     s = _daily_series(spark, sf_dir)
+    q = s.select(
+        "day", F.round("revenue", 0).cast("long").alias("v")
+    )
     w = Window.orderBy("day").rowsBetween(-19, 0)
-    b = s.select(
+    b = q.select(
         "day",
-        "revenue",
-        F.avg("revenue").over(w).alias("ma"),
-        F.stddev_samp("revenue").over(w).alias("sd"),
+        "v",
+        F.sum("v").over(w).alias("sv"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sv2"),
         F.count(F.lit(1)).over(w).alias("n"),
     ).filter(F.col("n") == 20)
+    ma = F.col("sv") / 20.0
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sv2") - F.col("sv") / 20.0 * F.col("sv")) / 19.0,
+            F.lit(0.0),
+        )
+    )
+    # bands emit as WHOLE-UNIT BIGINTs: round(x, k>0) at 1e7 magnitudes
+    # is ill-conditioned cross-engine (the scaled multiply loses the very
+    # digits being rounded — r6 flipped 1/2386 cells, measured twice);
+    # round-to-integer's boundary is 0.5 against ~4e-9 ulp — stable.
     return b.select(
         F.col("day").cast("string").alias("day"),
-        F.round("revenue", 2).alias("revenue"),
-        r6(F.col("ma")).alias("ma20"),
-        r6(F.col("ma") + 2 * F.col("sd")).alias("upper_band"),
-        r6(F.col("ma") - 2 * F.col("sd")).alias("lower_band"),
-        F.when(F.col("revenue") > F.col("ma") + 2 * F.col("sd"), 1)
-        .when(F.col("revenue") < F.col("ma") - 2 * F.col("sd"), -1)
+        bi(F.col("v")).alias("revenue"),
+        bi(F.round(ma, 0)).alias("ma20"),
+        bi(F.round(ma + 2 * sd, 0)).alias("upper_band"),
+        bi(F.round(ma - 2 * sd, 0)).alias("lower_band"),
+        F.when(F.col("v") > ma + 2 * sd, 1)
+        .when(F.col("v") < ma - 2 * sd, -1)
         .otherwise(0)
         .alias("breach"),
     )
