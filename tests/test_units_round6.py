@@ -355,3 +355,38 @@ def test_windowed_funnel_bounded_by_unbounded(spark, sf_dir):
     vals = [unb[k] for k in sorted(unb)]
     assert win.n_step2_click_7d <= vals[1]
     assert win.n_step3_purchase_7d <= vals[2]
+
+
+def test_sessionize_capped_boundaries(spark):
+    """Hand-built user: events every 25 minutes (gap < 30 throughout)
+    from 0 to 250min — the 250min event exceeds the 4h cap from session
+    start 0 and must open session 2 even though its gap is only 25min;
+    a final event at 300min (gap 50 > 30) opens session 3."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from sap_cta_data_pipeline_spark.operators.session_ops import (
+        events_sessionize_capped,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    mins = list(range(0, 251, 25)) + [300]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(mins)),
+            "ts": [base + pd.Timedelta(minutes=m) for m in mins],
+            "user_id": [1] * len(mins),
+            "event_type": ["view"] * len(mins),
+            "value": [1.0] * len(mins),
+            "props": ["{}"] * len(mins),
+        }
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+    rows = sorted(
+        events_sessionize_capped(spark, d).collect(), key=lambda r: r.session_id
+    )
+    assert [(r.session_id, r.n_events) for r in rows] == [(1, 10), (2, 1), (3, 1)]
+    assert rows[0].duration_us == 225 * 60 * 1_000_000
