@@ -1083,3 +1083,151 @@ def sink_iceberg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ------------------------------------------ snapshots as a STREAMING source
+
+
+def _iceberg_appended_rows(base: str, after_seq: int) -> tuple[list[tuple], int]:
+    """Rows appended by snapshots with sequence-number > after_seq, as
+    (n_nationkey, n_name, n_regionkey, snapshot_id) tuples, plus the new
+    high-water sequence. pyarrow reads — stream readers run outside the
+    session; the partition-based reader shipping file splits to
+    executors is the 100 TB variant of the same offset contract."""
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(base)
+    snaps = sorted(
+        (s for s in meta.get("snapshots", []) if s["sequence-number"] > after_seq),
+        key=lambda s: s["sequence-number"],
+    )
+    out: list[tuple] = []
+    hi = after_seq
+    for s in snaps:
+        _, manifests = read_container(_resolve_path(base, s["manifest-list"]))
+        for m in manifests:
+            if m.get("sequence_number") != s["sequence-number"]:
+                continue  # carried-forward manifest from an older snapshot
+            _, entries = read_container(_resolve_path(base, m["manifest_path"]))
+            for e in entries:
+                if e["status"] == 2 or e["data_file"].get("content", 0) != 0:
+                    continue
+                tbl = pq.read_table(
+                    _resolve_path(base, e["data_file"]["file_path"])
+                )
+                cols = tbl.to_pydict()
+                for i in range(tbl.num_rows):
+                    out.append(
+                        (
+                            cols["n_nationkey"][i],
+                            cols["n_name"][i],
+                            cols["n_regionkey"][i],
+                            s["snapshot-id"],
+                        )
+                    )
+        hi = s["sequence-number"]
+    return out, hi
+
+
+def _make_iceberg_stream_datasource():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _SnapTailReader(SimpleDataSourceStreamReader):
+        """Offsets are {'seq': last-read sequence-number} — snapshots are
+        immutable and sequence numbers only grow, so readBetweenOffsets
+        replays any committed range exactly (the same argument as the
+        Delta-CDF tail, on Iceberg's snapshot lattice)."""
+
+        def __init__(self, base: str):
+            self._base = base
+
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def read(self, start):
+            rows, hi = _iceberg_appended_rows(self._base, start["seq"])
+            if hi == start["seq"]:
+                return iter([]), start
+            return iter(rows), {"seq": hi}
+
+        def readBetweenOffsets(self, start, end):
+            rows, _ = _iceberg_appended_rows(self._base, start["seq"])
+            # bounded replay: keep only snapshots ≤ end
+            meta = _load_metadata(self._base)
+            keep = {
+                s["snapshot-id"]
+                for s in meta.get("snapshots", [])
+                if start["seq"] < s["sequence-number"] <= end["seq"]
+            }
+            return iter([r for r in rows if r[3] in keep])
+
+    class IcebergSnapTailDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "iceberg_snapshot_tail"
+
+        def schema(self) -> str:
+            return (
+                "n_nationkey int, n_name string, n_regionkey int, "
+                "snapshot_id bigint"
+            )
+
+        def simpleStreamReader(self, schema):
+            return _SnapTailReader(self.options["path"])
+
+    return IcebergSnapTailDataSource
+
+
+_SNAP_STREAM_RUNS = iter(range(1_000_000))
+
+
+@query(
+    "stream_iceberg_snapshot_tail",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CASE WHEN n_nationkey < 12 THEN 1001 ELSE 1002 END AS snapshot_id
+    FROM nation
+    """,
+)
+def stream_iceberg_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL an Iceberg table's appends as a Structured Streaming source —
+    the symmetric twin of stream_delta_cdf_tail on the snapshot lattice:
+    offsets are SEQUENCE NUMBERS, each micro-batch drains the snapshots
+    committed since the last, and carried-forward manifests (sequence <
+    snapshot's) are skipped so rows are emitted exactly once. The table
+    is built by this module's own iceberg_append writer (two commits),
+    so the lane certifies writer → streaming-reader end to end; the
+    oracle pins every row to the snapshot that appended it. Snapshot
+    immutability makes readBetweenOffsets an exact replay — the
+    recovery contract. This is how production engines stream FROM
+    Iceberg (incremental append scan)."""
+    import shutil
+
+    base = _scratch(sf_dir, "iceberg_stream_sink")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        from ..catalog import load_table
+
+        n = load_table(spark, sf_dir, "nation")
+        iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+        iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    spark.dataSource.register(_make_iceberg_stream_datasource())
+    run = next(_SNAP_STREAM_RUNS)
+    ckpt = _scratch(sf_dir, f"iceberg_tail_ckpt_{run}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"iceberg_tail_out_{run}"
+    q = (
+        spark.readStream.format("iceberg_snapshot_tail")
+        .option("path", base)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
