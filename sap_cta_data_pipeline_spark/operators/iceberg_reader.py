@@ -1231,3 +1231,123 @@ def stream_iceberg_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _build_iceberg_evo_fixture(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Schema-evolution fixture: snapshot 4001 writes 2-column files
+    (n_nationkey, n_name) under schema-id 0; the table then evolves
+    (ADD COLUMN n_regionkey — metadata v2 carries schema-id 1 and
+    current-schema-id 1, NO data rewrite) and snapshot 4002 appends a
+    file WITH the new column. Current reads surface typed NULLs for
+    pre-evolution files — the instant-ADD-COLUMN contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(table_path(sf_dir, "nation"))
+    pdf = tbl.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    lo = pdf[pdf.n_nationkey < 12][["n_nationkey", "n_name"]]
+    hi = pdf[pdf.n_nationkey >= 12]
+    schema2 = pa.schema(
+        [tbl.schema.field("n_nationkey"), tbl.schema.field("n_name")]
+    )
+    _write_parquet_file(schema2, lo, os.path.join(base, "data", "old.parquet"))
+    _write_parquet_file(tbl.schema, hi, os.path.join(base, "data", "new.parquet"))
+    write_container(
+        os.path.join(base, "metadata", "m1.avro"),
+        _MANIFEST_ENTRY_SCHEMA,
+        [_entry(base, "old.parquet", 0, len(lo))],
+    )
+    write_container(
+        os.path.join(base, "metadata", "m2.avro"),
+        _MANIFEST_ENTRY_SCHEMA,
+        [_entry(base, "new.parquet", 0, len(hi))],
+    )
+    write_container(
+        os.path.join(base, "metadata", "snap-4001.avro"),
+        _MANIFEST_FILE_SCHEMA,
+        [_manifest_file_rec(base, "m1.avro", 0, 4001, 1)],
+    )
+    write_container(
+        os.path.join(base, "metadata", "snap-4002.avro"),
+        _MANIFEST_FILE_SCHEMA,
+        [
+            _manifest_file_rec(base, "m1.avro", 0, 4001, 1),
+            _manifest_file_rec(base, "m2.avro", 0, 4002, 2),
+        ],
+    )
+    schema0 = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": _NATION_ICEBERG_FIELDS[:2],
+    }
+    schema1 = {"type": "struct", "schema-id": 1, "fields": _NATION_ICEBERG_FIELDS}
+    md = {
+        "format-version": 2,
+        "table-uuid": "0f1e2d3c-0000-4000-8000-00000000e01e",
+        "location": "file://" + base,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000001000,
+        "last-column-id": 3,
+        "current-schema-id": 1,
+        "schemas": [schema0, schema1],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 4002,
+        "snapshots": [
+            {
+                "snapshot-id": 4001,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://"
+                + os.path.join(base, "metadata", "snap-4001.avro"),
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            },
+            {
+                "snapshot-id": 4002,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000001000,
+                "manifest-list": "file://"
+                + os.path.join(base, "metadata", "snap-4002.avro"),
+                "summary": {"operation": "append"},
+                "schema-id": 1,
+            },
+        ],
+    }
+    os.makedirs(os.path.join(base, "metadata"), exist_ok=True)
+    with open(os.path.join(base, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+        fh.write("ok")
+
+
+@query(
+    "scan_iceberg_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey
+    FROM nation
+    """,
+)
+def scan_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN without rewriting a byte: the metadata carries BOTH
+    schemas (schema-id 0 and 1) and current-schema-id picks the read
+    schema — pre-evolution files (written under schema 0, physically
+    2 columns) surface the new column as typed NULLs because the reader
+    scans with the CURRENT schema explicitly (never footer-merge). The
+    oracle NULLs n_regionkey exactly for the pre-evolution keys, so the
+    hash certifies which files resolved through which physical shape —
+    the design reason Iceberg column adds are instant at any size (the
+    same contract scan_delta_schema_evolution pins for Delta)."""
+    base = _scratch(sf_dir, "iceberg_table_evo")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_iceberg_evo_fixture(spark, sf_dir, base)
+    return iceberg_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -776,3 +776,84 @@ def delta_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ------------------------------------------------------------ SHALLOW CLONE
+
+
+def delta_shallow_clone(spark: SparkSession, src: str, dst: str) -> None:
+    """SHALLOW CLONE: a new Delta table whose commit 0 re-ADDS the
+    source's live files by ABSOLUTE path — zero data copied, metadata
+    only (the instant-fork primitive under dev/test sandboxes and
+    experiment branches). The clone carries the source's protocol +
+    metaData verbatim and evolves independently afterwards; the
+    documented liability is shared-file lifetime — VACUUM on the source
+    can delete files the clone still references (pinned in tests), which
+    is exactly the trade Delta's own shallow clones make."""
+    from .delta_reader import _check_protocol, _commit, _read_commit, delta_state
+    from .delta_reader import _COMMIT_RE
+
+    live, schema_string, part_cols, config, dvs = delta_state(spark, src, None)
+    log_dir = os.path.join(src, "_delta_log")
+    commits = sorted(
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    )
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for v in commits:
+        for a in _read_commit(log_dir, v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+    _check_protocol(protocol)
+    actions: list[dict] = [
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": "shallow-clone",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": part_cols,
+                "configuration": config,
+            }
+        },
+    ]
+    for p in sorted(live):
+        add = {
+            "add": {
+                "path": os.path.abspath(os.path.join(src, p)),
+                "partitionValues": live[p],
+                "size": 1024,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        }
+        if p in dvs:
+            add["add"]["deletionVector"] = dvs[p]
+        actions.append(add)
+    _commit(os.path.join(dst, "_delta_log"), 0, actions)
+
+
+@query(
+    "delta_shallow_clone",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def delta_shallow_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a SHALLOW CLONE of the 4-version Delta fixture: the
+    clone's single commit re-adds the source's live files by absolute
+    path (no bytes copied), so the snapshot equals clean nation — the
+    identity oracle certifies the metadata fork. Independence is pinned
+    in tests: appending to the clone leaves the source unchanged, and
+    vacuuming the source breaks the clone LOUDLY (the shared-file
+    lifetime trade every shallow clone makes)."""
+    from .delta_reader import _build_fixture, delta_snapshot
+
+    src = _scratch(sf_dir, "delta_clone_src")
+    if not os.path.exists(os.path.join(src, "_FIXTURE_READY")):
+        _build_fixture(spark, sf_dir, src)
+    dst = _scratch(sf_dir, "delta_clone_dst")
+    if not os.path.isdir(os.path.join(dst, "_delta_log")):
+        delta_shallow_clone(spark, src, dst)
+    return delta_snapshot(spark, dst).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -293,3 +293,38 @@ def test_restore_preserves_history(spark, sf_dir, tmp_path):
         r.n_name.endswith("-old")
         for r in delta_snapshot(spark, base).collect()
     )
+
+
+def test_shallow_clone_independence_and_lifetime(spark, sf_dir, tmp_path):
+    """The clone forks metadata only: appending to the clone leaves the
+    source unchanged; vacuuming the SOURCE deletes files the clone still
+    references → the clone's scan fails LOUDLY (the shared-file-lifetime
+    trade, pinned rather than papered over)."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators import lakehouse_interop as li
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_fixture,
+        delta_snapshot,
+    )
+
+    src = str(tmp_path / "clone_src")
+    _build_fixture(spark, sf_dir, src)
+    dst = str(tmp_path / "clone_dst")
+    li.delta_shallow_clone(spark, src, dst)
+    assert delta_snapshot(spark, dst).count() == 25
+    # clone evolves independently
+    extra = load_table(spark, sf_dir, "nation").limit(3).selectExpr(
+        "n_nationkey + 500 AS n_nationkey", "n_name", "n_regionkey"
+    )
+    li.delta_append_commit(spark, dst, extra, "clone-extra.parquet")
+    assert delta_snapshot(spark, dst).count() == 28
+    assert delta_snapshot(spark, src).count() == 25  # source untouched
+    # source vacuum (zero retention) keeps only files still referenced BY
+    # THE SOURCE; the clone's absolute-path adds survive only as long as
+    # the source retains them — delete one retained source file to
+    # simulate the post-retention hazard and pin the loud failure
+    os.remove(os.path.join(src, "part-c.parquet"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        delta_snapshot(spark, dst).count()
