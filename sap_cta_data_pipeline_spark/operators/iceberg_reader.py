@@ -1351,3 +1351,107 @@ def scan_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     return iceberg_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ------------------------------------------------- maintenance + AS OF ts
+
+
+def iceberg_snapshot_as_of(
+    spark: SparkSession, base: str, ts_ms: int
+) -> DataFrame:
+    """TIMESTAMP AS OF: the latest snapshot whose commit time is ≤ ts_ms
+    (the SQL `FOR TIMESTAMP AS OF` contract) — pure metadata addressing
+    over the snapshot list, then the ordinary snapshot read."""
+    meta = _load_metadata(base)
+    eligible = [
+        s for s in meta.get("snapshots", []) if s["timestamp-ms"] <= ts_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no Iceberg snapshot at or before timestamp {ts_ms} "
+            f"(earliest is {min(s['timestamp-ms'] for s in meta.get('snapshots', []))})"
+        )
+    snap = max(eligible, key=lambda s: s["timestamp-ms"])
+    return iceberg_snapshot(spark, base, snapshot_id=snap["snapshot-id"])
+
+
+def iceberg_expire_snapshots(
+    spark: SparkSession, base: str, keep_from_seq: int
+) -> tuple[list[str], list[str]]:
+    """EXPIRE SNAPSHOTS: commit a new metadata version whose snapshot
+    list keeps only sequence-number ≥ keep_from_seq, then delete the
+    data and manifest files referenced ONLY by expired snapshots —
+    never a file any RETAINED snapshot still plans (the same
+    union-of-live-sets safety contract as delta_vacuum). Time travel to
+    expired snapshots then fails LOUDLY at snapshot resolution (the id
+    is gone from metadata), not silently with wrong data. Returns
+    (deleted, kept) relative paths."""
+    meta = _load_metadata(base)
+    keep = [
+        s for s in meta["snapshots"] if s["sequence-number"] >= keep_from_seq
+    ]
+    if not keep:
+        raise ValueError("expire would remove every snapshot")
+    expired = [
+        s for s in meta["snapshots"] if s["sequence-number"] < keep_from_seq
+    ]
+
+    def _files_of(snap) -> set[str]:
+        out = set()
+        ml = _resolve_path(base, snap["manifest-list"])
+        out.add(os.path.relpath(ml, base))
+        _, manifests = read_container(ml)
+        for m in manifests:
+            mp = _resolve_path(base, m["manifest_path"])
+            out.add(os.path.relpath(mp, base))
+            _, entries = read_container(mp)
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                out.add(
+                    os.path.relpath(
+                        _resolve_path(base, e["data_file"]["file_path"]), base
+                    )
+                )
+        return out
+
+    referenced: set[str] = set()
+    for s in keep:
+        referenced |= _files_of(s)
+    candidates: set[str] = set()
+    for s in expired:
+        candidates |= _files_of(s)
+    deleted = sorted(candidates - referenced)
+    for rel in deleted:
+        p = os.path.join(base, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    md = dict(meta)
+    md["snapshots"] = keep
+    if md.get("current-snapshot-id") not in {s["snapshot-id"] for s in keep}:
+        md["current-snapshot-id"] = max(
+            keep, key=lambda s: s["sequence-number"]
+        )["snapshot-id"]
+    meta_dir = os.path.join(base, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        cur_v = int(fh.read().strip())
+    _put_metadata_if_absent(meta_dir, cur_v + 1, md)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(cur_v + 1))
+    return deleted, sorted(referenced)
+
+
+@query(
+    "scan_iceberg_time_travel_ts",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_iceberg_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR TIMESTAMP AS OF: addressing the snapshot list by commit time —
+    a timestamp between the append (1001) and the delete (1002) resolves
+    to 1001, so the read returns FULL nation while the current snapshot
+    hides five keys. Same pure-metadata resolution as snapshot-id time
+    travel; timestamps before the first snapshot raise (pinned)."""
+    base = _fixture(spark, sf_dir)
+    return iceberg_snapshot_as_of(spark, base, 1700000000500).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -307,3 +307,45 @@ def test_append_gives_up_after_ten_conflicts(spark, sf_dir):
             ir.iceberg_append(spark, base, n, "x.parquet")
     finally:
         ir._put_metadata_if_absent = real_put
+
+
+def test_as_of_timestamp_resolution(spark, ibase):
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        iceberg_snapshot_as_of,
+    )
+
+    # between the two snapshots → 1001 (full nation)
+    assert iceberg_snapshot_as_of(spark, ibase, 1700000000500).count() == 25
+    # at/after the delete snapshot → 1002 (20 rows)
+    assert iceberg_snapshot_as_of(spark, ibase, 1700000001000).count() == 20
+    with pytest.raises(ValueError, match="no Iceberg snapshot at or before"):
+        iceberg_snapshot_as_of(spark, ibase, 1)
+
+
+def test_expire_snapshots_safety(spark, sf_dir, tmp_path):
+    """Expiring the first snapshot of an append-built table must delete
+    ONLY files no retained snapshot references — for pure appends the
+    retained snapshot still references snapshot 1's data file (its
+    manifest is carried forward), so only snapshot 1's manifest LIST
+    goes; the current read is unchanged and time travel to the expired
+    id fails loudly."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        iceberg_append,
+        iceberg_expire_snapshots,
+        iceberg_snapshot,
+    )
+
+    base = tempfile.mkdtemp()
+    n = load_table(spark, sf_dir, "nation")
+    iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+    iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+    deleted, kept = iceberg_expire_snapshots(spark, base, keep_from_seq=2)
+    assert any("snap-" in d for d in deleted)  # the expired manifest list
+    assert not any(d.endswith("a0.parquet") for d in deleted)  # data survives
+    assert iceberg_snapshot(spark, base).count() == 25
+    with pytest.raises(ValueError, match="unknown Iceberg snapshot-id"):
+        iceberg_snapshot(spark, base, snapshot_id=1001)
+    # idempotent-ish: expiring again deletes nothing further
+    deleted2, _ = iceberg_expire_snapshots(spark, base, keep_from_seq=2)
+    assert deleted2 == []
