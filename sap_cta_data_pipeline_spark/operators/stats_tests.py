@@ -453,3 +453,51 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(pe).alias("pe"),
         r6((po - pe) / (1 - pe)).alias("kappa"),
     )
+
+
+@query(
+    "orders_price_elasticity",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             ln(l.l_quantity) AS lq,
+             ln(l.l_extendedprice / l.l_quantity) AS lp
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           round((count(*) * sum(lp * lq) - sum(lp) * sum(lq))
+                 / (count(*) * sum(lp * lp) - sum(lp) * sum(lp)), 6)
+             AS elasticity,
+           round(corr(lp, lq) * corr(lp, lq), 6) AS r2
+    FROM j GROUP BY 1
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) — the number every pricing analysis
+    opens with (−1 = unit elastic; the textbook demand-curve readout).
+    Assembled from the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    in ONE hash aggregation after a broadcast part-dim join — the same
+    normal-equations discipline as ml_ols_two_feature, at brand grain,
+    plus the fit quality r² = corr². No row ever leaves its partition
+    except into the brand-keyed combine."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_quantity")).alias("lq"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    slope = (n * F.sum(F.col("lp") * F.col("lq")) - F.sum("lp") * F.sum("lq")) / (
+        n * F.sum(F.col("lp") * F.col("lp")) - F.sum("lp") * F.sum("lp")
+    )
+    return j.groupBy("p_brand").agg(
+        bi(F.count(F.lit(1))).alias("n"),
+        r6(slope).alias("elasticity"),
+        r6(F.corr("lp", "lq") * F.corr("lp", "lq")).alias("r2"),
+    )
