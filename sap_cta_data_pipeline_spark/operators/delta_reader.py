@@ -46,14 +46,15 @@ from .sources import _scratch
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
 # Reader feature set this module implements. PROTOCOL.md requires readers
-# to FAIL on tables demanding more (a v3 feature this reader did not
-# implement — e.g. v2Checkpoint — would be silently misread by a plain
-# log replay). Reader v2 column mapping landed in round 6; reader v3
-# deletionVectors (roaring-bitmap DV decode + anti-join apply) in round 7.
+# to FAIL on tables demanding more (an unimplemented v3 feature — e.g.
+# timestampNtz type widening — would be silently misread by a plain log
+# replay). Reader v2 column mapping landed in round 6; reader v3
+# deletionVectors (roaring-bitmap DV decode + anti-join apply) in round 7;
+# v2Checkpoint (multi-part + UUID/sidecar checkpoint resolve) in round 8.
 _SUPPORTED_READER_VERSION = 2  # v2 = column mapping (implemented);
 # v3 tables readable iff their readerFeatures ⊆ the implemented set below
 _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"columnMapping", "deletionVectors"}
+    {"columnMapping", "deletionVectors", "v2Checkpoint"}
 )
 
 
@@ -87,6 +88,132 @@ def _decode_path(path: str) -> str:
 def _read_commit(log_dir: str, version: int) -> list[dict]:
     with open(os.path.join(log_dir, f"{version:020d}.json")) as fh:
         return [json.loads(line) for line in fh if line.strip()]
+
+
+def _collect_proto_meta(cp: DataFrame) -> list[dict]:
+    """Collect the ≤2 protocol/metaData rows of a checkpoint frame as
+    PLAIN dicts (uniform with json-manifest parsing)."""
+    return [
+        {
+            "protocol": r["protocol"].asDict(recursive=True) if r["protocol"] else None,
+            "metaData": r["metaData"].asDict(recursive=True) if r["metaData"] else None,
+        }
+        for r in cp.filter(
+            F.col("protocol").isNotNull() | F.col("metaData").isNotNull()
+        )
+        .select("protocol", "metaData")
+        .collect()
+    ]
+
+
+def _checkpoint_actions(
+    spark: SparkSession, log_dir: str, lc: dict
+) -> tuple[list[dict], DataFrame]:
+    """Resolve the checkpoint named by ``_last_checkpoint`` into
+    ``(protocol/metaData action dicts, distributed add-actions frame)``.
+
+    Three PUBLIC checkpoint layouts (delta.io PROTOCOL.md "Checkpoints"):
+
+    - **classic**: ``{v:020d}.checkpoint.parquet`` — one parquet file;
+    - **multi-part (v1)**: ``_last_checkpoint`` carries ``parts: N`` and
+      the state is split across
+      ``{v:020d}.checkpoint.{i:010d}.{N:010d}.parquet`` (i = 1..N) —
+      exactly the layout large production tables have (a 100-TB table's
+      checkpoint is millions of add rows; writers shard it). The read is
+      the SAME distributed scan, just a union of N parts — round 8
+      replaces the round-7 refusal (delta_reader.py:159 then);
+    - **v2 (UUID-named)**: ``{v:020d}.checkpoint.{uuid}.parquet`` (or
+      ``.json``) — a TOP-LEVEL manifest holding protocol, metaData, a
+      ``checkpointMetadata`` action and ``sidecar`` actions pointing at
+      parquet files under ``_delta_log/_sidecars/`` that carry the
+      add/remove state (file actions may also sit inline in a parquet
+      manifest; a json manifest is driver-parsed — it is metadata-sized
+      by the spec).
+
+    Driver-side work stays file-list-bounded in every layout: protocol/
+    metaData rows and sidecar paths collect (≤ a handful + O(sidecars));
+    the add state itself stays a distributed frame that delta_state
+    filters executor-side before its live-file-bounded collect."""
+    version = int(lc["version"])
+    stem = f"{version:020d}.checkpoint"
+    if lc.get("parts") is not None:
+        parts = int(lc["parts"])
+        paths = [
+            os.path.join(log_dir, f"{stem}.{i:010d}.{parts:010d}.parquet")
+            for i in range(1, parts + 1)
+        ]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"multi-part checkpoint at version {version} is missing "
+                f"{len(missing)}/{parts} parts (e.g. {missing[0]}); an "
+                "incomplete checkpoint must not be read"
+            )
+        cp = spark.read.parquet(*paths)
+        return _collect_proto_meta(cp), cp
+    classic = os.path.join(log_dir, f"{stem}.parquet")
+    if os.path.exists(classic):
+        cp = spark.read.parquet(classic)
+        return _collect_proto_meta(cp), cp
+    # v2 checkpoint: UUID-named manifest
+    v2_cands = sorted(
+        f
+        for f in os.listdir(log_dir)
+        if f.startswith(stem + ".") and f.rsplit(".", 1)[-1] in ("parquet", "json")
+    )
+    if not v2_cands:
+        raise FileNotFoundError(
+            f"_last_checkpoint names version {version} but no checkpoint "
+            f"file matching {stem}.* exists under {log_dir}"
+        )
+    top_path = os.path.join(log_dir, v2_cands[0])
+    pm: list[dict] = []
+    sidecars: list[str] = []
+    inline: DataFrame | None = None
+    if top_path.endswith(".json"):
+        with open(top_path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a or "metaData" in a:
+                    pm.append(
+                        {"protocol": a.get("protocol"), "metaData": a.get("metaData")}
+                    )
+                elif "sidecar" in a:
+                    sidecars.append(a["sidecar"]["path"])
+    else:
+        top = spark.read.parquet(top_path)
+        cols = set(top.columns)
+        if {"protocol", "metaData"} & cols:
+            pm = _collect_proto_meta(top)
+        if "sidecar" in cols:
+            sidecars = [
+                r["path"]
+                for r in top.filter(F.col("sidecar").isNotNull())
+                .select("sidecar.path")
+                .collect()
+            ]
+        if "add" in cols:
+            inline = top
+    frames: list[DataFrame] = []
+    if sidecars:
+        frames.append(
+            spark.read.parquet(
+                *[os.path.join(log_dir, "_sidecars", p) for p in sidecars]
+            )
+        )
+    if inline is not None:
+        frames.append(inline.select(*(c for c in inline.columns if c == "add")))
+    if not frames:
+        raise ValueError(
+            f"v2 checkpoint manifest {top_path} carries neither sidecar "
+            "actions nor inline file actions"
+        )
+    adds = frames[0]
+    for extra in frames[1:]:
+        adds = adds.unionByName(extra, allowMissingColumns=True)
+    return pm, adds
 
 
 def delta_state(
@@ -154,37 +281,26 @@ def delta_state(
         with open(lc_path) as fh:
             lc = json.load(fh)
         cp_version = lc["version"]
-        if lc.get("parts") is not None:
-            raise ValueError(
-                f"multi-part checkpoint (parts={lc['parts']}) at version "
-                f"{cp_version} is not supported by this reader"
-            )
         if cp_version <= target:
-            cp = spark.read.parquet(
-                os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
-            )
             # checkpoint rows are the RECONCILED state: non-null `add`s are
             # the live set (checkpoint `remove`s are vacuum tombstones,
-            # already applied). The scan is DISTRIBUTED and the driver
-            # collects only (a) the ≤2 protocol/metaData rows and (b) the
-            # live add entries — bounded by LIVE FILES, never by action
-            # count: a 100 TB table's checkpoint carries millions of rows
-            # (adds + vacuum tombstones), but the tombstones and any other
-            # action columns are filtered out executor-side before collect.
-            for r in (
-                cp.filter(
-                    F.col("protocol").isNotNull() | F.col("metaData").isNotNull()
-                )
-                .select("protocol", "metaData")
-                .collect()
-            ):
+            # already applied). _checkpoint_actions resolves any of the
+            # three public layouts (classic / multi-part / v2 sidecar)
+            # into one DISTRIBUTED frame; the driver collects only (a)
+            # the ≤2 protocol/metaData rows and (b) the live add entries
+            # — bounded by LIVE FILES, never by action count: a 100 TB
+            # table's checkpoint carries millions of rows (adds + vacuum
+            # tombstones), but the tombstones and any other action
+            # columns are filtered out executor-side before collect.
+            pm, cp = _checkpoint_actions(spark, log_dir, lc)
+            for r in pm:
                 if r["protocol"] is not None:
-                    _check_protocol(r["protocol"].asDict())
+                    _check_protocol(r["protocol"])
                     protocol_seen = True
                 if r["metaData"] is not None:
-                    schema_string = r["metaData"]["schemaString"]
-                    part_cols = list(r["metaData"]["partitionColumns"] or [])
                     md = r["metaData"]
+                    schema_string = md["schemaString"]
+                    part_cols = list(md["partitionColumns"] or [])
                     config = dict(md["configuration"] or {}) if "configuration" in md else {}
             add_cols = ["add.path", "add.partitionValues"]
             has_dv = "deletionVector" in [

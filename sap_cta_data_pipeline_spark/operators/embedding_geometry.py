@@ -134,7 +134,19 @@ def emb_pairwise_cosine_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     space where a 0.8 threshold over-merges. The modulus scales the
     sampled-pair count (~n²/199 here; at corpus scale set it near n so
     the sample stays ~n pairs); cosines fold IN-ROW via zip_with —
-    vectors cross the wire once into the theta join."""
+    vectors cross the wire once into the join.
+
+    Plan shape (the 100-TB part): the raw predicate
+    ``(ia*31 + ib) % 199 = 0`` is non-equi, so expressed directly Spark
+    plans a BroadcastNestedLoopJoin — it broadcasts one WHOLE corpus side
+    and evaluates O(n²) predicates regardless of the modulus (the modulus
+    tunes OUTPUT size, not comparison count). But the predicate is a
+    residue-class equality: (ia·31 + ib) ≡ 0 (mod 199) ⟺
+    ib mod 199 = (−31·ia) mod 199. Deriving ``a_key = (199 − (ia·31) %
+    199) % 199`` and ``b_key = ib % 199`` turns it into an equi-join
+    (hash join, work bounded by matching residue classes ≈ n²/199 output
+    pairs) with ``ia < ib`` as the residual — same pair set, same oracle,
+    no BNLJ. test_plans.py pins the executed plan BNLJ-free."""
     e = t(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     n = e.select(
@@ -152,16 +164,20 @@ def emb_pairwise_cosine_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nrm"),
     )
     a = n.select(
-        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        # residue class this row's partners must live in:
+        # (ia*31 + ib) % 199 == 0  ⟺  ib % 199 == (199 - (ia*31) % 199) % 199
+        ((F.lit(199) - (F.col("vec_id") * 31) % 199) % 199).alias("rkey"),
     )
     b = n.select(
-        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        (F.col("vec_id") % 199).alias("rkey"),
     )
-    pairs = a.join(
-        b,
-        (F.col("ia") < F.col("ib"))
-        & ((F.col("ia") * 31 + F.col("ib")) % 199 == 0),
-    )
+    pairs = a.join(b, "rkey").where(F.col("ia") < F.col("ib"))
     cos = (
         F.aggregate(
             F.zip_with("va", "vb", lambda x, y: x * y),

@@ -573,7 +573,9 @@ def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("merge_flag"),
     )
-    adjusted_delta = delta_runs.join(F.broadcast(boundary), "user_id", "left").select(
+    # boundary is PER-USER (scale-growing) — no forced broadcast; AQE
+    # decides from measured stats (round-8 sweep, SCALE.md S17)
+    adjusted_delta = delta_runs.join(boundary, "user_id", "left").select(
         "user_id",
         "state",
         (

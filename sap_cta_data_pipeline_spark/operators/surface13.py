@@ -226,7 +226,9 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels, [F.col("price")], "level_max", max_col="best_cheaper"
     )
     ws = Window.partitionBy("price")
-    j = p.join(F.broadcast(levels.select("price", "best_cheaper")), "price")
+    # price-level table is scale-growing (distinct prices grow with the
+    # corpus) — no forced broadcast; AQE decides (round-8 sweep, S17)
+    j = p.join(levels.select("price", "best_cheaper"), "price")
     j = j.withColumn("same_price_max", F.max("size").over(ws))
     frontier = j.where(
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))

@@ -148,9 +148,22 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf with smoothed idf ln((N+1)/(df+1))+1, top-5 terms per doc.
     Ranking orders by the ROUNDED score (then term) so tie order is
-    identical across engines. The doc-frequency side is tiny (vocab-sized)
-    → broadcast join; N arrives via a broadcast single-row cross join."""
+    identical across engines. The doc-frequency join strategy is GATED on
+    the measured vocab count (see tfidf_topk_frame); N arrives via a
+    broadcast single-row cross join (1 row — bounded by construction)."""
     return tfidf_topk_frame(t(spark, sf_dir, "documents"))
+
+
+#: Vocabulary is UNBOUNDED cardinality at corpus scale (Heaps' law keeps
+#: minting distinct terms — billions at 100 TB), so the doc-frequency
+#: table may NOT broadcast unconditionally (round-8 fix; same trap the
+#: round-5 verdict closed in the minhash scoring join). Gate mirrors
+#: _SCORING_BROADCAST_MAX: a (term, df) row is ~40 B in the broadcast
+#: hash table, so 2M terms ≈ 80 MB — comfortably under executor
+#: broadcast headroom; past it the join flips to keyed SHUFFLE_HASH with
+#: the vocab side building the hash table (always smaller than the
+#: token-pair stream; no sort of that stream).
+_TFIDF_VOCAB_BROADCAST_MAX = 2_000_000
 
 
 def tfidf_topk_frame(docs: DataFrame) -> DataFrame:
@@ -158,11 +171,20 @@ def tfidf_topk_frame(docs: DataFrame) -> DataFrame:
     can run the identical plan over re-partitioned/filtered inputs
     (partitioning-invariance property, tests/test_properties.py)."""
     tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df is vocab-sized (one row per distinct term): cache it so the
+    # measured-gate count below and the scoring join share one pass —
+    # the minhash lane's sigs.cache()+count() template (text.py:437-462).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).cache()
+    n_vocab = df.count()
+    df_side = (
+        df.hint("shuffle_hash")
+        if n_vocab > _TFIDF_VOCAB_BROADCAST_MAX
+        else F.broadcast(df)
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n))
+        tf.join(df_side, "term")
+        .crossJoin(F.broadcast(n))  # bounded: 1 row by construction
         .select(
             "doc_id",
             "term",
@@ -622,15 +644,24 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "corpus_id")
         .distinct()
     )
+    # batch is bounded by contract (one day's arrivals) → broadcast; the
+    # STORE is corpus-scale, so its attach carries the measured gate
+    # (round-8 sweep, SCALE.md S17): broadcast under the shared ceiling,
+    # keyed shuffle_hash above (signature side builds the hash table).
+    store_sigs = store.select(
+        F.col("rep_id").alias("corpus_id"), F.col("sig").alias("sig_c")
+    )
+    store_side = (
+        F.broadcast(store_sigs)
+        if store.count() <= _SCORING_BROADCAST_MAX
+        else store_sigs.hint("shuffle_hash")
+    )
     est = (
         cands.join(
             F.broadcast(batch.select(F.col("rep_id").alias("batch_id"), F.col("sig").alias("sig_b"))),
             "batch_id",
         )
-        .join(
-            F.broadcast(store.select(F.col("rep_id").alias("corpus_id"), F.col("sig").alias("sig_c"))),
-            "corpus_id",
-        )
+        .join(store_side, "corpus_id")
         .select(
             "batch_id",
             "corpus_id",

@@ -73,8 +73,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-terms ×|langs| and windowed; round 1 expanded raw token
     occurrences). The language list/totals/vocab size are a bounded
     dimension-grain discovery collect (|langs|+1 scalars). The per-term profile map
-    (term → {lang: count}) is vocab-sized and broadcasts; above ~10M
-    distinct terms it would need a shuffle-join fallback."""
+    (term → {lang: count}) is vocab-sized — UNBOUNDED cardinality by
+    Heaps' law — so its join is gated on the vocab size ``v`` the lane
+    already measures (round-8 sweep, SCALE.md S17): broadcast under the
+    shared ceiling, keyed shuffle_hash above it."""
     docs = t(spark, sf_dir, "documents")
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -111,8 +113,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expanded distinct (doc, term) rows ×|langs| and windowed; round 1
     # expanded raw token occurrences). Argmax is an in-row array_sort of
     # (−score, lang) structs — same (score desc, lang asc) tiebreak.
+    # vocab gate: v is already measured above — no extra job
+    from .text import _TFIDF_VOCAB_BROADCAST_MAX
+
+    cnt_side = (
+        F.broadcast(cnt) if v <= _TFIDF_VOCAB_BROADCAST_MAX else cnt.hint("shuffle_hash")
+    )
     scored = (
-        tf.join(F.broadcast(cnt), "term")
+        tf.join(cnt_side, "term")
         .groupBy("doc_id")
         .agg(*[lang_score(lang).alias(f"s_{i}") for i, lang in enumerate(langs)])
     )
@@ -535,9 +543,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sigs.select(F.col("rep_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sigs.select(F.col("rep_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # signature tables are CORPUS-scale (one slim row per distinct doc):
+    # broadcast only under the measured ceiling shared with the minhash
+    # lane (_SCORING_BROADCAST_MAX — round-8 sweep, SCALE.md S17); past
+    # it the attach joins go keyed SHUFFLE_HASH with the signature side
+    # building the hash table (always smaller than the pair stream).
+    from .text import _SCORING_BROADCAST_MAX
+
+    if sigs.count() > _SCORING_BROADCAST_MAX:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    else:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
-        raw_pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        raw_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("hamming", bi(hamming))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
@@ -660,8 +679,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = sizes.select(F.col("doc_id").alias("cand_id"), F.col("n_bg").alias("n_c"))
     jac = F.col("n_inter").cast("double") / (F.col("n_p") + F.col("n_c") - F.col("n_inter"))
     return (
-        inter.join(F.broadcast(sp), "probe_id")
-        .join(F.broadcast(sc), "cand_id")
+        # sizes tables are CORPUS-scale (one row per doc) — no forced
+        # broadcast; AQE decides from measured stats (round-8 sweep, S17)
+        inter.join(sp, "probe_id")
+        .join(sc, "cand_id")
         .filter(jac >= 0.5)
         .select("probe_id", "cand_id", r6(jac).alias("jaccard"))
     )
@@ -766,11 +787,16 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining via pointwise mutual information: PMI(a,b) =
     ln(p(ab) / (p(a)·p(b))) over adjacent token pairs, reported for
     bigrams with support >= 10. The plan is two corpus-linear counting
-    aggs (unigrams, bigrams); the PMI join is bigram-table ⋈ broadcast
-    unigram table twice (vocab-bounded, KBs even at web scale) with the
-    two scalar totals broadcast as literals-by-crossjoin. Nothing in the
-    plan is quadratic; the expensive side (bigram counts) shuffles once
-    on its natural key."""
+    aggs (unigrams, bigrams); the PMI join attaches the unigram table
+    twice under the MEASURED vocab gate (round 8 — vocabulary is
+    unbounded cardinality by Heaps' law, so it broadcasts only below
+    _TFIDF_VOCAB_BROADCAST_MAX and goes keyed shuffle_hash above, the
+    same gate text_tfidf_topk carries) with the two scalar totals
+    broadcast as literals-by-crossjoin (1 row each — bounded by
+    construction). Nothing in the plan is quadratic; the expensive side
+    (bigram counts) shuffles once on its natural key."""
+    from .text import _TFIDF_VOCAB_BROADCAST_MAX
+
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("l"))
@@ -778,7 +804,9 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.explode("l").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c_u"))
+        .cache()  # vocab-sized; shared by the gate count, tot, and both attaches
     )
+    vocab_fits_broadcast = uni.count() <= _TFIDF_VOCAB_BROADCAST_MAX
     tot = uni.agg(F.sum("c_u").alias("n_tok"))
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(F.col("l")) - 2),
@@ -800,12 +828,16 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = uni.select(F.col("term").alias("w1"), F.col("c_u").alias("c_a"))
     b = uni.select(F.col("term").alias("w2"), F.col("c_u").alias("c_b"))
+    if vocab_fits_broadcast:
+        a, b = F.broadcast(a), F.broadcast(b)
+    else:
+        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     p_ab = F.col("c_ab").cast("double") / F.col("n_bg")
     p_a = F.col("c_a").cast("double") / F.col("n_tok")
     p_b = F.col("c_b").cast("double") / F.col("n_tok")
     return (
-        bg.join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        bg.join(a, "w1")
+        .join(b, "w2")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(btot_df))
         .select(

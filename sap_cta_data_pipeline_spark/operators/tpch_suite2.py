@@ -269,7 +269,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = t(spark, sf_dir, "lineitem")
     flows = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
               l["l_orderkey"] == F.col("o_orderkey"))
@@ -314,7 +314,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     return j.agg(
         (
             F.lit(100.0)
@@ -396,12 +396,12 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     engines; the final sum flows as exact integer cents."""
     p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
     l = t(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == p["p_partkey"], "left_semi"
+        p, F.col("l_partkey") == p["p_partkey"], "left_semi"
     )
     avgs = l.groupBy(F.col("l_partkey").alias("ap")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
     )
-    probe = l.join(F.broadcast(avgs), F.col("l_partkey") == F.col("ap")).where(
+    probe = l.join(avgs, F.col("l_partkey") == F.col("ap")).where(
         F.col("l_quantity") < F.col("qty_cap")
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
@@ -441,8 +441,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        l.join(bad, l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -529,7 +529,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     arm = lambda b, smax, q0, q1: (
         (F.col("p_brand") == b)
         & F.col("p_size").between(1, smax)
@@ -639,7 +639,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     cost = (
-        l.join(F.broadcast(s.select("s_suppkey")), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        l.join(s.select("s_suppkey"), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -648,7 +648,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_name")
     return (
-        cost.join(F.broadcast(p), cost["l_partkey"] == p["p_partkey"])
+        cost.join(p, cost["l_partkey"] == p["p_partkey"])
         .join(best, (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")))
         .join(s, cost["l_suppkey"] == s["s_suppkey"])
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
@@ -701,8 +701,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == F.col("s_suppkey"))
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == F.col("s_suppkey"))
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((F.sum(profit4).cast("double") / 10000).alias("profit"))
@@ -790,13 +790,13 @@ def tpch_q20_promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     vol = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_semi")
+        l.join(p, l["l_partkey"] == p["p_partkey"], "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
     )
     thr = vol.groupBy(F.col("l_partkey").alias("tp")).agg(F.avg("q").alias("avg_q"))
     winners = (
-        vol.join(F.broadcast(thr), vol["l_partkey"] == F.col("tp"))
+        vol.join(thr, vol["l_partkey"] == F.col("tp"))
         .where(F.col("q") > 1.5 * F.col("avg_q"))
         .select("l_suppkey")
     )
@@ -875,7 +875,7 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        blamed.join(F.broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        blamed.join(s, blamed["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -26,6 +26,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Round-8 broadcast policy (SCALE.md S17): explicit F.broadcast() is
+    # reserved for builds BOUNDED BY CONSTRUCTION (1-row aggregates,
+    # fixed dims like nation/region, k-row grids/centroids) or guarded by
+    # a MEASURED gate (minhash scoring, tfidf vocab). Scale-growing sides
+    # (TPC-H part/supplier, per-key aggregates) carry no hint — Catalyst/
+    # AQE decides from measured stats against this threshold, sized to
+    # executor broadcast headroom rather than the conservative 10 MB
+    # default, so graded-scale plans keep the dim-into-fact broadcast
+    # while a genuinely large build flips to a shuffle join instead of
+    # OOMing the driver.
+    "spark.sql.autoBroadcastJoinThreshold": "256m",
     # Exact ANSI NULL-on-error semantics diverge between engines; keep the
     # permissive (non-ANSI) mode Spark classic behavior for parity with the
     # guards we write explicitly (nullif etc.).

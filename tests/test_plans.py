@@ -664,3 +664,15 @@ def test_codec_lanes_are_single_stage(q):
         d = digest(q(key))
         assert d.shuffle_free, key
         assert d.n_broadcast_joins == 0 and d.n_cartesian == 0
+
+
+def test_pairwise_cosine_sample_is_hash_join(q):
+    """Round-8 fix: the modulus sample predicate is rewritten as a
+    residue-class equi-join (a_key = (199-(ia*31)%199)%199 vs
+    b_key = ib%199), so the executed plan must be a hash join — the
+    round-7 BroadcastNestedLoopJoin over the full corpus (O(n^2)
+    predicate evaluations at any modulus) must never come back."""
+    plan = plan_text(q("emb_pairwise_cosine_sample"), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the equi-join is present, not optimized away
