@@ -119,9 +119,13 @@ def iceberg_state(
     base: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
-) -> tuple[T.StructType, list[str], list[str]]:
+) -> tuple[T.StructType, list[dict], list[dict], list[dict]]:
     """Resolve the file sets for a snapshot (None = current): returns
-    (spark schema, data file paths, position-delete file paths).
+    ``(spark schema, data_files, pos_deletes, eq_deletes)`` where
+    ``data_files`` entries are ``{"path", "seq"}`` dicts, ``pos_deletes``
+    entries are ``{"path", "seq"}`` dicts, and ``eq_deletes`` entries are
+    ``{"path", "cols", "seq"}`` dicts (equality field NAMES resolved from
+    the schema's field ids).
 
     ``partition_filter`` (partition field name -> value) drops data
     files DRIVER-side from each manifest entry's ``data_file.partition``
@@ -132,11 +136,12 @@ def iceberg_state(
 
     Driver-side METADATA work only: metadata.json + the snapshot's
     manifest list + its manifests — one record per file, never row data.
-    Returns equality-delete metadata too (``eq_deletes``: path,
-    equality field NAMES resolved from the schema's field ids, and the
-    delete's data sequence number) so the snapshot reader can honor the
-    spec's sequence gate: an equality delete applies only to data files
-    with a STRICTLY SMALLER data sequence number.
+    Every delete entry carries its data sequence number so the snapshot
+    reader can honor the spec's sequence gates: an equality delete
+    applies only to data files with a STRICTLY SMALLER sequence number;
+    a position delete applies only to data files with sequence number
+    ``<=`` the delete's (a file added LATER at a reused/rewritten path
+    must not lose rows — round-8 ADVICE fix).
     """
     meta = _load_metadata(base)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -152,7 +157,7 @@ def iceberg_state(
         _resolve_path(base, snaps[sid]["manifest-list"])
     )
     data_files: list[dict] = []
-    delete_files: list[str] = []
+    delete_files: list[dict] = []
     eq_deletes: list[dict] = []
     for m in manifests:
         _, entries = read_container(_resolve_path(base, m["manifest_path"]))
@@ -183,7 +188,7 @@ def iceberg_state(
             if content == 0:
                 data_files.append({"path": path, "seq": seq})
             elif content == 1:
-                delete_files.append(path)
+                delete_files.append({"path": path, "seq": seq})
             else:  # content == 2: equality delete
                 ids = df.get("equality_ids") or []
                 if not ids:
@@ -200,7 +205,7 @@ def iceberg_state(
     return (
         schema,
         sorted(data_files, key=lambda d: d["path"]),
-        sorted(delete_files),
+        sorted(delete_files, key=lambda d: d["path"]),
         sorted(eq_deletes, key=lambda d: d["path"]),
     )
 
@@ -220,25 +225,24 @@ def iceberg_snapshot(
     are metadata-sized, so the plan composes one branch per distinct
     (equality columns, sequence) group plus one branch for untouched
     files; both delete sides are distributed parquet scans."""
-    schema, data_entries, delete_files, eq_deletes = iceberg_state(
+    schema, data_entries, pos_deletes, eq_deletes = iceberg_state(
         base, snapshot_id, partition_filter
     )
     if not data_entries:
         return spark.createDataFrame([], schema)
 
-    dels = None
-    if delete_files:
-        dels = spark.read.parquet(*delete_files).select(
+    def _read(paths: list[str], psig: tuple) -> DataFrame:
+        df = spark.read.schema(schema).parquet(*paths)
+        if not psig:
+            return df
+        dels = spark.read.parquet(
+            *[pos_deletes[i]["path"] for i in psig]
+        ).select(
             F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
                 "__ib_fp"
             ),
             F.col("pos").alias("__ib_ri"),
         )
-
-    def _read(paths: list[str]) -> DataFrame:
-        df = spark.read.schema(schema).parquet(*paths)
-        if dels is None:
-            return df
         # position deletes are applied AT THE SCAN (the _metadata columns
         # resolve against the file-source relation, before any union)
         tagged = df.select(
@@ -252,21 +256,26 @@ def iceberg_snapshot(
             "__ib_fp", "__ib_ri"
         )
 
-    if not eq_deletes:
-        return _read([d["path"] for d in data_entries])
-    # group data files by the SET of eq-delete groups that apply
-    # (seq gate: delete.seq > file.seq); one plan branch per signature —
-    # group count is bounded by distinct delete sequences, metadata-sized
+    # group data files by the SET of delete groups that apply under the
+    # spec's sequence gates — position deletes apply to files with
+    # file.seq <= delete.seq (a file added later at a reused/rewritten
+    # path must not lose rows — round-8 ADVICE fix), equality deletes to
+    # files with file.seq STRICTLY < delete.seq. One plan branch per
+    # signature; group count is bounded by distinct delete sequences,
+    # metadata-sized.
     groups: dict[tuple, list[str]] = {}
     for d in data_entries:
-        sig = tuple(
+        psig = tuple(
+            i for i, pd_ in enumerate(pos_deletes) if pd_["seq"] >= d["seq"]
+        )
+        esig = tuple(
             i for i, ed in enumerate(eq_deletes) if ed["seq"] > d["seq"]
         )
-        groups.setdefault(sig, []).append(d["path"])
+        groups.setdefault((psig, esig), []).append(d["path"])
     pieces = []
-    for sig, paths in sorted(groups.items()):
-        piece = _read(paths)
-        for i in sig:
+    for (psig, esig), paths in sorted(groups.items()):
+        piece = _read(paths, psig)
+        for i in esig:
             ed = eq_deletes[i]
             keys = spark.read.parquet(ed["path"]).select(*ed["cols"])
             piece = piece.join(keys, ed["cols"], "left_anti")

@@ -119,9 +119,9 @@ def _clone(base, tmp_path, name):
 
 def test_unsupported_reader_version_raises(spark, base, tmp_path):
     """PROTOCOL.md reader gate: a table demanding a reader v3 feature this
-    reader does NOT implement (e.g. v2Checkpoint) must FAIL, not be
-    silently misread. deletionVectors + columnMapping ARE implemented, so
-    a v3 table listing only those passes the gate."""
+    reader does NOT implement (e.g. typeWidening) must FAIL, not be
+    silently misread. deletionVectors + columnMapping + v2Checkpoint ARE
+    implemented, so a v3 table listing only those passes the gate."""
     clone = _clone(base, tmp_path, "delta_v3")
     log_dir = os.path.join(clone, "_delta_log")
     with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
@@ -131,7 +131,7 @@ def test_unsupported_reader_version_raises(spark, base, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                        "readerFeatures": ["deletionVectors", "typeWidening"],
                     }
                 }
             )
@@ -177,7 +177,11 @@ def test_time_travel_past_latest_raises(spark, base):
         delta_state(spark, base, version=99)
 
 
-def test_multipart_checkpoint_raises(spark, base, tmp_path):
+def test_multipart_checkpoint_incomplete_raises(spark, base, tmp_path):
+    """Round 8: multi-part checkpoints READ now (scan_delta_checkpoint_
+    multipart is the green path); the guarded failure is an INCOMPLETE
+    part set — _last_checkpoint says parts=2 but the part files are
+    absent — which must raise, never silently under-read the state."""
     clone = _clone(base, tmp_path, "delta_parts")
     lc_path = os.path.join(clone, "_delta_log", "_last_checkpoint")
     with open(lc_path) as fh:
@@ -185,7 +189,7 @@ def test_multipart_checkpoint_raises(spark, base, tmp_path):
     lc["parts"] = 2
     with open(lc_path, "w") as fh:
         json.dump(lc, fh)
-    with pytest.raises(ValueError, match="multi-part checkpoint"):
+    with pytest.raises(FileNotFoundError, match="missing 2/2 parts"):
         delta_state(spark, clone)
 
 

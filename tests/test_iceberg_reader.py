@@ -114,7 +114,7 @@ def test_state_file_sets(ibase):
         "part-hi.parquet",
         "part-lo.parquet",
     ]
-    assert [os.path.basename(p) for p in dels] == ["delete-0.parquet"]
+    assert [os.path.basename(d["path"]) for d in dels] == ["delete-0.parquet"]
     assert eqs == []
     assert [f.name for f in schema.fields] == [
         "n_nationkey",
@@ -349,3 +349,24 @@ def test_expire_snapshots_safety(spark, sf_dir, tmp_path):
     # idempotent-ish: expiring again deletes nothing further
     deleted2, _ = iceberg_expire_snapshots(spark, base, keep_from_seq=2)
     assert deleted2 == []
+
+
+def test_pos_delete_sequence_gate(spark, ibase, tmp_path):
+    """Round-8 ADVICE fix pin: a position delete applies only to data
+    files with sequence number <= the delete's. Bumping the data
+    manifest's sequence number past the delete's (the rewritten-path
+    scenario: files re-added AFTER the delete) must keep all 25 rows —
+    the ungated reader anti-joined every planned file and lost 5."""
+    clone = str(tmp_path / "ib_posseq")
+    shutil.copytree(ibase, clone)
+    _repoint(clone, ibase)
+    lp = os.path.join(clone, "metadata", "snap-1002.avro")
+    s, recs = read_container(lp)
+    for r in recs:
+        if r["content"] == 0:  # the data manifest
+            r["sequence_number"] = 3  # > the delete manifest's seq 2
+            r["min_sequence_number"] = 3
+    write_container(lp, s, recs)
+    assert iceberg_snapshot(spark, clone).count() == 25
+    # and the unmodified fixture still applies the delete (seq 1 <= 2)
+    assert iceberg_snapshot(spark, ibase).count() == 20

@@ -146,16 +146,17 @@ def test_reader_v2_accepted_v3_still_rejected(spark, sf_dir):
     _check_protocol(
         {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["columnMapping"]}
     )
-    # deletionVectors is implemented since round 7 — v3 rejection now
-    # applies to features this reader does NOT implement
+    # deletionVectors (round 7) and v2Checkpoint (round 8) are
+    # implemented — v3 rejection now applies to features this reader
+    # does NOT implement
     _check_protocol(
         {"minReaderVersion": 3, "minWriterVersion": 7,
-         "readerFeatures": ["deletionVectors"]}
+         "readerFeatures": ["deletionVectors", "v2Checkpoint"]}
     )
     with pytest.raises(ValueError, match="unsupported Delta reader protocol"):
         _check_protocol(
             {"minReaderVersion": 3, "minWriterVersion": 7,
-             "readerFeatures": ["deletionVectors", "v2Checkpoint"]}
+             "readerFeatures": ["deletionVectors", "typeWidening"]}
         )
 
 
@@ -328,3 +329,168 @@ def test_shallow_clone_independence_and_lifetime(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception):
         delta_snapshot(spark, dst).count()
+
+
+def test_delete_dv_writer_mechanics(spark, sf_dir, tmp_path):
+    """Round-8 DELETE writer: commit shape (protocol upgrade once,
+    remove+re-add per affected file), union semantics on a second delete
+    over the same file, and the reader's post-delete row set."""
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _read_commit,
+        delta_snapshot,
+        delta_state,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        delta_delete_where,
+    )
+
+    base = str(tmp_path / "del_dv")
+    _sh.copytree(_build_sink_fixture(spark, sf_dir), base)
+    v1, n1 = delta_delete_where(spark, base, "n_nationkey % 3 = 0")
+    assert n1 == 9  # keys 0,3,...,24
+    a = _read_commit(os.path.join(base, "_delta_log"), v1)
+    kinds = [next(iter(x)) for x in a]
+    assert kinds[0] == "commitInfo" and "protocol" in kinds
+    assert kinds.count("remove") == 2 and kinds.count("add") == 2  # both files hit
+    adds = [x["add"] for x in a if "add" in x]
+    assert all(x["deletionVector"]["storageType"] == "u" for x in adds)
+
+    # second delete: key 7 lives in the lo file which ALREADY has a DV —
+    # new descriptor must carry the UNION cardinality, no protocol action
+    v2, n2 = delta_delete_where(spark, base, "n_nationkey = 7")
+    assert n2 == 1
+    a2 = _read_commit(os.path.join(base, "_delta_log"), v2)
+    assert "protocol" not in [next(iter(x)) for x in a2]
+    (add2,) = [x["add"] for x in a2 if "add" in x]
+    assert add2["deletionVector"]["cardinality"] == 5  # {0,3,6,9}∪{7}
+
+    # deleting already-deleted rows is a no-op commit-wise
+    v3, n3 = delta_delete_where(spark, base, "n_nationkey = 7")
+    assert n3 == 0 and v3 == v2
+
+    got = sorted(r.n_nationkey for r in delta_snapshot(spark, base).collect())
+    assert got == [k for k in range(25) if k % 3 != 0 and k != 7]
+    # time travel pre-delete still answers the full table
+    assert delta_snapshot(spark, base, version=1).count() == 25
+
+
+def test_delete_dv_vacuum_interaction(spark, sf_dir, tmp_path):
+    """The verdict's pin: after log retention drops the pre-delete
+    versions, VACUUM keeps the DV'd DATA files (still live) and the
+    CURRENT DV file, and deletes the SUPERSEDED DV file from delete #1
+    (no retained version references it anymore)."""
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _COMMIT_RE as _CRE,
+        delta_snapshot,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        delta_checkpoint,
+        delta_delete_where,
+        delta_vacuum,
+    )
+
+    base = str(tmp_path / "del_dv_vac")
+    _sh.copytree(_build_sink_fixture(spark, sf_dir), base)
+    # delete #1 touches ONLY the lo file; delete #2 re-DVs BOTH files, so
+    # delete #1's DV file serves no live descriptor afterwards — that is
+    # what makes it superseded (a DV file is vacuum-eligible only when NO
+    # live add references it; a partial overlap keeps it alive)
+    delta_delete_where(spark, base, "n_nationkey = 7")
+    dv_files_after_1 = sorted(
+        f for f in os.listdir(base) if f.startswith("deletion_vector")
+    )
+    delta_delete_where(spark, base, "n_nationkey % 3 = 0")
+    dv_files_after_2 = sorted(
+        f for f in os.listdir(base) if f.startswith("deletion_vector")
+    )
+    assert len(dv_files_after_2) == 2
+    superseded = set(dv_files_after_1)
+    current = set(dv_files_after_2) - superseded
+
+    # while every version is retained, NOTHING is vacuum-eligible
+    deleted, kept = delta_vacuum(spark, base)
+    assert deleted == []
+
+    # log retention: checkpoint the tip, drop all JSON commits
+    log_dir = os.path.join(base, "_delta_log")
+    v = delta_checkpoint(spark, base)
+    for f in list(os.listdir(log_dir)):
+        if _CRE.match(f):
+            os.remove(os.path.join(log_dir, f))
+    deleted, kept = delta_vacuum(spark, base)
+    assert sorted(deleted) == sorted(superseded)  # old DV file goes
+    assert set(kept) >= {"part-00000-c0.parquet", "part-00000-c1.parquet"}
+    assert current <= set(kept)  # live DV file survives
+    got = sorted(r.n_nationkey for r in delta_snapshot(spark, base).collect())
+    assert got == [k for k in range(25) if k % 3 != 0 and k != 7]
+
+
+def test_restore_carries_dv_metadata(spark, sf_dir, tmp_path):
+    """ADVICE fix pin: restore diffs FULL add metadata. Restoring a DV'd
+    table to its pre-delete version clears the DV (deleted rows come
+    back); restoring forward to the DV'd version re-applies the target's
+    descriptor (rows deleted again). A path-set-only diff would answer
+    both reads wrong."""
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        delta_delete_where,
+        delta_restore,
+    )
+
+    base = str(tmp_path / "restore_dv")
+    _sh.copytree(_build_sink_fixture(spark, sf_dir), base)
+    dv_version, _ = delta_delete_where(spark, base, "n_nationkey % 3 = 0")
+    assert delta_snapshot(spark, base).count() == 16
+
+    delta_restore(spark, base, version=dv_version - 1)  # pre-delete
+    assert delta_snapshot(spark, base).count() == 25  # DV cleared
+
+    delta_restore(spark, base, version=dv_version)  # forward to DV'd state
+    got = sorted(r.n_nationkey for r in delta_snapshot(spark, base).collect())
+    assert got == [k for k in range(25) if k % 3 != 0]  # DV re-applied
+
+
+def test_shallow_clone_rewrites_sidecar_dv_descriptors(spark, sf_dir, tmp_path):
+    """ADVICE fix pin: cloning a table whose live adds carry sidecar
+    ('u') DV descriptors must rewrite them to absolute 'p' descriptors —
+    verbatim copies resolve against the CLONE root and fail loudly."""
+    import json as _json
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _read_commit,
+        delta_snapshot,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        delta_delete_where,
+        delta_shallow_clone,
+    )
+
+    src = str(tmp_path / "clone_dv_src")
+    _sh.copytree(_build_sink_fixture(spark, sf_dir), src)
+    delta_delete_where(spark, src, "n_nationkey % 3 = 0")
+    dst = str(tmp_path / "clone_dv_dst")
+    delta_shallow_clone(spark, src, dst)
+    adds = [
+        a["add"]
+        for a in _read_commit(os.path.join(dst, "_delta_log"), 0)
+        if "add" in a
+    ]
+    for a in adds:
+        d = a.get("deletionVector")
+        assert d is not None and d["storageType"] == "p"
+        assert os.path.isabs(d["pathOrInlineDv"]) and os.path.exists(
+            d["pathOrInlineDv"]
+        )
+    got = sorted(r.n_nationkey for r in delta_snapshot(spark, dst).collect())
+    assert got == [k for k in range(25) if k % 3 != 0]
