@@ -302,3 +302,21 @@ def write_container(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(bytes(out))
+
+
+def encode_record(schema: dict, value) -> bytes:
+    """Binary-encode ONE datum against ``schema`` (no container framing) —
+    the per-record payload shape Hudi log data blocks carry (round 8)."""
+    named: dict = {}
+    _register(schema, named)
+    out = bytearray()
+    _encode(schema, value, out, named)
+    return bytes(out)
+
+
+def decode_record(schema: dict, data: bytes):
+    """Decode ONE binary-encoded datum against ``schema`` (inverse of
+    ``encode_record``)."""
+    named: dict = {}
+    _register(schema, named)
+    return _decode(schema, io.BytesIO(data), named)
