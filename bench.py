@@ -87,6 +87,12 @@ HEADLINE = [
     "stream_session",
     "pipe_param_sweep",
     "json_shred_materialized",
+    # round-8 verdict ask #7: one lakehouse key in the headline so interop
+    # performance gets a round-over-round record (DV read path: log replay
+    # + roaring/Z85 decode + (file,row_index) anti-join). Its FIXTURE
+    # build (a one-time table-write, not read-path work) is pre-warmed
+    # untimed in main() so the timed runs measure the reader.
+    "scan_delta_dv",
 ]
 
 #: pair-enumeration minhash lane, measured outside the headline
@@ -193,6 +199,14 @@ def main() -> int:
     from sap_cta_data_pipeline_spark.catalog import table_path
 
     spark.read.parquet(table_path(sf_dir, "region")).count()
+    # pre-build the lakehouse fixture untimed (table WRITE is not the
+    # measured surface; the timed runs measure log replay + DV read)
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _build_dv_fixture,
+        _fixture_dir,
+    )
+
+    _fixture_dir(spark, sf_dir, "delta_table_dv", _build_dv_fixture)
     # NOTE: caching base tables was measured and REJECTED — InMemoryRelation
     # columnar scans of array<float> are slower than the parquet vectorized
     # reader for the higher-order-function-heavy vector ops (param sweep
