@@ -242,6 +242,13 @@ def read_container(path: str) -> tuple[dict, list]:
     """Read an Avro object-container file → (writer schema, records)."""
     with open(path, "rb") as fh:
         raw = fh.read()
+    return read_container_bytes(raw, path)
+
+
+def read_container_bytes(raw: bytes, path: str = "<bytes>") -> tuple[dict, list]:
+    """Container decode from in-memory bytes — the EXECUTOR-side entry
+    point (binaryFile scan + mapInPandas decode, round 8): container
+    payloads never pass through the driver."""
     if raw[:4] != _MAGIC:
         raise ValueError(f"not an Avro container: bad magic in {path}")
     buf = io.BytesIO(raw[4:])

@@ -38,6 +38,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "agg_winsorized_stats": 2,
     "agg_theil_decomposition": 2,  # 1-row global (mu, y) broadcast — sub_scalar_global class
     "corpus_mix_exact": 2,
+    "corpus_shuffle_deterministic": 3,  # ranks-helper offset table (n_partitions rows)
     "customer_interpurchase_time": 1,
     "customer_rfm_segments": 3,
     "customer_survival_km": 3,  # calendar-bounded week-grain KM windows + 1-row total
@@ -50,6 +51,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "dq_referential_integrity": 1,
     "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
     "emb_norm_audit": 2,
+    "ml_bootstrap_poisson_ci": 1,  # 80 sufficient-stat aggs -> 1-row global final
     "emb_isotropy_score": 2,  # 64-row centroid + 1-row cnorm broadcasts, 1-row final
     "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
     "events_ab_cuped": 2,  # 1-row theta/mean broadcast (sub_scalar_global class)
