@@ -570,3 +570,297 @@ def pipe_hillas_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.atan2(2 * sxy, sxx - syy) / 2).alias("psi"),
         r6(F.sqrt(F.col("mx") * F.col("mx") + F.col("my") * F.col("my"))).alias("r"),
     )
+
+
+# -------------------------------------------- round-8 batch DG: 2-D depth
+
+#: 2-D cell fragment (8×8 grid with 4-neighborhood, border-aware zero
+#: padding) — the 2-D analogue of _CELLS_SQL. 1-based list indexing.
+_CELLS2D_SQL = """
+  SELECT vec_id, label, i AS pos,
+         CAST(i // 8 AS DOUBLE) AS gy, CAST(i % 8 AS DOUBLE) AS gx,
+         CAST(embedding[i + 1] AS DOUBLE) AS x,
+         CASE WHEN i % 8 > 0 THEN coalesce(CAST(embedding[i] AS DOUBLE), 0.0) ELSE 0.0 END AS nl,
+         CASE WHEN i % 8 < 7 THEN coalesce(CAST(embedding[i + 2] AS DOUBLE), 0.0) ELSE 0.0 END AS nr,
+         CASE WHEN i >= 8 THEN coalesce(CAST(embedding[i - 7] AS DOUBLE), 0.0) ELSE 0.0 END AS nu,
+         CASE WHEN i < 56 THEN coalesce(CAST(embedding[i + 9] AS DOUBLE), 0.0) ELSE 0.0 END AS nd
+  FROM embeddings, range(0, 64) t(i)
+"""
+
+
+def _cells2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8×8-grid cells with the 4-neighborhood (left/right within the row,
+    up/down across rows), borders zero-padded — all IN-ROW from the
+    vector (F.get on the kept array), no neighbor join anywhere."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", "label", F.col("embedding").alias("emb"),
+        F.posexplode("embedding").alias("pos", "x_raw"),
+    )
+    get_d = lambda idx: F.get(F.col("emb"), idx).cast("double")  # noqa: E731
+    z = F.lit(0.0)
+    return exploded.select(
+        "vec_id",
+        "label",
+        "pos",
+        (F.col("pos") / 8).cast("int").cast("double").alias("gy"),
+        (F.col("pos") % 8).cast("double").alias("gx"),
+        F.col("x_raw").cast("double").alias("x"),
+        F.when(F.col("pos") % 8 > 0, F.coalesce(get_d(F.col("pos") - 1), z))
+        .otherwise(z)
+        .alias("nl"),
+        F.when(F.col("pos") % 8 < 7, F.coalesce(get_d(F.col("pos") + 1), z))
+        .otherwise(z)
+        .alias("nr"),
+        F.when(F.col("pos") >= 8, F.coalesce(get_d(F.col("pos") - 8), z))
+        .otherwise(z)
+        .alias("nu"),
+        F.when(F.col("pos") < 56, F.coalesce(get_d(F.col("pos") + 8), z))
+        .otherwise(z)
+        .alias("nd"),
+    )
+
+
+@query(
+    "pipe_clean_tailcuts_2d",
+    oracle=f"""
+    WITH cells AS ({_CELLS2D_SQL})
+    SELECT vec_id, label,
+           CAST(sum(CASE WHEN x >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+           CAST(sum(CASE WHEN x >= 0.2 OR (x >= 0.1 AND
+                     greatest(nl, nr, nu, nd) >= 0.2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN x >= 0.2 OR (x >= 0.1 AND
+                     greatest(nl, nr, nu, nd) >= 0.2)
+                     THEN x ELSE 0.0 END), 6) AS kept_sum
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def pipe_clean_tailcuts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's tailcuts cleaning in its TRUE 2-D form: a pixel
+    survives if it clears the picture threshold, or clears the boundary
+    threshold while any 4-NEIGHBOR on the camera grid clears the picture
+    threshold (the 1-D lanes used row-neighbors only). Neighbor values
+    come from the in-row array — no self-join on the pixel grid, so the
+    whole corpus cleans in one posexplode + hash agg, embarrassingly
+    parallel per image."""
+    c = _cells2d(spark, sf_dir)
+    core = F.col("x") >= 0.2
+    keep = core | (
+        (F.col("x") >= 0.1)
+        & (F.greatest("nl", "nr", "nu", "nd") >= 0.2)
+    )
+    return c.groupBy("vec_id", "label").agg(
+        bi(F.sum(core.cast("int"))).alias("n_core"),
+        bi(F.sum(keep.cast("int"))).alias("n_kept"),
+        r6(F.sum(F.when(keep, F.col("x")).otherwise(0.0))).alias("kept_sum"),
+    )
+
+
+#: shared per-image Hillas second-moment CTE (amplitude weights w ≥ 0)
+_HILLAS_PARAMS_SQL = """
+    g AS (
+      SELECT vec_id, label,
+             CAST(pos // 8 AS DOUBLE) AS gy, CAST(pos % 8 AS DOUBLE) AS gx,
+             greatest(x, 0.0) AS w
+      FROM cells
+    ),
+    m AS (
+      SELECT vec_id, label,
+             sum(w) AS size_,
+             sum(gx * w) / nullif(sum(w), 0.0) AS mx,
+             sum(gy * w) / nullif(sum(w), 0.0) AS my,
+             sum(gx * gx * w) / nullif(sum(w), 0.0) AS mxx,
+             sum(gy * gy * w) / nullif(sum(w), 0.0) AS myy,
+             sum(gx * gy * w) / nullif(sum(w), 0.0) AS mxy
+      FROM g GROUP BY 1, 2
+    ),
+    params AS (
+      SELECT vec_id, label, size_, mx, my,
+             atan2(2 * (mxy - mx * my),
+                   (mxx - mx * mx) - (myy - my * my)) / 2 AS psi
+      FROM m
+    )
+"""
+
+
+@query(
+    "pipe_hillas_skewness",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    {_HILLAS_PARAMS_SQL},
+    proj AS (
+      SELECT g.vec_id, g.label, g.w,
+             (g.gx - p.mx) * cos(p.psi) + (g.gy - p.my) * sin(p.psi) AS l
+      FROM g JOIN params p USING (vec_id, label)
+    ),
+    mom AS (
+      SELECT vec_id, label,
+             sum(w * l * l) / nullif(sum(w), 0.0) AS m2,
+             sum(w * l * l * l) / nullif(sum(w), 0.0) AS m3,
+             sum(w * l * l * l * l) / nullif(sum(w), 0.0) AS m4
+      FROM proj GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           round(m3 / nullif(pow(m2, 1.5), 0.0), 6) AS skewness,
+           round(m4 / nullif(m2 * m2, 0.0), 6) AS kurtosis
+    FROM mom
+    """,
+)
+def pipe_hillas_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longitudinal third/fourth Hillas moments — skewness and kurtosis
+    of the amplitude distribution PROJECTED onto the shower's major axis
+    (the asymmetry/peakedness features CTA analyses cut on after
+    length/width). Two-phase by necessity: the projection axis (psi,
+    cog) is itself a per-image aggregate, so phase 1 reduces to O(images)
+    parameter rows and phase 2 re-joins them onto the cells (keyed join,
+    AQE decides the strategy — the params side is image-count-sized) and
+    folds the weighted l², l³, l⁴ sufficient statistics in one agg."""
+    g = _cells(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        (F.col("pos") / 8).cast("int").cast("double").alias("gy"),
+        (F.col("pos") % 8).cast("double").alias("gx"),
+        F.greatest(F.col("x"), F.lit(0.0)).alias("w"),
+    )
+    m = g.groupBy("vec_id", "label").agg(
+        (F.sum(F.col("gx") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mx"),
+        (F.sum(F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("my"),
+        (F.sum(F.col("gx") * F.col("gx") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mxx"),
+        (F.sum(F.col("gy") * F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("myy"),
+        (F.sum(F.col("gx") * F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mxy"),
+    )
+    params = m.select(
+        "vec_id",
+        "label",
+        "mx",
+        "my",
+        (
+            F.atan2(
+                2 * (F.col("mxy") - F.col("mx") * F.col("my")),
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                - (F.col("myy") - F.col("my") * F.col("my")),
+            )
+            / 2
+        ).alias("psi"),
+    )
+    proj = g.join(params, ["vec_id", "label"]).select(
+        "vec_id",
+        "label",
+        "w",
+        (
+            (F.col("gx") - F.col("mx")) * F.cos("psi")
+            + (F.col("gy") - F.col("my")) * F.sin("psi")
+        ).alias("l"),
+    )
+    mom = proj.groupBy("vec_id", "label").agg(
+        (F.sum(F.col("w") * F.col("l") * F.col("l")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("m2"),
+        (F.sum(F.col("w") * F.pow("l", 3)) / F.nullif(F.sum("w"), F.lit(0.0))).alias("m3"),
+        (F.sum(F.col("w") * F.pow("l", 4)) / F.nullif(F.sum("w"), F.lit(0.0))).alias("m4"),
+    )
+    return mom.select(
+        "vec_id",
+        "label",
+        r6(F.col("m3") / F.nullif(F.pow("m2", 1.5), F.lit(0.0))).alias("skewness"),
+        r6(F.col("m4") / F.nullif(F.col("m2") * F.col("m2"), F.lit(0.0))).alias("kurtosis"),
+    )
+
+
+@query(
+    "pipe_stereo_intersect",
+    oracle=f"""
+    WITH cells AS ({_CELLS_SQL}),
+    {_HILLAS_PARAMS_SQL},
+    tel AS (
+      SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id,
+             vec_id % 2 AS tel, mx, my, psi
+      FROM params
+    ),
+    pairs AS (
+      SELECT a.pair_id,
+             a.mx AS ax, a.my AS ay, a.psi AS apsi,
+             b.mx AS bx, b.my AS by, b.psi AS bpsi,
+             sin(b.psi - a.psi) AS det
+      FROM tel a JOIN tel b ON a.pair_id = b.pair_id
+       AND a.tel = 0 AND b.tel = 1
+    )
+    SELECT pair_id,
+           round(ax + ((bx - ax) * sin(bpsi) - (by - ay) * cos(bpsi)) / det
+                      * cos(apsi), 4) AS core_x,
+           round(ay + ((bx - ax) * sin(bpsi) - (by - ay) * cos(bpsi)) / det
+                      * sin(apsi), 4) AS core_y,
+           round(abs(det), 6) AS stereo_weight
+    FROM pairs
+    WHERE abs(det) >= 0.1
+    """,
+)
+def pipe_stereo_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO reconstruction — the step after Hillas in every multi-
+    telescope CTA analysis: two cameras (here: consecutive vec_ids
+    paired as telescopes 0/1) see the same shower as two ellipses, and
+    the shower core is the INTERSECTION of their major axes. Closed-form
+    2-line intersection from each image's (cog, psi); |sin Δψ| is the
+    standard stereo weight, and near-parallel pairs (|det| < 0.1) are
+    dropped exactly as real reconstructions discard ill-conditioned
+    geometry (they also amplify float dust unboundedly — the r4 output
+    quantization plus the det floor keeps the lane hash-stable). One
+    Hillas agg + one pair-keyed self-join of the O(images) parameter
+    table — the heavy cells never join anything."""
+    g = _cells(spark, sf_dir).select(
+        "vec_id",
+        (F.col("pos") / 8).cast("int").cast("double").alias("gy"),
+        (F.col("pos") % 8).cast("double").alias("gx"),
+        F.greatest(F.col("x"), F.lit(0.0)).alias("w"),
+    )
+    m = g.groupBy("vec_id").agg(
+        (F.sum(F.col("gx") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mx"),
+        (F.sum(F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("my"),
+        (F.sum(F.col("gx") * F.col("gx") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mxx"),
+        (F.sum(F.col("gy") * F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("myy"),
+        (F.sum(F.col("gx") * F.col("gy") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias("mxy"),
+    )
+    params = m.select(
+        "vec_id",
+        "mx",
+        "my",
+        (
+            F.atan2(
+                2 * (F.col("mxy") - F.col("mx") * F.col("my")),
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                - (F.col("myy") - F.col("my") * F.col("my")),
+            )
+            / 2
+        ).alias("psi"),
+    )
+    tel = params.select(
+        bi(F.col("vec_id") / 2).alias("pair_id"),
+        (F.col("vec_id") % 2).alias("tel"),
+        "mx",
+        "my",
+        "psi",
+    )
+    a = tel.where(F.col("tel") == 0).select(
+        "pair_id",
+        F.col("mx").alias("ax"),
+        F.col("my").alias("ay"),
+        F.col("psi").alias("apsi"),
+    )
+    b = tel.where(F.col("tel") == 1).select(
+        "pair_id",
+        F.col("mx").alias("bx"),
+        F.col("my").alias("by"),
+        F.col("psi").alias("bpsi"),
+    )
+    p = a.join(b, "pair_id").withColumn(
+        "det", F.sin(F.col("bpsi") - F.col("apsi"))
+    )
+    t_a = (
+        (F.col("bx") - F.col("ax")) * F.sin("bpsi")
+        - (F.col("by") - F.col("ay")) * F.cos("bpsi")
+    ) / F.col("det")
+    return p.where(F.abs("det") >= 0.1).select(
+        "pair_id",
+        F.round(F.col("ax") + t_a * F.cos("apsi"), 4).alias("core_x"),
+        F.round(F.col("ay") + t_a * F.sin("apsi"), 4).alias("core_y"),
+        r6(F.abs("det")).alias("stereo_weight"),
+    )
