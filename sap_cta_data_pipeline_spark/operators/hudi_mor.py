@@ -175,9 +175,13 @@ def decode_avro_data_block(schema: dict, content: bytes) -> list[dict]:
 # -------------------------------------------------------------- timeline
 
 
-def hudi_mor_state(base: str) -> dict[str, tuple[str | None, list[str]]]:
+def hudi_mor_state(
+    base: str, as_of: str | None = None
+) -> dict[str, tuple[str | None, list[str]]]:
     """Latest file slice per file group from the COMPLETED timeline:
     fileId → (base parquet path | None, ordered log paths after it).
+    ``as_of`` (instant time, inclusive) replays only instants ≤ it —
+    Hudi time travel is pure timeline addressing, zero data work.
 
     MoR timelines complete base-file writes as ``.commit`` /
     ``.deltacommit`` instants whose write stats name the written path;
@@ -191,6 +195,12 @@ def hudi_mor_state(base: str) -> dict[str, tuple[str | None, list[str]]]:
         for f in os.listdir(tl_dir)
         if f.endswith((".commit", ".deltacommit"))
     )
+    if as_of is not None:
+        if not any(ts <= as_of for ts, _ in instants):
+            raise ValueError(
+                f"no completed instant at or before {as_of!r} under {tl_dir}"
+            )
+        instants = [(ts, k) for ts, k in instants if ts <= as_of]
     slices: dict[str, tuple[str | None, list[str]]] = {}
     for ts, kind in instants:  # instant times sort lexicographically
         with open(os.path.join(tl_dir, f"{ts}.{kind}")) as fh:
@@ -227,14 +237,61 @@ def _log_record_schema(spark_schema: T.StructType) -> dict:
     }
 
 
-def hudi_mor_snapshot(spark: SparkSession, base: str) -> DataFrame:
-    """Merge-on-read snapshot: base parquet ∪ executor-decoded log
-    records → one record-key groupBy taking the max-ordering record →
-    drop tombstones and meta columns."""
-    slices = hudi_mor_state(base)
+def _decoded_log_records(
+    spark: SparkSession,
+    base: str,
+    log_paths: list[str],
+    out_schema: T.StructType,
+) -> DataFrame:
+    """Executor-side decode of framed log files → records frame with the
+    ``__ord`` ordering column (file commit order × in-file position)."""
+    merged_cols = [f.name for f in out_schema.fields]
+    rank_by_name = {
+        os.path.basename(p): i + 1 for i, p in enumerate(log_paths)
+    }
+
+    def _decode_logs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, file_row in pdf.iterrows():
+                fname = os.path.basename(file_row["path"])
+                file_rank = rank_by_name[fname]
+                blocks = read_log_blocks(file_row["content"])
+                pos = 0
+                for btype, header, content in blocks:
+                    if btype != _AVRO_DATA_BLOCK:
+                        raise ValueError(
+                            f"unsupported Hudi log block type {btype}"
+                        )
+                    sch = json.loads(header[_H_SCHEMA])
+                    for rec in decode_avro_data_block(sch, content):
+                        pos += 1
+                        rec = dict(rec)
+                        # ordering: log files in commit order, records
+                        # in block/record order within the file
+                        rec["__ord"] = file_rank * 1_000_000 + pos
+                        rows.append(rec)
+            yield pd.DataFrame(rows if rows else None, columns=merged_cols)
+
+    logs_bin = spark.read.format("binaryFile").load(
+        [os.path.join(base, p) for p in log_paths]
+    )
+    return logs_bin.select("path", "content").mapInPandas(
+        _decode_logs, schema=out_schema
+    )
+
+
+def hudi_mor_snapshot(
+    spark: SparkSession, base: str, as_of: str | None = None
+) -> DataFrame:
+    """Merge-on-read snapshot (optionally AS OF an instant): base parquet
+    ∪ executor-decoded log records → one record-key groupBy taking the
+    max-ordering record → drop tombstones and meta columns."""
+    slices = hudi_mor_state(base, as_of)
     base_paths = sorted(p for p, _ in slices.values() if p is not None)
     log_paths = sorted(p for _, logs in slices.values() for p in logs)
-    log_rank = {p: i + 1 for i, p in enumerate(log_paths)}
     if not base_paths:
         raise ValueError(f"no completed base files under {base}")
     bdf = spark.read.parquet(*[os.path.join(base, p) for p in base_paths])
@@ -259,48 +316,9 @@ def hudi_mor_snapshot(spark: SparkSession, base: str) -> DataFrame:
     if not log_paths:
         union = based
     else:
-        avro_schema = _log_record_schema(
-            T.StructType(
-                [f for f in bdf.schema.fields if f.name in data_cols]
-                + [T.StructField("_hoodie_is_deleted", T.BooleanType(), True)]
-            )
+        union = based.unionByName(
+            _decoded_log_records(spark, base, log_paths, out_schema)
         )
-        rank_by_name = {os.path.basename(p): r for p, r in log_rank.items()}
-
-        def _decode_logs(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                rows = []
-                for _, file_row in pdf.iterrows():
-                    fname = os.path.basename(file_row["path"])
-                    file_rank = rank_by_name[fname]
-                    blocks = read_log_blocks(file_row["content"])
-                    pos = 0
-                    for btype, header, content in blocks:
-                        if btype != _AVRO_DATA_BLOCK:
-                            raise ValueError(
-                                f"unsupported Hudi log block type {btype}"
-                            )
-                        sch = json.loads(header[_H_SCHEMA])
-                        for rec in decode_avro_data_block(sch, content):
-                            pos += 1
-                            rec = dict(rec)
-                            # ordering: log files in commit order, records
-                            # in block/record order within the file
-                            rec["__ord"] = file_rank * 1_000_000 + pos
-                            rows.append(rec)
-                yield pd.DataFrame(
-                    rows if rows else None, columns=merged_cols
-                )
-
-        logs_bin = spark.read.format("binaryFile").load(
-            [os.path.join(base, p) for p in log_paths]
-        )
-        logd = logs_bin.select("path", "content").mapInPandas(
-            _decode_logs, schema=out_schema
-        )
-        union = based.unionByName(logd)
     latest = (
         union.groupBy("_hoodie_record_key")
         .agg(
@@ -457,3 +475,79 @@ def scan_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _build_mor_fixture(spark, sf_dir)
     df = hudi_mor_snapshot(spark, base)
     return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_hudi_mor_time_travel",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 12 THEN n_name || '-old' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def scan_hudi_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR time travel — AS OF instant 001, before the deltacommit: the
+    read plans ONLY the base file (no logs exist yet at that instant),
+    so the '-old' names resurface and the tombstoned keys are back.
+    Pure timeline addressing, zero data work beyond the snapshot scan —
+    the same metadata-only time-travel contract as the Delta/Iceberg
+    lanes."""
+    base = _build_mor_fixture(spark, sf_dir)
+    return hudi_mor_snapshot(spark, base, as_of="001").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_hudi_mor_incremental",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'delete' ELSE 'upsert' END
+             AS change_type,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS n_name
+    FROM nation
+    WHERE n_nationkey < 12 OR n_nationkey % 5 = 0
+    """,
+)
+def scan_hudi_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL query over MoR logs: the latest change per
+    record key committed AFTER instant 001 THROUGH instant 002 — the
+    change-capture read pattern downstream consumers poll (Hudi's
+    flagship feature). Changes come from the range's log files only
+    (O(changed rows), never a table scan); a key touched twice in the
+    range (the mod-5 keys are upserted then tombstoned) reports its
+    LATEST state; tombstones surface as change_type='delete'. Same
+    executor-side decode + one record-key max_by shuffle as the
+    snapshot."""
+    base = _build_mor_fixture(spark, sf_dir)
+    # log files of instants in (001, 002]: timeline state at 002 minus
+    # the base slices — for the fixture, exactly the 002 deltacommit log
+    slices = hudi_mor_state(base, as_of="002")
+    log_paths = sorted(p for _, logs in slices.values() for p in logs)
+    out_schema = T.StructType(
+        [
+            T.StructField("_hoodie_record_key", T.StringType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+            T.StructField("_hoodie_is_deleted", T.BooleanType(), True),
+            T.StructField("__ord", T.LongType(), False),
+        ]
+    )
+    recs = _decoded_log_records(spark, base, log_paths, out_schema)
+    latest = recs.groupBy("_hoodie_record_key").agg(
+        F.max_by("n_nationkey", "__ord").alias("n_nationkey"),
+        F.max_by("n_name", "__ord").alias("n_name"),
+        F.max_by("_hoodie_is_deleted", "__ord").alias("del_"),
+    )
+    return latest.select(
+        "n_nationkey",
+        F.when(F.coalesce(F.col("del_"), F.lit(False)), "delete")
+        .otherwise("upsert")
+        .alias("change_type"),
+        F.when(F.coalesce(F.col("del_"), F.lit(False)), F.lit(None)).otherwise(
+            F.col("n_name")
+        ).alias("n_name"),
+    )

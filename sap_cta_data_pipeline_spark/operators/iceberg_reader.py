@@ -1464,3 +1464,165 @@ def scan_iceberg_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot_as_of(spark, base, 1700000000500).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ----------------------------------------------- DELETE via position deletes
+
+
+def iceberg_delete_where(spark: SparkSession, base: str, predicate: str) -> int:
+    """``DELETE FROM <table> WHERE predicate`` emitted as an Iceberg v2
+    POSITION-DELETE file (round 8 — the write half of the round-7 delete
+    reader, mirroring the Delta DV writer): one distributed probe of the
+    current snapshot with the predicate PUSHED to parquet finds the
+    matching (file_path, pos) pairs; rows already deleted by existing
+    position deletes are excluded; the survivors are written as ONE
+    delete parquet sorted by (file_path, pos) — the spec's required
+    ordering — named by a DELETE manifest (content=1) at the next
+    sequence number, and committed with the same put-if-absent
+    metadata-version swap as ``iceberg_append``. The sequence gate the
+    reader enforces (pos delete applies to files with seq <= delete's)
+    holds by construction: the new delete's seq exceeds every current
+    data file's.
+
+    Driver-side work is bounded by THIS delete's matched rows (the data
+    a position-delete writer must materialize to write the file) plus
+    metadata. Returns the committed metadata version."""
+    schema, data_entries, pos_deletes, _eq = iceberg_state(base)
+    if not data_entries:
+        raise ValueError(f"nothing to delete: no data files under {base}")
+    probe = (
+        spark.read.schema(schema)
+        .parquet(*[d["path"] for d in data_entries])
+        .where(predicate)
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "fp"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    matched = {(r["fp"], int(r["pos"])) for r in probe.collect()}
+    already: set[tuple[str, int]] = set()
+    if pos_deletes:
+        for r in (
+            spark.read.parquet(*[d["path"] for d in pos_deletes])
+            .select(
+                F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias("fp"),
+                "pos",
+            )
+            .collect()
+        ):
+            already.add((r["fp"], int(r["pos"])))
+    new = sorted(matched - already)
+
+    meta_dir = os.path.join(base, "metadata")
+    import re as _re
+
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(meta_dir)
+        if (m := _re.match(r"^v(\d+)\.metadata\.json$", f))
+    ]
+    if not new:
+        return max(versions)
+
+    import pandas as pd
+    import pyarrow as pa
+
+    for _ in range(10):
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(meta_dir)
+            if (m := _re.match(r"^v(\d+)\.metadata\.json$", f))
+        ]
+        cur_v = max(versions)
+        with open(os.path.join(meta_dir, f"v{cur_v}.metadata.json")) as fh:
+            prev = json.load(fh)
+        seq = prev.get("last-sequence-number", 0) + 1
+        snap_id = 1000 + seq
+        del_rel = f"del-pos-{seq}.parquet"
+        del_pdf = pd.DataFrame(
+            {
+                "file_path": ["file://" + fp for fp, _ in new],
+                "pos": [p for _, p in new],
+            }
+        )
+        del_schema = pa.schema(
+            [pa.field("file_path", pa.string()), pa.field("pos", pa.int64())]
+        )
+        from .delta_reader import _write_parquet_file
+
+        _write_parquet_file(
+            del_schema, del_pdf, os.path.join(base, "data", del_rel)
+        )
+        mrel = f"m-del-{snap_id}.avro"
+        write_container(
+            os.path.join(meta_dir, mrel),
+            _MANIFEST_ENTRY_EQ_SCHEMA,
+            [_eq_entry(base, del_rel, 1, len(new), seq)],
+        )
+        snaps = {s["snapshot-id"]: s for s in prev["snapshots"]}
+        _, prev_manifests = read_container(
+            _resolve_path(base, snaps[prev["current-snapshot-id"]]["manifest-list"])
+        )
+        mlrel = f"snap-{snap_id}.avro"
+        write_container(
+            os.path.join(meta_dir, mlrel),
+            _MANIFEST_FILE_SCHEMA,
+            prev_manifests + [_manifest_file_rec(base, mrel, 1, snap_id, seq)],
+        )
+        md = dict(prev)
+        snap = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": 1700000000000 + seq,
+            "manifest-list": "file://" + os.path.join(meta_dir, mlrel),
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        md["current-snapshot-id"] = snap_id
+        md["snapshots"] = list(md.get("snapshots", [])) + [snap]
+        try:
+            _put_metadata_if_absent(meta_dir, cur_v + 1, md)
+        except IcebergCommitConflict:
+            continue
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(cur_v + 1))
+        return cur_v + 1
+    raise IcebergCommitConflict(
+        f"gave up after 10 contended metadata versions under {meta_dir}"
+    )
+
+
+@query(
+    "sink_iceberg_pos_delete",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE NOT (n_nationkey % 3 = 0) AND n_nationkey != 7
+    """,
+)
+def sink_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DELETE round-trip (the twin of delta_delete_dv_roundtrip):
+    DELETE twice through ``iceberg_delete_where`` on the append-writer's
+    table (first every key ≡ 0 mod 3, then key 7 — the second delete
+    probes a snapshot that already carries position deletes, so the
+    already-deleted exclusion path runs), then read back through this
+    module's own snapshot reader. Time travel to the pre-delete snapshot
+    still answers the full table (pinned in tests)."""
+    from ..catalog import load_table
+
+    base = _scratch(sf_dir, "iceberg_sink_del")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation")
+        iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+        iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+        iceberg_delete_where(spark, base, "n_nationkey % 3 = 0")
+        iceberg_delete_where(spark, base, "n_nationkey = 7")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return iceberg_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

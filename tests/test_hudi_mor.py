@@ -153,3 +153,18 @@ def test_mor_unsupported_block_type_raises(spark, sf_dir, tmp_path):
         )
     with pytest.raises(Exception, match="unsupported Hudi log block type"):
         hudi_mor_snapshot(spark, base).collect()
+
+
+def test_mor_time_travel_pre_history_raises(spark, sf_dir):
+    base = _build_mor_fixture(spark, sf_dir)
+    with pytest.raises(ValueError, match="no completed instant"):
+        hudi_mor_state(base, as_of="000")
+
+
+def test_mor_as_of_001_is_base_only(spark, sf_dir):
+    base = _build_mor_fixture(spark, sf_dir)
+    bp, logs = hudi_mor_state(base, as_of="001")["fg-a"]
+    assert bp is not None and logs == []
+    rows = hudi_mor_snapshot(spark, base, as_of="001").collect()
+    assert len(rows) == 25
+    assert sum(1 for r in rows if r.n_name.endswith("-old")) == 12

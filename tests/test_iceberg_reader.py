@@ -370,3 +370,33 @@ def test_pos_delete_sequence_gate(spark, ibase, tmp_path):
     assert iceberg_snapshot(spark, clone).count() == 25
     # and the unmodified fixture still applies the delete (seq 1 <= 2)
     assert iceberg_snapshot(spark, ibase).count() == 20
+
+
+def test_iceberg_delete_where_time_travel_and_idempotence(spark, sf_dir, tmp_path):
+    """The delete writer's snapshot history: pre-delete snapshot still
+    answers the full table; deleting already-deleted rows commits
+    nothing; the delete file is sorted by (file_path, pos) per spec."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        iceberg_append,
+        iceberg_delete_where,
+        iceberg_snapshot,
+    )
+
+    base = str(tmp_path / "ib_del_writer")
+    n = load_table(spark, sf_dir, "nation")
+    iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+    v_pre_snap = 1002  # snapshot ids are 1000 + seq
+    iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+    v = iceberg_delete_where(spark, base, "n_nationkey % 3 = 0")
+    assert iceberg_snapshot(spark, base).count() == 16
+    assert iceberg_snapshot(spark, base, snapshot_id=v_pre_snap).count() == 25
+    # idempotence: nothing new matches → no new metadata version
+    v2 = iceberg_delete_where(spark, base, "n_nationkey % 3 = 0")
+    assert v2 == v
+    # delete file sorted per spec
+    import pyarrow.parquet as pq
+
+    dels = pq.read_table(os.path.join(base, "data", "del-pos-3.parquet"))
+    pairs = list(zip(dels["file_path"].to_pylist(), dels["pos"].to_pylist()))
+    assert pairs == sorted(pairs)
