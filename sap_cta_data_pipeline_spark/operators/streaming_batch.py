@@ -383,3 +383,184 @@ def events_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi(F.sum((late_us > 600_000_000).cast("int"))).alias("n_late_beyond_wm"),
         bi(F.max(late_us)).alias("max_lateness_us"),
     )
+
+
+_THROTTLE_US = 10 * 60 * 1_000_000
+
+
+def _throttle_fold(pdf):
+    """Per-(user, type) debounce: keep an event iff > 10 min after the
+    last KEPT event — O(1) state (last kept ts), events streamed once."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["t", "event_id"]).reset_index(drop=True)
+    kept = []
+    last_kept = None
+    for t_us, eid in zip(pdf["t"], pdf["event_id"]):
+        t_us = int(t_us)
+        if last_kept is None or t_us - last_kept > _THROTTLE_US:
+            kept.append(eid)
+            last_kept = t_us
+    out = pdf[pdf["event_id"].isin(kept)][
+        ["user_id", "event_type", "event_id", "t"]
+    ]
+    return out
+
+
+@query(
+    "stream_throttle_keyed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    per_key AS (
+      SELECT user_id, event_type,
+             list(t ORDER BY t, event_id) AS ts,
+             list(event_id ORDER BY t, event_id) AS ids
+      FROM e GROUP BY 1, 2
+    ),
+    folded AS (
+      -- acc = [last_kept_ts, flag_1..flag_k]; keep iff > 10 min after
+      -- the last KEPT event (non-associative: depends on every prior
+      -- keep decision) — the dropDuplicatesWithinWatermark contract
+      SELECT user_id, event_type, ts, ids,
+        list_reduce(
+          list_transform(ts, x -> [x, CAST(1 AS BIGINT)]),
+          (acc, x) -> CASE
+            WHEN x[1] - acc[1] > {_THROTTLE_US}
+            THEN list_append(
+                   list_concat([x[1]], list_slice(acc, 2, len(acc))),
+                   CAST(1 AS BIGINT))
+            ELSE list_append(
+                   list_concat([acc[1]], list_slice(acc, 2, len(acc))),
+                   CAST(0 AS BIGINT))
+          END) AS st
+      FROM per_key
+    ),
+    flags AS (
+      SELECT user_id, event_type,
+             unnest(list_zip(ids, ts, list_slice(st, 2, len(st)))) AS z
+      FROM folded
+    )
+    SELECT user_id, event_type,
+           CAST(z[1] AS BIGINT) AS event_id,
+           CAST(z[2] AS BIGINT) AS kept_at_us
+    FROM flags WHERE z[3] = 1
+    """,
+)
+def stream_throttle_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed event THROTTLE (debounce): keep an event iff it arrives
+    more than 10 minutes after the last KEPT event of its
+    (user, event_type) — the batch contract of Spark 4's
+    ``dropDuplicatesWithinWatermark`` (state = last kept timestamp,
+    evicted once the watermark passes it). The keep decision depends on
+    every PRIOR keep (non-associative — no window rewrite exists), so
+    the lane is a per-key applyInPandas fold with O(1) state after one
+    keyed shuffle, and the oracle replays the IDENTICAL fold via DuckDB
+    list_reduce (the sessionize_capped discipline) — every keep
+    decision is hash-certified. tests/test_streaming_multibatch.py pins
+    the real streaming operator against this contract:
+    first-per-key ⊆ streaming-kept ⊆ throttle-kept."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    out = e.groupBy("user_id", "event_type").applyInPandas(
+        _throttle_fold,
+        schema="user_id bigint, event_type string, event_id bigint, t bigint",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        bi(F.col("event_id")).alias("event_id"),
+        bi(F.col("t")).alias("kept_at_us"),
+    )
+
+
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartile breakpoints, |Σ|=4
+
+
+@query(
+    "ts_sax_symbolic",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, d.day,
+             round((d.v - s.mu) / nullif(s.sd, 0.0), 6) AS z
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    sym AS (
+      SELECT event_type, day,
+             CASE WHEN z < -0.6745 THEN 'a'
+                  WHEN z < 0.0     THEN 'b'
+                  WHEN z < 0.6745  THEN 'c'
+                  ELSE 'd' END AS s
+      FROM z
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           string_agg(s, '' ORDER BY day) AS sax
+    FROM sym GROUP BY 1
+    """,
+)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation): each type's daily-mean
+    series z-normalized and mapped through the N(0,1) quartile
+    breakpoints to a 4-letter alphabet — the discretization that turns
+    numeric series into STRINGS so similarity/motif search runs on text
+    machinery (grams, hashing, suffix structures). Day grain makes every
+    window metadata-sized; z-scores are r6-quantized BEFORE the
+    breakpoint comparison so a float-dust straddle cannot flip a symbol
+    (the ts_drawdown_max lesson). Two bounded aggs + one O(types) join;
+    the symbol string assembles in-row from a day-ordered collect."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    z = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        r6((F.col("v") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))).alias(
+            "z"
+        ),
+    )
+    sym = z.select(
+        "event_type",
+        "day",
+        F.when(F.col("z") < _SAX_BREAKS[0], "a")
+        .when(F.col("z") < _SAX_BREAKS[1], "b")
+        .when(F.col("z") < _SAX_BREAKS[2], "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    return sym.groupBy("event_type").agg(
+        bi(F.count(F.lit(1))).alias("n_days"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "s"))),
+                lambda x: x["s"],
+            ),
+        ).alias("sax"),
+    )

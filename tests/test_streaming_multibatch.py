@@ -101,6 +101,7 @@ def test_dynamic_gap_sessions_across_batches(spark, time_ordered_chunks):
     import pyspark.sql.functions as F
 
     import sap_cta_data_pipeline_spark.operators  # noqa: F401 — registry fill
+    import sap_cta_data_pipeline_spark.operators  # noqa: F401
     from sap_cta_data_pipeline_spark.registry import QUERIES
 
     src, (t1, t2) = time_ordered_chunks
@@ -151,3 +152,59 @@ def test_dynamic_gap_sessions_across_batches(spark, time_ordered_chunks):
         if (k[1] < t1_us < k[1] + k[3]) or (k[1] < t2_us < k[1] + k[3])
     ]
     assert straddles, "no emitted session spans a micro-batch boundary"
+
+
+def test_drop_duplicates_within_watermark_bounds(spark, time_ordered_chunks):
+    """Spark 4's dropDuplicatesWithinWatermark vs the batch throttle
+    contract (stream_throttle_keyed): with ts-ordered micro-batches the
+    streaming keep-set is bracketed —
+
+        first-per-key ⊆ streaming-kept ⊆ throttle-kept
+
+    (streaming may hold state past the 10-minute delay until the
+    watermark actually passes it, so it can DROP an event the throttle
+    keeps; it can never keep an event within 10 minutes of a kept one,
+    and the first arrival per key is always kept)."""
+    import pyspark.sql.functions as F
+
+    import sap_cta_data_pipeline_spark.operators  # noqa: F401
+    from sap_cta_data_pipeline_spark.registry import QUERIES
+
+    src, _ = time_ordered_chunks
+    sdf = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sink_ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+    streamed = {
+        int(r.event_id)
+        for r in spark.sql("SELECT event_id FROM sink_ddww").collect()
+    }
+    throttle = {
+        int(r.event_id)
+        for r in QUERIES["stream_throttle_keyed"](spark, SF_SMALL).collect()
+    }
+    events = load_table(spark, SF_SMALL, "events")
+    import pyspark.sql.functions as F2
+
+    first_per_key = {
+        int(r.eid)
+        for r in events.groupBy("user_id", "event_type")
+        .agg(
+            F2.min_by(
+                "event_id", F2.struct(F2.col("ts"), F2.col("event_id"))
+            ).alias("eid")
+        )
+        .collect()
+    }
+    assert first_per_key <= streamed
+    assert streamed <= throttle
