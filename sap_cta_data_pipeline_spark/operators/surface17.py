@@ -296,3 +296,164 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_digest"),
         )
     )
+
+
+# ------------------------------------------------- round-8 batch DK
+
+
+@query(
+    "agg_percentile_cont_multi",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_quantity AS DOUBLE),
+                           [0.25, 0.5, 0.75, 0.95]) AS qs
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
+           round(qs[3], 6) AS p75, round(qs[4], 6) AS p95
+    FROM q
+    """,
+)
+def agg_percentile_cont_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles at multiple points in one agg —
+    Spark ``percentile(col, array(...))`` ↔ DuckDB ``quantile_cont``
+    (both linear-interpolate at h = (n−1)p, certified identical by the
+    hash; the DuckDB side casts to DOUBLE first because quantile_cont
+    on DECIMAL quantizes to the input scale). Exact percentiles sort
+    within each group — the documented cost; the approx_percentile /
+    t-digest lanes are the 100-TB default and THIS lane is the
+    calibration reference they're judged against."""
+    li = t(spark, sf_dir, "lineitem")
+    qs = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.95]))
+    g = li.groupBy("l_returnflag").agg(qs.alias("qs"))
+    return g.select(
+        "l_returnflag",
+        *[
+            r6(F.element_at("qs", i + 1)).alias(n)
+            for i, n in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    stats AS (
+      SELECT count(*) AS n_keys, min(k) AS min_key, max(k) AS max_key
+      FROM k
+    ),
+    run_ends AS (
+      SELECT a.k FROM k a LEFT JOIN k b ON b.k = a.k + 1
+      WHERE b.k IS NULL
+    ),
+    ends AS (SELECT count(*) AS n_ends FROM run_ends),
+    firsts AS (
+      SELECT list_sort(list(k)) AS ls FROM (
+        SELECT k FROM run_ends, stats s2
+        WHERE k != s2.max_key ORDER BY k LIMIT 4
+      )
+    )
+    SELECT s.n_keys AS n_keys,
+           CAST(s.min_key AS BIGINT) AS min_key,
+           CAST(s.max_key AS BIGINT) AS max_key,
+           CAST(s.max_key - s.min_key + 1 - s.n_keys AS BIGINT) AS n_missing,
+           CAST(e.n_ends - 1 AS BIGINT) AS n_gaps,
+           coalesce(f.ls, []) AS first_gap_starts
+    FROM stats s, ends e, firsts f
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit for an id column that SHOULD be dense
+    (invoice numbers, ledger ids): total missing count from min/max/count
+    arithmetic, gap count and the first gap positions from run-end
+    detection — a key k ends a run iff k+1 is absent, found by one keyed
+    SELF anti-join (no sort, no lead() window over the corpus: the
+    global-order trap a naive gaps query hits). The audited sequence is
+    the OPEN-status keys (the synthetic generator's orderkeys are dense,
+    so the status filter supplies the gaps a real invoice audit would
+    find)."""
+    k = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+    nxt = k.select((F.col("k") - 1).alias("k"))
+    run_ends = k.join(nxt, "k", "left_anti")  # k where k+1 absent
+    n_ends = run_ends.agg(F.count(F.lit(1)).alias("n_ends"))
+    firsts = (
+        run_ends.crossJoin(F.broadcast(stats.select("max_key")))  # bounded: 1 row
+        .where(F.col("k") != F.col("max_key"))
+        .orderBy("k")
+        .limit(4)  # TakeOrdered — per-partition heaps, no global sort
+        .agg(F.sort_array(F.collect_list("k")).alias("first_gap_starts"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_ends))  # bounded: 1 row
+        .crossJoin(F.broadcast(firsts))  # bounded: 1 row
+        .select(
+            bi(F.col("n_keys")).alias("n_keys"),
+            bi(F.col("min_key")).alias("min_key"),
+            bi(F.col("max_key")).alias("max_key"),
+            bi(F.col("max_key") - F.col("min_key") + 1 - F.col("n_keys")).alias(
+                "n_missing"
+            ),
+            bi(F.col("n_ends") - 1).alias("n_gaps"),
+            "first_gap_starts",
+        )
+    )
+
+
+@query(
+    "part_inventory_eoq",
+    oracle="""
+    WITH d AS (
+      SELECT l_partkey,
+             sum(l_quantity) AS annual_demand,
+             avg(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY 1
+    ), scored AS (
+      SELECT l_partkey, annual_demand, unit_price,
+             sqrt(2.0 * annual_demand * 100.0 / (0.2 * unit_price)) AS eoq
+      FROM d
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey,
+           round(annual_demand, 2) AS annual_demand,
+           round(eoq, 6) AS eoq,
+           CAST(ceil(annual_demand / eoq) AS BIGINT) AS orders_per_year
+    FROM scored
+    ORDER BY annual_demand DESC, l_partkey ASC
+    LIMIT 50
+    """,
+)
+def part_inventory_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic Order Quantity per part — the inventory-planning
+    closed form EOQ = sqrt(2·D·S / H) (ordering cost S = 100, holding
+    cost H = 20% of unit price): one part-keyed agg for demand and unit
+    price, in-row algebra, top-50 by demand via TakeOrderedAndProject
+    (per-partition heaps + driver merge — no global sort). The shape a
+    supply-chain user runs daily over the full history."""
+    li = t(spark, sf_dir, "lineitem")
+    d = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("annual_demand"),
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    eoq = F.sqrt(2.0 * F.col("annual_demand") * 100.0 / (0.2 * F.col("unit_price")))
+    return (
+        d.select(
+            bi(F.col("l_partkey")).alias("partkey"),
+            F.round("annual_demand", 2).alias("annual_demand"),
+            r6(eoq).alias("eoq"),
+            bi(F.ceil(F.col("annual_demand") / eoq)).alias("orders_per_year"),
+        )
+        .orderBy(F.col("annual_demand").desc(), F.col("partkey").asc())
+        .limit(50)
+    )

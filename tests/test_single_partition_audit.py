@@ -48,6 +48,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "dq_expectations": 1,
     "dq_k_anonymity": 1,  # two 1-row per-level audit finals, 2-row union
     "dq_freshness_sla": 2,
+    "dq_sequence_gaps": 1,  # three 1-row audit finals (stats/ends/firsts) cross-joined
     "dq_referential_integrity": 1,
     "emb_ivf_kmeans_ann": 2,  # k-row learned-centroid broadcast (sim_ann_ivf class)
     "emb_norm_audit": 2,
