@@ -676,3 +676,28 @@ def test_pairwise_cosine_sample_is_hash_join(q):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # the equi-join is present, not optimized away
+
+
+def test_dehinted_dims_still_broadcast_at_fixture_scale(q):
+    """Round-8 S17 policy check: removing the FORCED broadcast hints from
+    scale-growing sides (TPC-H part/supplier) must not lose the
+    dim-into-fact broadcast at graded scales — the stats-based planner
+    picks it from measured sizes against the 256m threshold."""
+    for key in ("tpch_q9_product_profit", "tpch_q14_promo_revenue"):
+        plan = plan_text(q(key), "simple")
+        assert "BroadcastHashJoin" in plan, key
+
+
+def test_tfidf_vocab_gate_flips(spark, sf_dir, monkeypatch):
+    """The measured vocab gate: broadcast under the ceiling, keyed
+    shuffle_hash above it (ceiling monkeypatched to 1 to force the
+    big-vocab path at fixture scale)."""
+    import sap_cta_data_pipeline_spark.operators.text as text_mod
+    from sap_cta_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    under = plan_text(text_mod.tfidf_topk_frame(docs), "simple")
+    assert "BroadcastHashJoin" in under
+    monkeypatch.setattr(text_mod, "_TFIDF_VOCAB_BROADCAST_MAX", 1)
+    over = plan_text(text_mod.tfidf_topk_frame(docs), "simple")
+    assert "ShuffledHashJoin" in over
