@@ -1254,3 +1254,57 @@ def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def delta_version_at_timestamp(base: str, ts: float) -> int:
+    """Resolve ``FOR TIMESTAMP AS OF``: the latest commit whose file
+    modification time is <= ts — the Delta protocol's documented
+    timestamp-travel rule for tables without the inCommitTimestamp
+    feature (commit mtime IS the commit timestamp). Pre-history
+    timestamps raise, exactly like the version-based guard."""
+    log_dir = os.path.join(base, "_delta_log")
+    pairs = sorted(
+        (int(m.group(1)), os.path.getmtime(os.path.join(log_dir, f)))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    )
+    if not pairs:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    eligible = [v for v, mt in pairs if mt <= ts]
+    if not eligible:
+        raise ValueError(
+            f"cannot time travel to timestamp {ts}: earliest commit "
+            f"(version {pairs[0][0]}) is newer"
+        )
+    return max(eligible)
+
+
+@query(
+    "scan_delta_time_travel_ts",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``FOR TIMESTAMP AS OF`` (the symmetry twin of
+    scan_iceberg_time_travel_ts): the target timestamp is commit v1's
+    own mtime, which must resolve to EXACTLY v1 (latest commit at or
+    before t — v2/v3 are strictly newer by fixture construction, the
+    builder spaces commit mtimes), whose state is the clean nation
+    (part-c + part-b). Resolution is pure log metadata — no data file
+    is touched before the chosen snapshot scans."""
+    base = _fixture_dir(spark, sf_dir, "delta_table", _build_fixture)
+    log_dir = os.path.join(base, "_delta_log")
+    t1 = os.path.getmtime(os.path.join(log_dir, f"{1:020d}.json"))
+    t2 = os.path.getmtime(os.path.join(log_dir, f"{2:020d}.json"))
+    if t1 == t2:
+        # fixture commits can land within mtime resolution — restamp
+        # with distinct times (builders write v0..v3 in order)
+        for v in range(4):
+            p = os.path.join(log_dir, f"{v:020d}.json")
+            if os.path.exists(p):
+                os.utime(p, (t1 + v, t1 + v))
+        t1 = os.path.getmtime(os.path.join(log_dir, f"{1:020d}.json"))
+    version = delta_version_at_timestamp(base, t1)
+    assert version == 1, f"timestamp resolution picked {version}"
+    return delta_snapshot(spark, base, version=version).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -1256,3 +1256,76 @@ def delta_shallow_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_snapshot(spark, dst).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "stream_delta_append_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events WHERE user_id % 13 = 0
+    """,
+)
+def stream_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGEST INTO THE LAKEHOUSE — the production shape that
+    connects the repo's two halves: a file stream (3 micro-batches via
+    maxFilesPerTrigger=1) lands in a Delta table through foreachBatch,
+    each micro-batch staged as one data file and committed through the
+    put-if-absent writer (protocol+metaData ride batch 0); the table
+    then reads back through the repo's own log reader. foreachBatch is
+    exactly how Structured Streaming writes transactional sinks the
+    source has no native connector for; exactly-once here reduces to
+    the commit's put-if-absent (a replayed batch would collide on its
+    version slot, and idempotent re-staging of the same batch file is
+    the documented recovery contract). The identity oracle certifies
+    stream → commit → log replay → snapshot end to end."""
+    from ..catalog import load_table
+
+    stage_dir = _scratch(sf_dir, "delta_stream_src")
+    table = _scratch(sf_dir, "delta_stream_sink")
+    if not os.path.exists(os.path.join(table, "_FIXTURE_READY")):
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") % 13 == 0)
+            .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        )
+        n = ev.count()
+        # deterministic chunking: event_id terciles (fixture-sized collect)
+        ids = [r[0] for r in ev.select("event_id").orderBy("event_id").collect()]
+        cuts = [ids[0], ids[n // 3], ids[2 * n // 3], ids[-1] + 1]
+        for i in range(3):
+            (
+                ev.where(
+                    (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{stage_dir}/chunk={i}")
+            )
+        schema = spark.read.parquet(f"{stage_dir}/chunk=0").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage_dir}/chunk=*")
+        )
+
+        def _commit_batch(bdf: DataFrame, batch_id: int) -> None:
+            delta_append_commit(
+                spark,
+                table,
+                bdf,
+                f"part-stream-{batch_id:05d}.parquet",
+                first=(batch_id == 0),
+            )
+
+        q = (
+            src.writeStream.foreachBatch(_commit_batch)
+            .option("checkpointLocation", os.path.join(table, "_stream_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        with open(os.path.join(table, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, table).select(
+        "event_id", "user_id", "event_type", "value"
+    )
