@@ -1626,3 +1626,186 @@ def sink_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# --------------------------------------------- metadata tables + compaction
+
+
+def iceberg_snapshots_meta(spark: SparkSession, base: str) -> DataFrame:
+    """The ``<table>.snapshots`` METADATA TABLE every Iceberg catalog
+    exposes: one row per snapshot from metadata.json — pure driver-side
+    metadata (O(snapshots) rows), surfaced as an ordinary DataFrame so
+    table-history questions ("what changed? when? by which operation?")
+    run through the same engine as data queries."""
+    meta = _load_metadata(base)
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s["sequence-number"]),
+            int(s["timestamp-ms"]),
+            s.get("summary", {}).get("operation"),
+            s["snapshot-id"] == meta.get("current-snapshot-id"),
+        )
+        for s in meta.get("snapshots", [])
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "snapshot_id bigint, sequence_number bigint, committed_at_ms bigint, "
+        "operation string, is_current boolean",
+    )
+
+
+def iceberg_files_meta(spark: SparkSession, base: str) -> DataFrame:
+    """The ``<table>.files`` metadata table: one row per live file in the
+    CURRENT snapshot (content 0/1/2 = data / position deletes / equality
+    deletes) with its record count and data sequence number — the view
+    compaction planners and debuggers read. Manifest-resolution reuses
+    iceberg_state; O(files) rows."""
+    schema, data_files, pos_deletes, eq_deletes = iceberg_state(base)
+    rows = (
+        [(os.path.basename(d["path"]), 0, int(d["seq"])) for d in data_files]
+        + [(os.path.basename(d["path"]), 1, int(d["seq"])) for d in pos_deletes]
+        + [(os.path.basename(d["path"]), 2, int(d["seq"])) for d in eq_deletes]
+    )
+    return spark.createDataFrame(
+        sorted(rows), "file_name string, content int, sequence_number bigint"
+    )
+
+
+@query(
+    "scan_iceberg_snapshots_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1001 AS BIGINT), CAST(1 AS BIGINT), CAST(1700000000000 AS BIGINT),
+       'append', false),
+      (CAST(1002 AS BIGINT), CAST(2 AS BIGINT), CAST(1700000001000 AS BIGINT),
+       'delete', true)
+    ) t(snapshot_id, sequence_number, committed_at_ms, operation, is_current)
+    """,
+)
+def scan_iceberg_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.snapshots` over the two-snapshot fixture — the history every
+    Iceberg user queries before a time travel. The oracle pins the exact
+    metadata rows (ids, sequence numbers, commit times, operations,
+    currency flag), so any drift in snapshot bookkeeping breaks the
+    hash, not just a test."""
+    base = _scratch(sf_dir, "iceberg_table")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_iceberg_fixture(spark, sf_dir, base)
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return iceberg_snapshots_meta(spark, base)
+
+
+@query(
+    "scan_iceberg_files_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('delete-0.parquet', 1, CAST(2 AS BIGINT)),
+      ('part-hi.parquet', 0, CAST(1 AS BIGINT)),
+      ('part-lo.parquet', 0, CAST(1 AS BIGINT))
+    ) t(file_name, content, sequence_number)
+    """,
+)
+def scan_iceberg_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.files` over the fixture's current snapshot: two data files at
+    sequence 1 plus the position-delete file at sequence 2 — the
+    manifest-resolved inventory a compaction planner reads (content
+    codes 0/1/2 per the spec)."""
+    base = _scratch(sf_dir, "iceberg_table")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_iceberg_fixture(spark, sf_dir, base)
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return iceberg_files_meta(spark, base)
+
+
+def iceberg_rewrite_compact(spark: SparkSession, base: str) -> int:
+    """REWRITE (compaction): read the current snapshot MERGED (row-level
+    deletes applied), stage it as ONE data file, and commit a REPLACE
+    snapshot whose manifest list names only the new manifest — the old
+    files drop by omission, history keeps them time-travelable. The
+    rewritten file takes the new sequence number; with the deletes FOLDED
+    IN at rewrite time that is spec-correct (nothing older may re-apply:
+    position deletes gate on seq <= delete's, equality on seq <, and the
+    new file's seq exceeds both). Returns the committed version."""
+    merged = iceberg_snapshot(spark, base)
+    from .lakehouse_interop import _stage_single_parquet
+
+    meta_dir = os.path.join(base, "metadata")
+    import re as _re
+
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(meta_dir)
+        if (m := _re.match(r"^v(\d+)\.metadata\.json$", f))
+    ]
+    cur_v = max(versions)
+    with open(os.path.join(meta_dir, f"v{cur_v}.metadata.json")) as fh:
+        prev = json.load(fh)
+    seq = prev.get("last-sequence-number", 0) + 1
+    snap_id = 1000 + seq
+    file_rel = f"compacted-{seq}.parquet"
+    _stage_single_parquet(merged, os.path.join(base, "data", file_rel))
+    n_rows = merged.count()
+    mrel = f"m-compact-{snap_id}.avro"
+    write_container(
+        os.path.join(meta_dir, mrel),
+        _MANIFEST_ENTRY_EQ_SCHEMA,
+        [_eq_entry(base, file_rel, 0, n_rows, seq)],
+    )
+    mlrel = f"snap-{snap_id}.avro"
+    write_container(
+        os.path.join(meta_dir, mlrel),
+        _MANIFEST_FILE_SCHEMA,
+        [_manifest_file_rec(base, mrel, 0, snap_id, seq)],
+    )
+    md = dict(prev)
+    snap = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": 1700000000000 + seq,
+        "manifest-list": "file://" + os.path.join(meta_dir, mlrel),
+        "summary": {"operation": "replace"},
+        "schema-id": 0,
+    }
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = snap["timestamp-ms"]
+    md["current-snapshot-id"] = snap_id
+    md["snapshots"] = list(md.get("snapshots", [])) + [snap]
+    _put_metadata_if_absent(meta_dir, cur_v + 1, md)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(cur_v + 1))
+    return cur_v + 1
+
+
+@query(
+    "iceberg_compact_rewrite",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE NOT (n_nationkey % 3 = 0) AND n_nationkey != 7
+    """,
+)
+def iceberg_compact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION round-trip on the delete-carrying table: rewrite folds
+    the position deletes into one clean data file under a REPLACE
+    snapshot; the read-back must equal the pre-compaction merged state
+    (the identity every rewrite job must preserve), the `.files` table
+    collapses to the single compacted file, and the pre-compaction
+    snapshot stays time-travelable (pinned in tests)."""
+    from ..catalog import load_table
+
+    base = _scratch(sf_dir, "iceberg_sink_compact")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation")
+        iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+        iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+        iceberg_delete_where(spark, base, "n_nationkey % 3 = 0")
+        iceberg_delete_where(spark, base, "n_nationkey = 7")
+        iceberg_rewrite_compact(spark, base)
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return iceberg_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

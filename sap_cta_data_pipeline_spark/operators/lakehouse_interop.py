@@ -1329,3 +1329,89 @@ def stream_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_snapshot(spark, table).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+def delta_optimize_compact(spark: SparkSession, base: str) -> int:
+    """OPTIMIZE (bin-packing compaction): rewrite the current LIVE file
+    set (deletion vectors applied) into one data file and commit
+    remove(old…) + add(compacted) with ``dataChange: false`` — the
+    protocol's marker that the commit rearranges bytes without changing
+    table content (streams tailing the table skip it; CDF emits nothing).
+    Superseded files and their DVs become vacuum-eligible once retention
+    drops the versions referencing them. Returns the committed version."""
+    live, schema_string, part_cols, config, dvs = delta_state(spark, base)
+    if part_cols:
+        raise NotImplementedError(
+            "delta_optimize_compact: partitioned bin-packing (per-partition "
+            "groups) not implemented; fixture tables are unpartitioned"
+        )
+    merged = delta_snapshot(spark, base)
+    file_rel = "part-optimized-00000.parquet"
+    _stage_single_parquet(merged, os.path.join(base, file_rel))
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _COMMIT_RE.match(f))
+    )
+    actions: list[dict] = [{"commitInfo": {"operation": "OPTIMIZE"}}]
+    for p in sorted(live):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 1700000000000,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.append(
+        {
+            "add": {
+                "path": file_rel,
+                "partitionValues": {},
+                "size": 1024,
+                "modificationTime": 1700000000000,
+                "dataChange": False,
+            }
+        }
+    )
+    version = commits[-1] + 1
+    for _ in range(10):
+        try:
+            _commit(log_dir, version, actions)
+            return version
+        except CommitConflict:
+            version += 1
+    raise CommitConflict(f"gave up after 10 contended versions under {log_dir}")
+
+
+@query(
+    "delta_optimize_compact",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE NOT (n_nationkey % 3 = 0) AND n_nationkey != 7
+    """,
+)
+def delta_optimize_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE round-trip on the DV-carrying table: compaction folds the
+    deletion vectors into one clean file under a dataChange:false commit
+    — content identical before and after (the identity OPTIMIZE must
+    preserve, certified by the same oracle as the pre-compaction
+    delete round-trip), the DV descriptors disappear from the live
+    state, and the pre-OPTIMIZE version stays time-travelable with its
+    DVs applied (pinned in tests)."""
+    base = _build_sink_fixture(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_sink_optimize")
+    if not os.path.exists(os.path.join(clone, "_FIXTURE_READY")):
+        if os.path.isdir(clone):
+            shutil.rmtree(clone)
+        shutil.copytree(base, clone)
+        os.remove(os.path.join(clone, "_FIXTURE_READY"))
+        delta_delete_where(spark, clone, "n_nationkey % 3 = 0")
+        delta_delete_where(spark, clone, "n_nationkey = 7")
+        delta_optimize_compact(spark, clone)
+        with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, clone).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -400,3 +400,36 @@ def test_iceberg_delete_where_time_travel_and_idempotence(spark, sf_dir, tmp_pat
     dels = pq.read_table(os.path.join(base, "data", "del-pos-3.parquet"))
     pairs = list(zip(dels["file_path"].to_pylist(), dels["pos"].to_pylist()))
     assert pairs == sorted(pairs)
+
+
+def test_compact_rewrite_files_meta_and_history(spark, sf_dir, tmp_path):
+    """Compaction pins: .files collapses to the single compacted file at
+    the new sequence, the REPLACE snapshot is current in .snapshots, and
+    the pre-compaction snapshot remains time-travelable (deletes still
+    applied there)."""
+    from sap_cta_data_pipeline_spark.catalog import load_table
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        iceberg_append,
+        iceberg_delete_where,
+        iceberg_files_meta,
+        iceberg_rewrite_compact,
+        iceberg_snapshot,
+        iceberg_snapshots_meta,
+    )
+
+    base = str(tmp_path / "ib_compact")
+    n = load_table(spark, sf_dir, "nation")
+    iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+    iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+    iceberg_delete_where(spark, base, "n_nationkey % 3 = 0")
+    pre_snap = 1003  # the delete snapshot (seq 3)
+    iceberg_rewrite_compact(spark, base)
+    files = iceberg_files_meta(spark, base).collect()
+    assert [(r.file_name, r.content) for r in files] == [
+        ("compacted-4.parquet", 0)
+    ]
+    snaps = {r.snapshot_id: r for r in iceberg_snapshots_meta(spark, base).collect()}
+    assert snaps[1004].operation == "replace" and snaps[1004].is_current
+    assert iceberg_snapshot(spark, base).count() == 16
+    assert iceberg_snapshot(spark, base, snapshot_id=pre_snap).count() == 16
+    assert iceberg_snapshot(spark, base, snapshot_id=1002).count() == 25

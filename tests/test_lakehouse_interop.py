@@ -494,3 +494,41 @@ def test_shallow_clone_rewrites_sidecar_dv_descriptors(spark, sf_dir, tmp_path):
         )
     got = sorted(r.n_nationkey for r in delta_snapshot(spark, dst).collect())
     assert got == [k for k in range(25) if k % 3 != 0]
+
+
+def test_optimize_preserves_history_and_clears_dvs(spark, sf_dir, tmp_path):
+    """OPTIMIZE pins: dataChange:false on every action, DV descriptors
+    gone from the live state, pre-OPTIMIZE version still answers with
+    its DVs applied, and the compacted table reads identically."""
+    import shutil as _sh
+
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _read_commit,
+        delta_snapshot,
+        delta_state,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        delta_delete_where,
+        delta_optimize_compact,
+    )
+
+    base = str(tmp_path / "opt_dv")
+    _sh.copytree(_build_sink_fixture(spark, sf_dir), base)
+    dv_version, _ = delta_delete_where(spark, base, "n_nationkey % 3 = 0")
+    v = delta_optimize_compact(spark, base)
+    a = _read_commit(os.path.join(base, "_delta_log"), v)
+    assert all(
+        x.get("remove", x.get("add", {})).get("dataChange") is False
+        for x in a
+        if "remove" in x or "add" in x
+    )
+    live, _, _, _, dvs = delta_state(spark, base)
+    assert live and dvs == {}  # compacted: no DV survives in live state
+    got = sorted(r.n_nationkey for r in delta_snapshot(spark, base).collect())
+    assert got == [k for k in range(25) if k % 3 != 0]
+    pre = sorted(
+        r.n_nationkey
+        for r in delta_snapshot(spark, base, version=dv_version).collect()
+    )
+    assert pre == got  # pre-OPTIMIZE version: same content via DVs
