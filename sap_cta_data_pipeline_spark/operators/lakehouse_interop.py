@@ -1415,3 +1415,126 @@ def delta_optimize_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_snapshot(spark, clone).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+def delta_append_partitioned(
+    spark: SparkSession, base: str, df: DataFrame, part_col: str
+) -> None:
+    """Create a PARTITIONED Delta table from ``df`` in one commit:
+    metaData declares ``partitionColumns=[part_col]``, each partition
+    value stages one data file under ``{part_col}={v}/`` WITHOUT the
+    partition column in the file (the protocol stores it only in the
+    add's ``partitionValues`` — the reader reconstructs it), and the
+    adds carry the value map the partition-pruning fast path filters on.
+    Partition-value discovery is one distinct over the partition column
+    — bounded by partition cardinality, the same class as
+    agg_pivot_dynamic's pivot discovery."""
+    vals = sorted(
+        r[0] for r in df.select(part_col).distinct().collect()
+    )
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action([part_col], schema_json=df.schema.jsonValue()),
+    ]
+    for v in vals:
+        rel = f"{part_col}={v}/part-00000.parquet"
+        _stage_single_parquet(
+            df.where(F.col(part_col) == v).drop(part_col),
+            os.path.join(base, rel),
+        )
+        a = _add(rel, {part_col: str(v)})
+        actions.append(a)
+    _commit(os.path.join(base, "_delta_log"), 0, actions)
+
+
+@query(
+    "sink_delta_append_partitioned",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_delta_append_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned WRITER round-trip (the write half of
+    scan_delta_partition_prune): nation lands as 5 region-partitioned
+    files whose partition column lives ONLY in partitionValues; the
+    identity oracle certifies the reader reconstructed it, and tests pin
+    that a partition_filter read plans exactly one file (metadata
+    pruning against the files this writer named)."""
+    from ..catalog import load_table
+
+    base = _scratch(sf_dir, "delta_sink_part")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation")
+        delta_append_partitioned(spark, base, n, "n_regionkey")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def delta_alter_add_column(
+    spark: SparkSession, base: str, field_name: str, field_type: str
+) -> int:
+    """ALTER TABLE ... ADD COLUMN as the protocol defines it: ONE
+    metadata-only commit carrying a new metaData action whose
+    schemaString appends the (nullable) column — zero file rewrites;
+    files written before it surface typed NULLs under the new schema
+    (the read contract scan_delta_schema_evolution certifies)."""
+    live, schema_string, part_cols, config, _dvs = delta_state(spark, base)
+    schema_json = json.loads(schema_string)
+    if any(f["name"] == field_name for f in schema_json["fields"]):
+        raise ValueError(f"column {field_name!r} already exists")
+    schema_json["fields"].append(
+        {"name": field_name, "type": field_type, "nullable": True, "metadata": {}}
+    )
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _COMMIT_RE.match(f))
+    )
+    version = commits[-1] + 1
+    _commit(
+        log_dir,
+        version,
+        [
+            {"commitInfo": {"operation": "ADD COLUMNS", "column": field_name}},
+            _meta_action(list(part_cols), schema_json=schema_json,
+                         configuration=dict(config)),
+        ],
+    )
+    return version
+
+
+@query(
+    "delta_alter_add_column",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CASE WHEN n_nationkey >= 12
+                THEN CAST(n_nationkey * 10 AS BIGINT) END AS priority
+    FROM nation
+    """,
+)
+def delta_alter_add_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side SCHEMA EVOLUTION round-trip (the write half of
+    scan_delta_schema_evolution): append lo rows → ALTER ADD COLUMN
+    (one metadata-only commit, zero rewrites) → append hi rows WITH the
+    new column. The read must surface typed NULLs for pre-evolution
+    files and real values for post-evolution ones — certified by the
+    oracle; time travel to the pre-ALTER version still answers the
+    original 3-column schema (pinned in tests)."""
+    from ..catalog import load_table
+
+    base = _scratch(sf_dir, "delta_sink_alter")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation")
+        delta_append_commit(
+            spark, base, n.filter("n_nationkey < 12"), "part-lo.parquet", first=True
+        )
+        delta_alter_add_column(spark, base, "priority", "long")
+        hi = n.filter("n_nationkey >= 12").withColumn(
+            "priority", (F.col("n_nationkey") * 10).cast("long")
+        )
+        delta_append_commit(spark, base, hi, "part-hi.parquet")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey", "priority"
+    )

@@ -532,3 +532,36 @@ def test_optimize_preserves_history_and_clears_dvs(spark, sf_dir, tmp_path):
         for r in delta_snapshot(spark, base, version=dv_version).collect()
     )
     assert pre == got  # pre-OPTIMIZE version: same content via DVs
+
+
+def test_partitioned_writer_prunes_and_hides_partition_col(spark, sf_dir):
+    """The partitioned writer's files must NOT contain the partition
+    column (protocol: it lives in partitionValues only), and a
+    partition_filter read plans exactly that partition's file."""
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        sink_delta_append_partitioned,
+    )
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+    from sap_cta_data_pipeline_spark.operators.sources import _scratch
+
+    sink_delta_append_partitioned(spark, sf_dir)  # ensure fixture
+    base = _scratch(sf_dir, "delta_sink_part")
+    raw = spark.read.parquet(os.path.join(base, "n_regionkey=2", "part-00000.parquet"))
+    assert "n_regionkey" not in raw.columns
+    df = delta_snapshot(spark, base, partition_filter={"n_regionkey": "2"})
+    assert df.count() == 5
+    assert all("n_regionkey=2" in f for f in df.inputFiles())
+
+
+def test_alter_add_column_history(spark, sf_dir):
+    """Time travel to the pre-ALTER version answers the ORIGINAL
+    3-column schema."""
+    from sap_cta_data_pipeline_spark.registry import QUERIES
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+    from sap_cta_data_pipeline_spark.operators.sources import _scratch
+
+    QUERIES["delta_alter_add_column"](spark, sf_dir).count()  # ensure fixture
+    base = _scratch(sf_dir, "delta_sink_alter")
+    v0 = delta_snapshot(spark, base, version=0)
+    assert v0.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert v0.count() == 12
