@@ -473,3 +473,53 @@ def delta_merge_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
             fh.write("ok")
     return delta_snapshot(spark, clone).select("n_nationkey", "n_name", "n_regionkey")
+
+
+def delta_describe_history_df(spark: SparkSession, base: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit version with the operation
+    and predicate from commitInfo. Commits without a commitInfo action
+    (this repo's plain appends, matching early Delta writers) are
+    classified from their actions: any data-changing add -> WRITE,
+    otherwise METADATA. Driver work is O(commits) metadata — the same
+    bounded class as every log replay; production tables bound it by log
+    retention + checkpoints."""
+    log_dir = os.path.join(base, "_delta_log")
+    rows = []
+    for v in sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _COMMIT_RE.match(f))
+    ):
+        acts = _read_commit(log_dir, v)
+        ci = next((a["commitInfo"] for a in acts if "commitInfo" in a), None)
+        if ci is not None:
+            op, pred = ci.get("operation", "WRITE"), ci.get("predicate")
+        elif any("add" in a and a["add"].get("dataChange") for a in acts):
+            op, pred = "WRITE", None
+        else:
+            op, pred = "METADATA", None
+        rows.append((v, op, pred))
+    return spark.createDataFrame(
+        rows, "version int, operation string, predicate string"
+    )
+
+
+@query(
+    "delta_describe_history",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 'WRITE',  CAST(NULL AS VARCHAR)),
+        (1, 'WRITE',  CAST(NULL AS VARCHAR)),
+        (2, 'DELETE', 'n_nationkey = 2'),
+        (3, 'UPDATE', 'n_nationkey % 5 = 1')
+    ) AS t(version, operation, predicate)
+    """,
+)
+def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the update fixture's log: two plain appends
+    (no commitInfo -> inferred WRITE), the DV DELETE, and the CoW UPDATE
+    — version, operation, and predicate pinned literally by the oracle.
+    The maintenance twin for the house txnlog format is
+    txnlog_describe_history; this one speaks the Delta log."""
+    # reuse (and if needed build) the update round-trip fixture
+    delta_update_cow_roundtrip.__wrapped__(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_update_cow")
+    return delta_describe_history_df(spark, clone)

@@ -1809,3 +1809,138 @@ def iceberg_compact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ------------------------------------------------- equality-delete writer
+
+
+_PA_OF_ICEBERG = {"int": "int32", "long": "int64", "string": "string",
+                  "double": "float64", "boolean": "bool"}
+
+
+def iceberg_eq_delete(
+    spark: SparkSession, base: str, column: str, values: list
+) -> int:
+    """``DELETE FROM <table> WHERE column IN (values)`` emitted as an
+    Iceberg v2 EQUALITY-DELETE file (round 8, batch DP — the write half
+    of the round-7 eq-delete reader; completes writer symmetry for both
+    delete encodings next to ``iceberg_delete_where``'s position
+    deletes). The delete parquet carries ONLY the equality column; its
+    manifest entry (content=2) names the column by FIELD ID
+    (equality_ids), and the new snapshot's sequence number exceeds every
+    current data file's — so the reader's strict gate (file seq <
+    delete seq) applies it to all current data while rows appended
+    AFTER the delete survive, which is exactly how an eq-delete writer
+    expresses "delete by value as of now" without reading one data row.
+
+    That no-data-read property is the 100-TB point: a position-delete
+    writer must probe the table to find row positions; an equality
+    delete is O(|values|) metadata regardless of table size — the
+    engine-side trade both real writers (Flink CDC, Spark MERGE) make.
+    Returns the committed metadata version."""
+    import pandas as pd
+    import pyarrow as pa
+    import re as _re
+
+    from .delta_reader import _write_parquet_file
+
+    meta_dir = os.path.join(base, "metadata")
+    vals = sorted(set(values))
+    for _ in range(10):
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(meta_dir)
+            if (m := _re.match(r"^v(\d+)\.metadata\.json$", f))
+        ]
+        cur_v = max(versions)
+        with open(os.path.join(meta_dir, f"v{cur_v}.metadata.json")) as fh:
+            prev = json.load(fh)
+        fields = _current_schema(prev)
+        fid = next((f["id"] for f in fields if f["name"] == column), None)
+        if fid is None:
+            raise ValueError(f"no column {column!r} in the current schema")
+        ftype = next(f["type"] for f in fields if f["name"] == column)
+        if ftype not in _PA_OF_ICEBERG:
+            raise NotImplementedError(f"eq-delete on {ftype!r} column")
+        seq = prev.get("last-sequence-number", 0) + 1
+        snap_id = 1000 + seq
+        del_rel = f"del-eq-{seq}.parquet"
+        _write_parquet_file(
+            pa.schema([pa.field(column, pa.type_for_alias(_PA_OF_ICEBERG[ftype]))]),
+            pd.DataFrame({column: vals}),
+            os.path.join(base, "data", del_rel),
+        )
+        mrel = f"m-eqdel-{snap_id}.avro"
+        write_container(
+            os.path.join(meta_dir, mrel),
+            _MANIFEST_ENTRY_EQ_SCHEMA,
+            [_eq_entry(base, del_rel, 2, len(vals), seq, equality_ids=[fid])],
+        )
+        snaps = {s["snapshot-id"]: s for s in prev["snapshots"]}
+        _, prev_manifests = read_container(
+            _resolve_path(base, snaps[prev["current-snapshot-id"]]["manifest-list"])
+        )
+        mlrel = f"snap-{snap_id}.avro"
+        write_container(
+            os.path.join(meta_dir, mlrel),
+            _MANIFEST_FILE_SCHEMA,
+            prev_manifests + [_manifest_file_rec(base, mrel, 1, snap_id, seq)],
+        )
+        md = dict(prev)
+        snap = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": 1700000000000 + seq,
+            "manifest-list": "file://" + os.path.join(meta_dir, mlrel),
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        md["current-snapshot-id"] = snap_id
+        md["snapshots"] = list(md.get("snapshots", [])) + [snap]
+        try:
+            _put_metadata_if_absent(meta_dir, cur_v + 1, md)
+        except IcebergCommitConflict:
+            continue
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(cur_v + 1))
+        return cur_v + 1
+    raise IcebergCommitConflict(
+        f"gave up after 10 contended metadata versions under {meta_dir}"
+    )
+
+
+@query(
+    "sink_iceberg_eq_delete",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_name <> 'NATION_15'
+    """,
+)
+def sink_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete round-trip: append lo+hi (sequences 1, 2), delete
+    ``n_name IN ('NATION_3', 'NATION_15')`` by VALUE at sequence 3
+    (touching zero data rows — the writer is metadata-only), then
+    RE-APPEND the NATION_3 row at sequence 4: the strict sequence gate
+    must delete both originals and let the re-insert survive, so the
+    snapshot is nation minus NATION_15. Time travel to the pre-delete
+    snapshot still answers the full table (pinned in tests)."""
+    from ..catalog import load_table
+
+    base = _scratch(sf_dir, "iceberg_sink_eqdel")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation")
+        iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+        iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+        iceberg_eq_delete(
+            spark, base, "n_name", ["NATION_3", "NATION_15"]
+        )
+        iceberg_append(
+            spark, base, n.filter("n_name = 'NATION_3'"), "a2.parquet"
+        )
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return iceberg_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
