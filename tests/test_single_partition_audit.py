@@ -108,6 +108,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ts_bollinger_breach": 3,  # day-grain trailing-20 windows (O(days) rows)
     "ts_drawdown_max": 3,  # day-grain running cum/peak windows + 1-row final
     "stats_anova_oneway": 1,  # 1-row sufficient-stats total (k, N, grand mean)
+    "stats_fdr_bh_adjust": 3,  # battery-grain BH rank/step-up windows (n_tests rows)
     "stats_chi2_independence": 3,  # grand-total window over ≤types×7 CELLS, then 1-row final
     "stats_kendall_tau": 1,  # 25-row grain self-join → 1-row concordance final
     "ml_mcc": 1,  # 1-row confusion final
