@@ -164,12 +164,17 @@ def iceberg_state(
         for e in entries:
             if e["status"] == 2:  # DELETED — file dropped from snapshot
                 continue
+            # Presence-aware pruning (partition-spec evolution): a file
+            # written under an OLDER spec lacks the newer partition field
+            # in its partition record and therefore CANNOT be pruned on
+            # it — only entries that carry the field and mismatch drop.
+            part_rec = e["data_file"].get("partition") or {}
             if (
                 partition_filter
                 and m.get("content", 0) == 0
                 and e["data_file"].get("content", 0) == 0
                 and any(
-                    e["data_file"].get("partition", {}).get(k) != v
+                    k in part_rec and part_rec[k] != v
                     for k, v in partition_filter.items()
                 )
             ):
