@@ -60,6 +60,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "events_ab_sequential_sprt": 3,  # day-grain cumulative window (O(days) rows)
     "events_ab_power_mde": 2,  # 1-row base-rate/traffic broadcast x 3-row grid
     "events_churn_flags": 2,
+    "events_uplift_qini": 3,  # user-grain score rank (ml_auc_roc class) + 10-row decile windows
     "events_did_estimator": 1,  # 4-cell agg → 1-row DiD fold
     "events_forecast_snaive": 2,  # 1-row horizon (max day) broadcast
     "events_conversion_latency": 1,
@@ -75,6 +76,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "lineitem_abc_pareto": 3,
     "ml_auc_roc": 3,
     "ml_ks_test": 3,
+    "ml_isotonic_calibration": 3,  # 20-bin-grain cum windows + bounded minimax closure
     "ml_kfold_assign": 2,  # 1-row grand-total broadcast (complement identity)
     "ml_lift_gains_table": 3,
     "ml_ols_two_feature": 1,  # sufficient-stats 1-row frames (normal equations)
