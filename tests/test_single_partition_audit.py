@@ -77,6 +77,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ml_auc_roc": 3,
     "ml_ks_test": 3,
     "ml_isotonic_calibration": 3,  # 20-bin-grain cum windows + bounded minimax closure
+    "ml_shap_linear_exact": 1,  # 1-row sufficient-stats fit broadcast (ml_ols class)
     "ml_kfold_assign": 2,  # 1-row grand-total broadcast (complement identity)
     "ml_lift_gains_table": 3,
     "ml_ols_two_feature": 1,  # sufficient-stats 1-row frames (normal equations)
