@@ -57,6 +57,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
     "events_ab_cuped": 2,  # 1-row theta/mean broadcast (sub_scalar_global class)
     "events_ab_ttest": 1,
+    "events_attribution_shapley": 1,  # ≤8-row coalition table → 1-row pivot final
     "events_ab_sequential_sprt": 3,  # day-grain cumulative window (O(days) rows)
     "events_ab_power_mde": 2,  # 1-row base-rate/traffic broadcast x 3-row grid
     "events_churn_flags": 2,
