@@ -110,6 +110,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "text_js_divergence_sources": 2,  # 1-row grand-total broadcast feeding both term branches
     "graph_assortativity": 1,  # 1-row corr/count final over the degree-pair frame
     "ts_stl_decompose_daily": 3,  # day-grain centered-MA windows + 7-row seasonal normalize
+    "ts_seasonal_strength": 3,  # composes the STL day-grain windows + 1-row strength final
     "ts_bollinger_breach": 3,  # day-grain trailing-20 windows (O(days) rows)
     "ts_drawdown_max": 3,  # day-grain running cum/peak windows + 1-row final
     "stats_anova_oneway": 1,  # 1-row sufficient-stats total (k, N, grand mean)
