@@ -108,6 +108,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "sort_multikey": 3,
     "stats_mutual_information": 2,  # 1-row grand-total broadcast over the joint frame
     "text_js_divergence_sources": 2,  # 1-row grand-total broadcast feeding both term branches
+    "text_lm_kneser_ney_bigram": 2,  # 1-row bigram-type-count broadcast (KN denominator)
     "graph_assortativity": 1,  # 1-row corr/count final over the degree-pair frame
     "ts_stl_decompose_daily": 3,  # day-grain centered-MA windows + 7-row seasonal normalize
     "ts_seasonal_strength": 3,  # composes the STL day-grain windows + 1-row strength final
