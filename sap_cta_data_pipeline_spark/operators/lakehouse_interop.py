@@ -111,6 +111,7 @@ def delta_append_commit(
     file_name: str,
     stats_col: str | None = None,
     first: bool = False,
+    extra_actions: list[dict] | None = None,
 ) -> None:
     """Stage ``df`` as one data file and commit it: version = last + 1,
     actions = [protocol, metaData]? + [add]. The commit JSON is renamed
@@ -141,6 +142,8 @@ def delta_append_commit(
             _meta_action([], schema_json=df.schema.jsonValue()),
         ]
     actions.append(add)
+    if extra_actions:
+        actions.extend(extra_actions)  # e.g. SetTransaction (txn) markers
     # optimistic concurrency: the staged data file is conflict-free (its
     # name is ours alone); only the VERSION slot is contended. A loser of
     # the put-if-absent race re-reads the log tip and retries — appends
