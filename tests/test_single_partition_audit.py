@@ -56,6 +56,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "emb_isotropy_score": 2,  # 64-row centroid + 1-row cnorm broadcasts, 1-row final
     "emb_outlier_mahalanobis": 2,  # 64-row dim-stats broadcast + top-20 limit window
     "events_ab_cuped": 2,  # 1-row theta/mean broadcast (sub_scalar_global class)
+    "events_ab_ratio_delta_method": 3,  # 2-row arm-stat frame + cross-arm windows
     "events_ab_ttest": 1,
     "events_attribution_shapley": 1,  # ≤8-row coalition table → 1-row pivot final
     "events_ab_sequential_sprt": 3,  # day-grain cumulative window (O(days) rows)
@@ -95,6 +96,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "orders_seasonality_index": 3,
     "profile_histogram_auto": 2,
     "profile_join_key_skew": 1,
+    "profile_shuffle_balance": 3,  # P-row (32) partition-load windows
     "profile_table": 1,
     "quantile_accuracy_eval": 1,
     "scan_parquet": 1,
@@ -110,6 +112,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "text_js_divergence_sources": 2,  # 1-row grand-total broadcast feeding both term branches
     "text_lm_kneser_ney_bigram": 2,  # 1-row bigram-type-count broadcast (KN denominator)
     "graph_assortativity": 1,  # 1-row corr/count final over the degree-pair frame
+    "ts_fourier_seasonal_fit": 3,  # day-grain series windows + 1-row coef/r2 broadcasts
     "ts_stl_decompose_daily": 3,  # day-grain centered-MA windows + 7-row seasonal normalize
     "ts_seasonal_strength": 3,  # composes the STL day-grain windows + 1-row strength final
     "ts_bollinger_breach": 3,  # day-grain trailing-20 windows (O(days) rows)
