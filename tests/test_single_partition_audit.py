@@ -91,6 +91,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "orders_association_rules": 2,
     "part_abc_xyz_matrix": 3,
     "orders_growth_mom_yoy": 3,
+    "orders_panel_within_estimator": 3,  # panel-grain (nation×month) demean windows + 1-row final
     "orders_open_backlog_daily": 3,
     "orders_queue_backlog_lindley": 3,  # calendar-bounded day-grain cumsum/min windows
     "orders_seasonality_index": 3,
@@ -112,7 +113,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "text_js_divergence_sources": 2,  # 1-row grand-total broadcast feeding both term branches
     "text_lm_kneser_ney_bigram": 2,  # 1-row bigram-type-count broadcast (KN denominator)
     "graph_assortativity": 1,  # 1-row corr/count final over the degree-pair frame
-    "ts_fourier_seasonal_fit": 3,  # day-grain series windows + 1-row coef/r2 broadcasts
+    "ts_fourier_seasonal_fit": 3,
+    "ts_haar_wavelet_energy": 3,  # day-grain index window + halving cascade + 1-row total  # day-grain series windows + 1-row coef/r2 broadcasts
     "ts_stl_decompose_daily": 3,  # day-grain centered-MA windows + 7-row seasonal normalize
     "ts_seasonal_strength": 3,  # composes the STL day-grain windows + 1-row strength final
     "ts_bollinger_breach": 3,  # day-grain trailing-20 windows (O(days) rows)
