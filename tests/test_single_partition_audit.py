@@ -107,6 +107,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "sim_ann_ivfpq_rerank": 2,  # composes sim_ann_ivfpq — inherits its builds
     "sim_recall_eval": 2,  # composes sim_ann_ivf → inherits its centroid build
     "sink_parquet_bloomfilter": 1,
+    "part_kmeans1d_exact": 3,  # 25-brand-grain rank/prefix windows + bounded split closure
     "part_skyline_pareto": 3,  # n_parts-row offsets table (with_global_running_max)
     "sort_multikey": 3,
     "stats_mutual_information": 2,  # 1-row grand-total broadcast over the joint frame
