@@ -64,6 +64,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "events_churn_flags": 2,
     "events_uplift_qini": 3,  # user-grain score rank (ml_auc_roc class) + 10-row decile windows
     "events_did_estimator": 1,  # 4-cell agg → 1-row DiD fold
+    "events_eb_rate_shrinkage": 2,  # 1-row Beta moment-fit broadcast (sub_scalar_global class)
     "events_forecast_snaive": 2,  # 1-row horizon (max day) broadcast
     "events_conversion_latency": 1,
     "events_cumulative_users": 3,
@@ -114,8 +115,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "text_js_divergence_sources": 2,  # 1-row grand-total broadcast feeding both term branches
     "text_lm_kneser_ney_bigram": 2,  # 1-row bigram-type-count broadcast (KN denominator)
     "graph_assortativity": 1,  # 1-row corr/count final over the degree-pair frame
-    "ts_fourier_seasonal_fit": 3,
-    "ts_haar_wavelet_energy": 3,  # day-grain index window + halving cascade + 1-row total  # day-grain series windows + 1-row coef/r2 broadcasts
+    "ts_fourier_seasonal_fit": 3,  # day-grain series windows + 1-row coef/r2 broadcasts
+    "ts_haar_wavelet_energy": 3,  # day-grain index window + halving cascade + 1-row total
     "ts_stl_decompose_daily": 3,  # day-grain centered-MA windows + 7-row seasonal normalize
     "ts_seasonal_strength": 3,  # composes the STL day-grain windows + 1-row strength final
     "ts_bollinger_breach": 3,  # day-grain trailing-20 windows (O(days) rows)
