@@ -21,7 +21,7 @@ measures, and Luhn checksum validation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
@@ -83,31 +83,50 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries), value-certifying the scores.
 
     Scale: each iteration is two keyed shuffles (edges ⋈ scores,
-    grouped by the other side) + a 1-row norm broadcast — the
-    graph_pagerank loop contract; lineage is localCheckpoint-truncated
-    every 2 iterations so plan growth stays linear."""
+    grouped by the other side) + an L2-norm window over the BOUNDED
+    score frame (nodes of one side — §R class 3; chosen over a 1-row
+    broadcast because accumulated broadcast blocks in a long shared
+    session can exhaust the driver heap, which the 571-key sweep
+    surfaced); the edge build is hinted shuffle_hash (fact⋈fact), and
+    lineage is checkpoint-truncated mid-loop."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # fact⋈fact: force the shuffle hash join — broadcasting the orders
+    # side is wrong at scale AND exhausts long-session driver memory
+    # (the 571-key shared-session sweep surfaced exactly that)
     eg = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.select("o_orderkey", "o_custkey")
+        .hint("shuffle_hash")
+        .join(li.select("l_orderkey", "l_partkey"), F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
         .localCheckpoint()
     )
     h = eg.select("c").distinct().withColumn("h", F.lit(1.0))
     a = None
+    # L2 norms as global windows over the (bounded) score frames — NOT
+    # 1-row broadcasts: in a long shared session accumulated broadcast
+    # blocks can exhaust the driver heap and fail ANY new broadcast
+    # build (observed in the 571-key sweep); windows spill instead.
+    wall = Window.partitionBy()
     for k in range(1, _HITS_ITERS + 1):
         ar = eg.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
-        anorm = ar.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
-        a = ar.crossJoin(F.broadcast(anorm)).select(
-            "p", (F.col("a") / F.col("nrm")).alias("a")
+        a = ar.select(
+            "p",
+            (
+                F.col("a")
+                / F.sqrt(F.sum(F.col("a") * F.col("a")).over(wall))
+            ).alias("a"),
         )
         hr = eg.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
-        hnorm = hr.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
-        h = hr.crossJoin(F.broadcast(hnorm)).select(
-            "c", (F.col("h") / F.col("nrm")).alias("h")
+        h = hr.select(
+            "c",
+            (
+                F.col("h")
+                / F.sqrt(F.sum(F.col("h") * F.col("h")).over(wall))
+            ).alias("h"),
         )
-        if k % 2 == 0:
+        if k == 3:
             a, h = a.localCheckpoint(), h.localCheckpoint()
     return a.select(
         F.lit("authority").alias("role"),

@@ -72,6 +72,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "events_funnel_conversion_window": 1,  # three 1-row step-count finals
     "events_lateness_report": 3,
     "graph_bfs_layers": 1,  # 1-row seed (global min) + per-layer bounded frontiers
+    "graph_hits_bipartite": 3,  # L2-norm windows over one-side score frames (long-session heap hygiene)
     "graph_triangle_count": 1,
     "ids_assign_global": 3,
     "json_shred_discover": 1,  # 3-row union of per-key global-agg profiles
