@@ -88,6 +88,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "ml_pr_auc": 3,  # value-grain running window, ml_auc_roc class
     "ml_threshold_optimal": 3,  # score-grain cumulative windows + 1-row argmax finals
     "ml_psi_drift": 2,
+    "ml_wasserstein_drift": 3,  # value-grain CDF running window (ml_auc_roc class) + 1-row final
     "ml_woe_iv_binning": 3,  # bin-grain total windows over 10 rows (ml_psi_drift class)
     "ml_target_encoding": 2,
     "orders_association_rules": 2,
