@@ -78,6 +78,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "json_shred_discover": 1,  # 3-row union of per-key global-agg profiles
     "lang_id_confusion_eval": 1,
     "lineitem_abc_pareto": 3,
+    "ml_auc_delong_se": 3,  # value-grain rank windows (ml_auc_roc class) + 1-row final
     "ml_auc_roc": 3,
     "ml_ks_test": 3,
     "ml_isotonic_calibration": 3,  # 20-bin-grain cum windows + bounded minimax closure
