@@ -134,6 +134,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int] = {
     "sort_nulls_explicit": 3,
     "sub_not_in_nulls": 1,
     "sub_scalar_global": 1,
+    "text_bleu2_corpus_eval": 1,  # four 1-row corpus-sum finals (clip/len sufficient stats)
     "text_bm25_topk": 2,
     "text_collocations_pmi": 3,
     "text_tfidf_topk": 2,
