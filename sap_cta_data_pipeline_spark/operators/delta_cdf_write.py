@@ -91,7 +91,13 @@ def _rewrite_with_changes(
     actions = []
     for i, fname in enumerate(hit_files):
         old = tagged.filter(F.col("__file") == fname)
-        survivors = old.filter(f"NOT ({predicate})").drop("__file")
+        # Null-safe complement: SQL DELETE/UPDATE keep rows whose
+        # condition is not TRUE (a NULL predicate keeps the row), so the
+        # survivor set is ¬coalesce(pred, false) — NOT(pred) alone would
+        # silently drop NULL-evaluating rows from the rewritten file.
+        survivors = old.filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        ).drop("__file")
         new_rows = new_rows_of(old.filter(predicate).drop("__file"))
         rel = f"rw-{version}-{i}.parquet"
         _stage_single_parquet(
@@ -121,9 +127,13 @@ def delta_update_where_cdf(
     matched = full.filter(predicate)
 
     def _apply(df: DataFrame) -> DataFrame:
-        for col, expr in sorted(set_map.items()):
-            df = df.withColumn(col, F.expr(expr))
-        return df
+        # All SET expressions evaluate against the PRE-update row (SQL
+        # UPDATE semantics): one simultaneous select, never chained
+        # withColumn, so `SET a = b, b = a` swaps instead of copying.
+        upd = {c: F.expr(e) for c, e in set_map.items()}
+        return df.select(
+            *[upd.get(c, F.col(c)).alias(c) for c in df.columns]
+        )
 
     pre = matched.withColumn("_change_type", F.lit("update_preimage"))
     post = _apply(matched).withColumn(

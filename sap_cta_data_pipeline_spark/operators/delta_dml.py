@@ -286,6 +286,15 @@ def delta_merge_into(
     read_tip = _log_tip(base)
 
     src = source.select(*tgt_cols)  # column order normalized to target
+    # Delta MERGE raises on multiple source rows matching one target row;
+    # a duplicate-keyed source would silently multiply matched target rows
+    # in the left join below. One keyed agg over the (small-side) source.
+    if src.groupBy(on).count().filter("count > 1").limit(1).count() > 0:
+        raise ValueError(
+            f"MERGE source has duplicate rows on merge key {on!r}: each "
+            "target row must match at most one source row (Delta "
+            "DELTA_MULTIPLE_SOURCE_ROW_MATCHING semantics)"
+        )
     tagged = _tagged_read(spark, base, list(abs_of), data_schema)
     # DV apply that KEEPS the (file, position) tags — matched-file
     # discovery and per-file rewrites both need attribution after the
@@ -325,8 +334,13 @@ def delta_merge_into(
     ]
     # (3) rewrite matched files: source wins on update_cols where the key
     # matches; every other column (and unmatched rows) keep target values
+    # Match presence gates the update (never coalesce: a source row that
+    # explicitly carries NULL in an update column must SET NULL, exactly
+    # as SQL MERGE does — coalesce would keep the target value instead).
     src_upd = src.select(
-        F.col(on), *[F.col(c).alias(f"__src_{c}") for c in update_cols]
+        F.col(on),
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
     )
     for i, fp in enumerate(sorted(matched_files)):
         rel = abs_of[fp]
@@ -334,7 +348,11 @@ def delta_merge_into(
         rewritten = rows.join(src_upd, on, "left").select(
             *[
                 (
-                    F.coalesce(F.col(f"__src_{c}"), F.col(c))
+                    F.when(
+                        F.coalesce(F.col("__matched"), F.lit(False)),
+                        F.col(f"__src_{c}"),
+                    )
+                    .otherwise(F.col(c))
                     .cast(dict(zip(tgt_cols, [f.dataType for f in data_schema.fields]))[c])
                     .alias(c)
                     if c in update_cols

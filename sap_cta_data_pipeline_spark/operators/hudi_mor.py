@@ -284,12 +284,24 @@ def _decoded_log_records(
 
 
 def hudi_mor_snapshot(
-    spark: SparkSession, base: str, as_of: str | None = None
+    spark: SparkSession,
+    base: str,
+    as_of: str | None = None,
+    fids: set[str] | None = None,
+    keep_key: bool = False,
 ) -> DataFrame:
     """Merge-on-read snapshot (optionally AS OF an instant): base parquet
     ∪ executor-decoded log records → one record-key groupBy taking the
-    max-ordering record → drop tombstones and meta columns."""
+    max-ordering record → drop tombstones and meta columns.
+
+    ``fids`` restricts the merge to those file groups' slices (the
+    compactor's per-group view — record keys map to exactly one file
+    group, so a group's merge never needs another group's slice);
+    ``keep_key`` retains ``_hoodie_record_key`` in the output (the
+    compactor re-emits it into the new base slice)."""
     slices = hudi_mor_state(base, as_of)
+    if fids is not None:
+        slices = {fid: s for fid, s in slices.items() if fid in fids}
     base_paths = sorted(p for p, _ in slices.values() if p is not None)
     log_paths = sorted(p for _, logs in slices.values() for p in logs)
     if not base_paths:
@@ -330,9 +342,8 @@ def hudi_mor_snapshot(
         )
         .where(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
     )
-    return latest.select(
-        [c for c in data_cols if not c.startswith("_hoodie_")]
-    )
+    keep = [c for c in data_cols if not c.startswith("_hoodie_")]
+    return latest.select((["_hoodie_record_key"] if keep_key else []) + keep)
 
 
 # --------------------------------------------------------------- fixture

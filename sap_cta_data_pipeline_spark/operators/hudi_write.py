@@ -52,14 +52,33 @@ def _timeline_dir(base: str) -> str:
     return tl
 
 
+_INSTANT_WIDTH = 14  # Hudi-style timestamp width: lexicographic == numeric
+
+
 def _next_instant(tl: str) -> str:
-    done = [
-        int(f.split(".", 1)[0])
+    """Next instant time. New tables start at the Hudi-style 14-digit
+    width so lexicographic timeline ordering (which every reader relies
+    on) equals numeric ordering for any realistic instant count; tables
+    that already carry narrower instant names continue at their existing
+    width, and refuse loudly rather than overflow it (999 → 1000 under
+    3-digit names would sort before 101 lexicographically)."""
+    names = [
+        f.split(".", 1)[0]
         for f in os.listdir(tl)
         if f.endswith((".commit", ".deltacommit", ".inflight", ".requested"))
         and f.split(".", 1)[0].isdigit()
     ]
-    return f"{(max(done) + 1) if done else 1:03d}"
+    if not names:
+        return f"{1:0{_INSTANT_WIDTH}d}"
+    width = max(len(n) for n in names)
+    nxt = max(int(n) for n in names) + 1
+    if len(str(nxt)) > width:
+        raise ValueError(
+            f"instant {nxt} overflows the timeline's {width}-digit naming; "
+            "lexicographic ordering would break — rewrite the timeline at "
+            f"{_INSTANT_WIDTH}-digit width first"
+        )
+    return f"{nxt:0{width}d}"
 
 
 def _complete_instant(
@@ -232,16 +251,18 @@ def hudi_mor_compact(spark: SparkSession, base: str) -> str:
     if not pending:
         raise ValueError(f"nothing to compact under {base}")
     instant = _next_instant(tl)
-    # the merged view of the WHOLE table, written per group (fixture
-    # tables are single-group; multi-group tables filter by key range)
-    merged = hudi_mor_snapshot(spark, base)
     writes = []
     for fid in sorted(pending):
+        # Merge ONLY this group's slice (base + its logs): record keys
+        # map to exactly one file group, so per-group merges partition
+        # the table — writing the whole-table snapshot into every
+        # group's new base would duplicate all rows on ≥2-group tables.
+        merged = hudi_mor_snapshot(spark, base, fids={fid}, keep_key=True)
         rel = f"{fid}_0-0-0_{instant}.parquet"
         out = merged.select(
             F.lit(instant).alias("_hoodie_commit_time"),
-            F.col("n_nationkey").cast("string").alias("_hoodie_record_key"),
-            *[c for c in merged.columns],
+            "_hoodie_record_key",
+            *[c for c in merged.columns if c != "_hoodie_record_key"],
         )
         _stage_single_parquet(out, os.path.join(base, rel))
         writes.append((fid, rel))

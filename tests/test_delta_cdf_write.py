@@ -107,3 +107,58 @@ def test_writers_on_fresh_table(spark, tmp_path, sf_dir):
     feed = delta_table_changes(spark, base, 0, None)
     assert feed.filter("_change_type = 'insert'").count() == 3
     assert feed.filter("_change_type = 'delete'").count() == 1
+
+
+def _fresh_cdf(spark, base, df):
+    from sap_cta_data_pipeline_spark.operators.delta_reader import (
+        _add,
+        _commit,
+        _meta_action,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _stage_single_parquet,
+    )
+
+    _stage_single_parquet(df, os.path.join(base, "seed.parquet"))
+    _commit(
+        os.path.join(base, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            _meta_action(
+                [],
+                schema_json=df.schema.jsonValue(),
+                configuration={"delta.enableChangeDataFeed": "true"},
+            ),
+            _add("seed.parquet"),
+        ],
+    )
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE keeps rows whose condition is not TRUE: a row where the
+    predicate evaluates to NULL must survive the CoW rewrite (NOT(pred)
+    alone would drop it from the rewritten file — data loss)."""
+    base = str(tmp_path / "nulls")
+    _fresh_cdf(
+        spark,
+        base,
+        spark.createDataFrame([(1, 10.0), (2, None), (3, 30.0)], "k long, v double"),
+    )
+    delta_delete_where_cdf(spark, base, "v > 15")
+    snap = {r.k: r.v for r in delta_snapshot(spark, base).collect()}
+    assert snap == {1: 10.0, 2: None}, "NULL-predicate row must survive"
+
+
+def test_update_set_is_simultaneous(spark, tmp_path):
+    """All SET expressions evaluate against PRE-update values: SET a=b,
+    b=a swaps (chained withColumn would copy b into both)."""
+    base = str(tmp_path / "swap")
+    _fresh_cdf(
+        spark,
+        base,
+        spark.createDataFrame([(1, 1, 2), (9, 7, 8)], "k long, a long, b long"),
+    )
+    delta_update_where_cdf(spark, base, "k = 1", {"a": "b", "b": "a"})
+    snap = {r.k: (r.a, r.b) for r in delta_snapshot(spark, base).collect()}
+    assert snap == {1: (2, 1), 9: (7, 8)}

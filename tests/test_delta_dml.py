@@ -205,3 +205,33 @@ def test_merge_retries_past_metadata_only_commit(spark, sf_dir, tmp_path, monkey
     assert n_rewritten == 1
     got = {r.n_nationkey: r.n_name for r in delta_snapshot(spark, base).collect()}
     assert got[0] == got[1] == "U2"
+
+
+def test_merge_explicit_null_in_source_sets_null(spark, sf_dir, tmp_path):
+    """SQL MERGE semantics: a source row carrying NULL in an update
+    column SETS NULL on the matched target row — coalesce would have
+    silently kept the target value."""
+    base = _clone_sink(spark, sf_dir, tmp_path, "mrg_nullset")
+    n = t(spark, sf_dir, "nation").filter("n_nationkey = 1")
+    src = n.select(
+        "n_nationkey",
+        F.lit(None).cast("string").alias("n_name"),
+        "n_regionkey",
+    )
+    _, n_rewritten, n_inserted = delta_merge_into(
+        spark, base, src, "n_nationkey", ["n_name"]
+    )
+    assert (n_rewritten, n_inserted) == (1, 0)
+    got = {r.n_nationkey: r.n_name for r in delta_snapshot(spark, base).collect()}
+    assert got[1] is None
+    assert got[0] is not None, "unmatched rows keep their values"
+
+
+def test_merge_duplicate_source_keys_raise(spark, sf_dir, tmp_path):
+    """Delta MERGE raises when multiple source rows match one target row
+    instead of silently multiplying it."""
+    base = _clone_sink(spark, sf_dir, tmp_path, "mrg_dupsrc")
+    n = t(spark, sf_dir, "nation").filter("n_nationkey < 2")
+    src = n.select("n_nationkey", "n_name", "n_regionkey")
+    with pytest.raises(ValueError, match="duplicate"):
+        delta_merge_into(spark, base, src.unionAll(src), "n_nationkey", ["n_name"])

@@ -97,3 +97,143 @@ def test_mor_compaction_resets_logs_and_preserves_snapshot(spark, sf_dir, tmp_pa
     (bp, _), = [v for v in after_state.values()]
     raw = spark.read.parquet(os.path.join(base, bp))
     assert raw.filter(F.col("n_nationkey") % 5 == 0).count() == 0
+
+
+def test_next_instant_width_discipline(tmp_path):
+    import pytest
+
+    from sap_cta_data_pipeline_spark.operators.hudi_write import (
+        _INSTANT_WIDTH,
+        _next_instant,
+    )
+
+    # new tables start at Hudi-style 14-digit width
+    tl_new = str(tmp_path / "new")
+    os.makedirs(tl_new)
+    first = _next_instant(tl_new)
+    assert first == f"{1:0{_INSTANT_WIDTH}d}"
+    open(os.path.join(tl_new, f"{first}.commit"), "w").close()
+    assert _next_instant(tl_new) == f"{2:0{_INSTANT_WIDTH}d}"
+
+    # legacy narrow tables continue their width...
+    tl_old = str(tmp_path / "old")
+    os.makedirs(tl_old)
+    open(os.path.join(tl_old, "001.commit"), "w").close()
+    assert _next_instant(tl_old) == "002"
+    # ...and refuse to overflow it (999 -> 1000 would break lexicographic
+    # timeline ordering)
+    open(os.path.join(tl_old, "999.commit"), "w").close()
+    with pytest.raises(ValueError, match="overflow"):
+        _next_instant(tl_old)
+
+
+def test_mor_compaction_multi_group_no_duplication(spark, tmp_path):
+    """Compacting a table with TWO pending file groups must write each
+    group's own keys into its new base — not the whole-table snapshot
+    into every group (which would duplicate all rows)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from sap_cta_data_pipeline_spark.operators.hudi_mor import (
+        _AVRO_DATA_BLOCK,
+        _H_INSTANT_TIME,
+        _H_SCHEMA,
+        _log_record_schema,
+        encode_avro_data_block,
+        hudi_mor_snapshot,
+        hudi_mor_state,
+        write_log_block,
+    )
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _stage_single_parquet,
+    )
+
+    base = str(tmp_path / "mg")
+    os.makedirs(base)
+
+    def _based(rows, rel):
+        df = spark.createDataFrame(rows, "k int, v string").select(
+            F.lit("001").alias("_hoodie_commit_time"),
+            F.col("k").cast("string").alias("_hoodie_record_key"),
+            "k",
+            "v",
+        )
+        _stage_single_parquet(df, os.path.join(base, rel))
+
+    _based([(1, "a"), (2, "b")], "fg-a_0-0-0_001.parquet")
+    _based([(11, "x"), (12, "y")], "fg-b_0-0-0_001.parquet")
+
+    avro_schema = _log_record_schema(
+        T.StructType(
+            [
+                T.StructField("_hoodie_record_key", T.StringType()),
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("_hoodie_is_deleted", T.BooleanType()),
+            ]
+        )
+    )
+
+    def _log(rel, recs):
+        hdr = {_H_INSTANT_TIME: "002", _H_SCHEMA: json.dumps(avro_schema)}
+        with open(os.path.join(base, rel), "wb") as fh:
+            write_log_block(
+                fh, _AVRO_DATA_BLOCK, hdr, encode_avro_data_block(avro_schema, recs)
+            )
+
+    _log(
+        "fg-a_0-0-0.log.1_002",
+        [{"_hoodie_record_key": "1", "k": 1, "v": "A", "_hoodie_is_deleted": False}],
+    )
+    _log(
+        "fg-b_0-0-0.log.1_002",
+        [{"_hoodie_record_key": "11", "k": 11, "v": "X", "_hoodie_is_deleted": False}],
+    )
+
+    tl = os.path.join(base, ".hoodie")
+    os.makedirs(tl)
+    with open(os.path.join(tl, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=mg\nhoodie.table.type=MERGE_ON_READ\n")
+    with open(os.path.join(tl, "001.commit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg-a", "path": "fg-a_0-0-0_001.parquet"},
+                        {"fileId": "fg-b", "path": "fg-b_0-0-0_001.parquet"},
+                    ]
+                }
+            },
+            fh,
+        )
+    with open(os.path.join(tl, "002.deltacommit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg-a", "path": "fg-a_0-0-0.log.1_002"},
+                        {"fileId": "fg-b", "path": "fg-b_0-0-0.log.1_002"},
+                    ]
+                }
+            },
+            fh,
+        )
+
+    before = sorted(map(tuple, hudi_mor_snapshot(spark, base).collect()))
+    assert before == [(1, "A"), (2, "b"), (11, "X"), (12, "y")]
+    hudi_mor_compact(spark, base)
+    after_state = hudi_mor_state(base)
+    assert set(after_state) == {"fg-a", "fg-b"}
+    assert all(not logs for _, logs in after_state.values())
+    after = sorted(map(tuple, hudi_mor_snapshot(spark, base).collect()))
+    assert after == before, "no duplication across groups"
+    # each compacted base holds ONLY its own group's keys
+    keys_by_fid = {
+        fid: sorted(
+            r.k
+            for r in spark.read.parquet(os.path.join(base, p)).collect()
+        )
+        for fid, (p, _) in after_state.items()
+    }
+    assert keys_by_fid == {"fg-a": [1, 2], "fg-b": [11, 12]}
