@@ -6,17 +6,26 @@ JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"<key>": min_sec, ...}, "queries_median": {...},
+     "warmed": true, "queries_first_run": {"<key>": cold_sec, ...},
      "n_runs": N, "spread_flags": {"<key>": median/min, ...}, "sf": <sf>,
+     "jvm": {"gc_ms": <cumulative driver GC>, "broadcast_blocks": N},
      "sf1": {"sf": <10x sf>, "profile": "dup-sparse", "value": ...,
              "queries": {...}, "queries_median": {...}, "spread_flags": {...}},
      "diagnostics": {"pair_lane_sf": {...}, "pair_lane_sf1_sparse": {...},
                      "sf1_dense": {...}}}
 
-"queries" is per-query MIN over n_runs (the load-robust estimator);
-"queries_median" + "spread_flags" (median/min > 2) are the round-6
-verdict's variance self-report: a flagged key means the host was noisy
-during THIS run — deltas on it are not evidence of a plan regression
-until re-measured (BASELINE.md documents the protocol).
+"queries" is per-query MIN over n_runs WARM runs — round 9 (verdict ask
+#3): every key runs once UNTIMED first, so the timed runs measure the
+plan, not whole-stage-codegen JIT state (the round-8 cold-JVM lottery:
+dedup_minhash_cluster's first run measured 2-3× its warm wall in the
+same JVM on the same data). The cold walls stay visible per key in
+"queries_first_run"; "jvm" snapshots driver GC time + live
+broadcast-block count so a noisy line is attributable. Single-run
+diagnostics stay unwarmed (their role is the adversarial first-run
+number). "queries_median" + "spread_flags" (median/min > 2) are the
+round-6 verdict's variance self-report: a flagged key means the host was
+noisy during THIS run — deltas on it are not evidence of a plan
+regression until re-measured (BASELINE.md documents the protocol).
 
 The "sf1" section (round-4 verdict ask #1) re-runs the same headline at a
 synthesized 10× replication of the input (scripts/make_sf_scaled.py —
@@ -147,20 +156,69 @@ def _ensure_scaled(src_dir: str, out_dir: str, dup_sparse: bool = False) -> str 
 
 
 def _run_headline(
-    spark, sf_dir: str, n_runs: int, keys: list[str] | None = None
-) -> dict[str, list[float]]:
-    """All per-run wall times per key (run 1 pays one-time plan-compile +
-    Python-worker spawn; later runs measure the plan)."""
+    spark,
+    sf_dir: str,
+    n_runs: int,
+    keys: list[str] | None = None,
+    warm: bool = True,
+) -> tuple[dict[str, list[float]], dict[str, float]]:
+    """Per-key wall times: one UNTIMED warm pass first (whole-stage-
+    codegen JIT + shuffle/page-cache build — the round-8 verdict showed
+    the first run of a heavy lane can be 2-3× its warm wall purely on
+    JVM state, making min-of-N a cold-run lottery when the runs
+    interleave many keys), then ``n_runs`` timed runs that measure the
+    PLAN. The warm pass's wall is returned separately (first_run) so the
+    cold cost stays visible instead of polluting the estimator."""
     runs: dict[str, list[float]] = {}
+    first: dict[str, float] = {}
     for key in keys if keys is not None else HEADLINE:
+        if warm:
+            t0 = time.perf_counter()
+            _materialize(QUERIES[key](spark, sf_dir))
+            first[key] = round(time.perf_counter() - t0, 3)
         times: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             _materialize(QUERIES[key](spark, sf_dir))
             times.append(round(time.perf_counter() - t0, 3))
         runs[key] = times
-        print(f"{key}: min {min(times)}s  runs {times}", file=sys.stderr)
-    return runs
+        cold = f"  first {first[key]}s" if warm else ""
+        print(f"{key}: min {min(times)}s  runs {times}{cold}", file=sys.stderr)
+    return runs, first
+
+
+def _jvm_health(spark) -> dict:
+    """Driver-JVM state snapshot emitted alongside the timings (round-8
+    verdict ask #3): cumulative GC wall and live broadcast-block count —
+    the two signals that separate "the plan regressed" from "the JVM was
+    busy/full" (the 571-key sweep's broadcast-heap exhaustion was exactly
+    an accumulated-broadcast-blocks failure)."""
+    out: dict = {}
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        out["gc_ms"] = sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception as ex:  # noqa: BLE001 — diagnostics never break the line
+        out["gc_ms"] = None
+        print(f"gc probe failed: {ex}", file=sys.stderr)
+    try:
+        jvm = spark.sparkContext._jvm
+        statuses = (
+            spark.sparkContext._jsc.sc().env().blockManager().master().getStorageStatus()
+        )
+        n = 0
+        for st in statuses:
+            jmap = jvm.scala.collection.JavaConverters.mapAsJavaMap(st.blocks())
+            n += sum(
+                1 for bid in jmap.keySet() if bid.toString().startswith("broadcast_")
+            )
+        out["broadcast_blocks"] = n
+    except Exception as ex:  # noqa: BLE001
+        out["broadcast_blocks"] = None
+        print(f"broadcast-block probe failed: {ex}", file=sys.stderr)
+    return out
 
 
 def _stats(runs: dict[str, list[float]]) -> tuple[dict, dict, dict]:
@@ -218,7 +276,7 @@ def main() -> int:
     # load-robust wall-clock estimator. Run 1 also pays one-time
     # plan-compile + Python-worker spawn; run 2 measures the plan.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    runs = _run_headline(spark, sf_dir, n_runs)
+    runs, first = _run_headline(spark, sf_dir, n_runs)
     timings, medians, flags = _stats(runs)
 
     out = {
@@ -227,15 +285,21 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        # round-9: every timed run is WARM (one untimed pass per key
+        # first), so min/median measure the plan, not whole-stage-codegen
+        # JIT state; the cold walls stay visible in queries_first_run.
+        "warmed": True,
+        "queries_first_run": first,
         "n_runs": n_runs,
         "spread_flags": flags,
         "sf": sf,
+        "jvm": _jvm_health(spark),
     }
 
     # pair-enumeration minhash diagnostic at the primary scale (1 run —
     # diagnostic, not a gated headline number)
     try:
-        d0, _, _ = _stats(_run_headline(spark, sf_dir, 1, DIAGNOSTIC))
+        d0, _, _ = _stats(_run_headline(spark, sf_dir, 1, DIAGNOSTIC, warm=False)[0])
         out["diagnostics"] = {"pair_lane_sf": d0}
     except Exception as ex:  # noqa: BLE001
         print(f"diagnostic bench failed: {ex}", file=sys.stderr)
@@ -247,19 +311,22 @@ def main() -> int:
         if sparse_dir is not None:
             try:
                 print(f"== 10x scale, dup-sparse ({sparse_dir}) ==", file=sys.stderr)
-                t1, m1, f1 = _stats(_run_headline(spark, sparse_dir, n_runs))
+                runs1, first1 = _run_headline(spark, sparse_dir, n_runs)
+                t1, m1, f1 = _stats(runs1)
                 out["sf1"] = {
                     "sf": round(sf * 10, 3),
                     "profile": "dup-sparse",
                     "value": round(sum(t1.values()), 3),
                     "queries": t1,
                     "queries_median": m1,
+                    "warmed": True,
+                    "queries_first_run": first1,
                     "n_runs": n_runs,
                     "spread_flags": f1,
                 }
                 print("== 10x pair-lane diagnostic (dup-sparse) ==", file=sys.stderr)
                 out.setdefault("diagnostics", {})["pair_lane_sf1_sparse"] = (
-                    _stats(_run_headline(spark, sparse_dir, 1, DIAGNOSTIC))[0]
+                    _stats(_run_headline(spark, sparse_dir, 1, DIAGNOSTIC, warm=False)[0])[0]
                 )
             except Exception as ex:  # noqa: BLE001
                 print(f"sf1 bench failed: {ex}", file=sys.stderr)
@@ -277,7 +344,7 @@ def main() -> int:
                     )
                     print("== 10x diagnostics (dup-dense) ==", file=sys.stderr)
                     out.setdefault("diagnostics", {})["sf1_dense"] = _stats(
-                        _run_headline(spark, dense_dir, 1, keys)
+                        _run_headline(spark, dense_dir, 1, keys, warm=False)[0]
                     )[0]
             except Exception as ex:  # noqa: BLE001
                 print(f"dup-dense diagnostic failed: {ex}", file=sys.stderr)

@@ -85,7 +85,11 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_nulls_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit NULLS LAST ordering (Spark defaults ASC→NULLS FIRST, DuckDB
     →NULLS LAST — never rely on defaults, SURVEY.md §5.3). Negative balances
-    are mapped to NULL to synthesize the nulls."""
+    are mapped to NULL to synthesize the nulls. The global row_number is
+    the operator's contract (supplier is dim-sized here); at 100 TB the
+    same total order runs through the range-partitioned rank helper
+    (functions/ranks.py: repartitionByRange + local row_number +
+    broadcast offsets — NULLS LAST maps to a highest-range bucket)."""
     s = t(spark, sf_dir, "supplier")
     pos_bal = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(F.col("s_acctbal"))
     out = s.select("s_suppkey", pos_bal.alias("pos_bal"))

@@ -83,12 +83,18 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries), value-certifying the scores.
 
     Scale: each iteration is two keyed shuffles (edges ⋈ scores,
-    grouped by the other side) + an L2-norm window over the BOUNDED
-    score frame (nodes of one side — §R class 3; chosen over a 1-row
-    broadcast because accumulated broadcast blocks in a long shared
-    session can exhaust the driver heap, which the 571-key sweep
-    surfaced); the edge build is hinted shuffle_hash (fact⋈fact), and
-    lineage is checkpoint-truncated mid-loop."""
+    grouped by the other side) and NOTHING else — normalization is
+    DEFERRED out of the loop entirely. Each per-iteration L2 normalize
+    only rescales, and the maps h↦Aᵀh, a↦Aa are linear, so the
+    unnormalized trajectory stays proportional to the normalized one:
+    the direction after 6 iterations is identical, and 6 iterations of
+    raw degree-weighted sums cannot overflow doubles (growth ≈ ‖A‖² per
+    iteration). The two FINAL norms attach as §R class-2 1-row scalar
+    crossJoins (2 one-row broadcasts per run, vs the round-8 shape's 12
+    in-loop `Exchange SinglePartition` passes over corpus-sized node
+    frames — the round-8 verdict's scale defect). The edge build is
+    hinted shuffle_hash (fact⋈fact); lineage is checkpoint-truncated
+    mid-loop."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     # fact⋈fact: force the shuffle hash join — broadcasting the orders
@@ -104,30 +110,25 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = eg.select("c").distinct().withColumn("h", F.lit(1.0))
     a = None
-    # L2 norms as global windows over the (bounded) score frames — NOT
-    # 1-row broadcasts: in a long shared session accumulated broadcast
-    # blocks can exhaust the driver heap and fail ANY new broadcast
-    # build (observed in the 571-key sweep); windows spill instead.
-    wall = Window.partitionBy()
+    # Unnormalized power iteration: in-loop L2 norms only rescale (see
+    # docstring), so the loop body is purely the two keyed shuffles.
     for k in range(1, _HITS_ITERS + 1):
-        ar = eg.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
-        a = ar.select(
-            "p",
-            (
-                F.col("a")
-                / F.sqrt(F.sum(F.col("a") * F.col("a")).over(wall))
-            ).alias("a"),
-        )
-        hr = eg.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
-        h = hr.select(
-            "c",
-            (
-                F.col("h")
-                / F.sqrt(F.sum(F.col("h") * F.col("h")).over(wall))
-            ).alias("h"),
-        )
+        a = eg.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
+        h = eg.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
         if k == 3:
             a, h = a.localCheckpoint(), h.localCheckpoint()
+    # Final normalization: 1-row aggregates attached via explicit-
+    # broadcast crossJoin (§R class 2) — two 1-row broadcast blocks per
+    # run, which long-session hygiene tolerates (the round-8 concern was
+    # 12 per run accumulating across a 571-key sweep).
+    a_n = a.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("__n"))
+    h_n = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("__n"))
+    a = a.crossJoin(F.broadcast(a_n)).select(
+        "p", (F.col("a") / F.col("__n")).alias("a")
+    )
+    h = h.crossJoin(F.broadcast(h_n)).select(
+        "c", (F.col("h") / F.col("__n")).alias("h")
+    )
     return a.select(
         F.lit("authority").alias("role"),
         bi(F.col("p")).alias("node"),

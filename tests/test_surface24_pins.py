@@ -75,3 +75,17 @@ def test_luhn_classic_vector_and_split(spark, sf_dir):
         assert r.luhn_valid == (r.o_orderkey % 2 == 0), (
             "even keys carry the correct check digit, odd keys off-by-one"
         )
+
+
+def test_hits_plan_no_inloop_global_exchanges(spark, sf_dir):
+    """Round-9 fix pin: normalization is deferred out of the loop, so the
+    plan carries at most the TWO post-loop 1-row norm finals — never the
+    round-8 shape's 12 in-loop Exchange SinglePartition passes over
+    corpus-sized node frames."""
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    d = digest(graph_hits_bipartite.__wrapped__(spark, sf_dir))
+    assert d.n_single_partition <= 2, (
+        f"{d.n_single_partition} single-partition exchanges — in-loop "
+        "global windows are back?"
+    )
