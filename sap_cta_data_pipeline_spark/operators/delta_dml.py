@@ -126,13 +126,57 @@ def _dv_filter(spark: SparkSession, base: str, dvs: dict[str, dict], df: DataFra
     )
 
 
+def _phys_map(
+    schema: _T.StructType, config: dict
+) -> dict[str, str] | None:
+    """logical→physical column-name map when column mapping is on (mode
+    "name"/"id": data files store opaque physical names carried in the
+    schemaString's per-field metadata — the same resolution the reader's
+    ``phys_of`` does, threaded through the DML writers in round 9), else
+    None (physical == logical)."""
+    if config.get("delta.columnMapping.mode") not in ("name", "id"):
+        return None
+    return {
+        f.name: f.metadata.get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+
+
+def _to_physical(
+    df: DataFrame, data_schema: _T.StructType, phys_of: dict[str, str] | None
+) -> DataFrame:
+    """Rename a logical-named frame to physical names for staging into a
+    column-mapped table's data files (no-op when mapping is off)."""
+    if phys_of is None:
+        return df
+    return df.select(
+        *[F.col(f.name).alias(phys_of[f.name]) for f in data_schema.fields]
+    )
+
+
 def _tagged_read(
-    spark: SparkSession, base: str, paths: list[str], data_schema: _T.StructType
+    spark: SparkSession,
+    base: str,
+    paths: list[str],
+    data_schema: _T.StructType,
+    phys_of: dict[str, str] | None = None,
 ) -> DataFrame:
     """Distributed read of ``paths`` with (file, position) tags for DV
-    application and file attribution."""
-    return spark.read.schema(data_schema).parquet(*sorted(paths)).select(
-        "*",
+    application and file attribution. Under column mapping the files are
+    scanned with the PHYSICAL schema and renamed to logical, so callers
+    (predicates, assignments) always address logical names."""
+    if phys_of is None:
+        read_schema, sel = data_schema, [F.col("*")]
+    else:
+        read_schema = _T.StructType(
+            [
+                _T.StructField(phys_of[f.name], f.dataType, f.nullable)
+                for f in data_schema.fields
+            ]
+        )
+        sel = [F.col(phys_of[f.name]).alias(f.name) for f in data_schema.fields]
+    return spark.read.schema(read_schema).parquet(*sorted(paths)).select(
+        *sel,
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"),
         F.col("_metadata.row_index").alias("__ri"),
     )
@@ -152,11 +196,6 @@ def delta_update_where(
     drift the schema) — and committed as remove+add in one version.
     """
     live, schema_string, part_cols, config, dvs = delta_state(spark, base)
-    if config.get("delta.columnMapping.mode") in ("name", "id"):
-        raise NotImplementedError(
-            "delta_update_where on a column-mapped table: predicate and "
-            "assignments would need logical->physical translation"
-        )
     bad = sorted(set(assignments) & set(part_cols))
     if bad:
         raise NotImplementedError(
@@ -165,6 +204,7 @@ def delta_update_where(
         )
     schema = _T.StructType.fromJson(json.loads(schema_string))
     data_schema = _T.StructType([f for f in schema.fields if f.name not in part_cols])
+    phys_of = _phys_map(schema, config)
     unknown = sorted(set(assignments) - {f.name for f in data_schema.fields})
     if unknown:
         raise ValueError(f"assignment to unknown column(s) {unknown}")
@@ -173,14 +213,9 @@ def delta_update_where(
 
     affected_abs = [
         r["__fp"]
-        for r in spark.read.schema(data_schema)
-        .parquet(*sorted(abs_of))
+        for r in _tagged_read(spark, base, list(abs_of), data_schema, phys_of)
         .where(predicate)
-        .select(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-                "__fp"
-            )
-        )
+        .select("__fp")
         .distinct()
         .collect()
     ]
@@ -206,10 +241,13 @@ def delta_update_where(
         rel = abs_of[fp]
         file_dvs = {rel: dvs[rel]} if rel in dvs else {}
         rewritten = _dv_filter(
-            spark, base, file_dvs, _tagged_read(spark, base, [fp], data_schema)
+            spark, base, file_dvs, _tagged_read(spark, base, [fp], data_schema, phys_of)
         ).select(*upd_cols)
         new_rel = f"upd-{uid}-{i}.parquet"
-        _stage_single_parquet(rewritten, os.path.join(base, new_rel))
+        _stage_single_parquet(
+            _to_physical(rewritten, data_schema, phys_of),
+            os.path.join(base, new_rel),
+        )
         actions.append(
             {
                 "remove": {
@@ -264,8 +302,6 @@ def delta_merge_into(
     remains one distributed job per file group — no driver-side rows ever.
     """
     live, schema_string, part_cols, config, dvs = delta_state(spark, base)
-    if config.get("delta.columnMapping.mode") in ("name", "id"):
-        raise NotImplementedError("delta_merge_into on a column-mapped table")
     if part_cols:
         raise NotImplementedError(
             "delta_merge_into on a partitioned table: INSERT would need "
@@ -274,6 +310,7 @@ def delta_merge_into(
         )
     schema = _T.StructType.fromJson(json.loads(schema_string))
     data_schema = schema  # unpartitioned: data files carry every column
+    phys_of = _phys_map(schema, config)
     tgt_cols = [f.name for f in data_schema.fields]
     if set(source.columns) != set(tgt_cols):
         raise ValueError(
@@ -295,7 +332,7 @@ def delta_merge_into(
             "target row must match at most one source row (Delta "
             "DELTA_MULTIPLE_SOURCE_ROW_MATCHING semantics)"
         )
-    tagged = _tagged_read(spark, base, list(abs_of), data_schema)
+    tagged = _tagged_read(spark, base, list(abs_of), data_schema, phys_of)
     # DV apply that KEEPS the (file, position) tags — matched-file
     # discovery and per-file rewrites both need attribution after the
     # deleted rows are gone
@@ -362,7 +399,10 @@ def delta_merge_into(
             ]
         )
         new_rel = f"mrg-{uid}-{i}.parquet"
-        _stage_single_parquet(rewritten, os.path.join(base, new_rel))
+        _stage_single_parquet(
+            _to_physical(rewritten, data_schema, phys_of),
+            os.path.join(base, new_rel),
+        )
         actions.append(
             {
                 "remove": {
@@ -388,7 +428,10 @@ def delta_merge_into(
     n_insert = inserts.count()
     if n_insert:
         ins_rel = f"mrg-{uid}-ins.parquet"
-        _stage_single_parquet(inserts.select(*tgt_cols), os.path.join(base, ins_rel))
+        _stage_single_parquet(
+            _to_physical(inserts.select(*tgt_cols), data_schema, phys_of),
+            os.path.join(base, ins_rel),
+        )
         actions.append(
             {
                 "add": {
@@ -541,3 +584,87 @@ def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_update_cow_roundtrip.__wrapped__(spark, sf_dir)
     clone = _scratch(sf_dir, "delta_update_cow")
     return delta_describe_history_df(spark, clone)
+
+
+# ------------------------------------------- round 9: column-mapped DML
+
+
+@query(
+    "delta_update_colmap_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey % 5 = 1 THEN n_regionkey + 10
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    """,
+)
+def delta_update_colmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoW UPDATE on a COLUMN-MAPPED table (round-8 verdict "what's
+    missing" #1): the predicate and assignments address LOGICAL names,
+    the writer scans the hit files under the PHYSICAL schema (the
+    reader's phys_of resolution threaded through `_tagged_read`),
+    applies the SET logically, and stages the rewrite back under
+    physical names — so the rewritten files are indistinguishable from
+    writer-native ones and the house column-mapping reader round-trips
+    them. Column mapping is what makes RENAME/DROP COLUMN instant on
+    production Delta tables, so "can read but not update" was the first
+    write-side wall a real user hit.
+
+    Scale: identical envelope to delta_update_cow_roundtrip — the probe
+    pushes the predicate to the parquet scan (through the rename
+    aliases; Catalyst pushes filters below project), the driver sees
+    distinct file PATHS only, and write amplification is bounded by the
+    files actually hit."""
+    from .lakehouse_interop import _build_colmap_fixture
+
+    src = _build_colmap_fixture(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_colmap_update")
+    if not os.path.exists(os.path.join(clone, "_FIXTURE_READY")):
+        if os.path.isdir(clone):
+            shutil.rmtree(clone)
+        shutil.copytree(src, clone)
+        os.remove(os.path.join(clone, "_FIXTURE_READY"))
+        delta_update_where(
+            spark, clone, "n_nationkey % 5 = 1", {"n_regionkey": "n_regionkey + 10"}
+        )
+        with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, clone).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "delta_delete_colmap_dv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE NOT (n_regionkey = 2)
+    """,
+)
+def delta_delete_colmap_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-as-deletion-vectors on a COLUMN-MAPPED table: the probe
+    scans under physical names aliased to logical (predicate on a MAPPED
+    column), and the emitted roaring bitmap is pure (file, row_index)
+    metadata — name-agnostic by construction — so the DV writer composes
+    with column mapping with no format interaction. Read back through
+    the house reader, which applies DVs on the physical scan and renames
+    after (the two features' composition order in delta_snapshot).
+
+    Scale: same contract as delta_delete_dv_roundtrip — no data file is
+    rewritten; the driver materializes exactly this delete's matched
+    positions (the bitmap a DV writer must serialize, KBs per file)."""
+    from .lakehouse_interop import _build_colmap_fixture, delta_delete_where
+
+    src = _build_colmap_fixture(spark, sf_dir)
+    clone = _scratch(sf_dir, "delta_colmap_delete_dv")
+    if not os.path.exists(os.path.join(clone, "_FIXTURE_READY")):
+        if os.path.isdir(clone):
+            shutil.rmtree(clone)
+        shutil.copytree(src, clone)
+        os.remove(os.path.join(clone, "_FIXTURE_READY"))
+        delta_delete_where(spark, clone, "n_regionkey = 2")
+        with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, clone).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

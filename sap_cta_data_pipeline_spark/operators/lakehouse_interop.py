@@ -831,26 +831,21 @@ def delta_delete_where(
     import uuid as _uuid
 
     live, schema_string, part_cols, config, dvs = delta_state(spark, base)
-    if config.get("delta.columnMapping.mode") in ("name", "id"):
-        raise NotImplementedError(
-            "delta_delete_where on a column-mapped table: the predicate "
-            "would need logical→physical translation; not implemented"
-        )
     schema = _T.StructType.fromJson(json.loads(schema_string))
     data_schema = _T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
+    # column mapping (round 9): scan under the PHYSICAL schema, alias to
+    # logical so the predicate addresses logical names — the reader's
+    # phys_of resolution threaded through the DV writer; the emitted
+    # bitmap is (file, position) metadata and is name-agnostic.
+    from .delta_dml import _phys_map, _tagged_read
+
+    phys_of = _phys_map(schema, config)
     abs_of = {os.path.abspath(os.path.join(base, p)): p for p in live}
     probe = (
-        spark.read.schema(data_schema)
-        .parquet(*sorted(abs_of))
+        _tagged_read(spark, base, list(abs_of), data_schema, phys_of)
         .where(predicate)
-        .select(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-                "__fp"
-            ),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
         .groupBy("__fp")
         .agg(F.sort_array(F.collect_list("__ri")).alias("pos"))
     )
