@@ -565,3 +565,44 @@ def test_alter_add_column_history(spark, sf_dir):
     v0 = delta_snapshot(spark, base, version=0)
     assert v0.columns == ["n_nationkey", "n_name", "n_regionkey"]
     assert v0.count() == 12
+
+
+def test_checkpoint_auto_layout_selection(spark, sf_dir, tmp_path):
+    """Round-9 pin: delta_checkpoint with no layout argument stays
+    CLASSIC under the row budget and flips to MULTI-PART (with
+    ceil(rows/part_rows) parts named in _last_checkpoint) above it."""
+    import json as _json
+    import shutil as _shutil
+
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        _build_sink_fixture,
+        delta_checkpoint,
+    )
+
+    base = _build_sink_fixture(spark, sf_dir)
+
+    # under budget -> classic single file
+    c1 = str(tmp_path / "classic")
+    _shutil.copytree(base, c1)
+    v = delta_checkpoint(spark, c1)  # default budget 100k >> 4 rows
+    log1 = os.path.join(c1, "_delta_log")
+    assert os.path.exists(os.path.join(log1, f"{v:020d}.checkpoint.parquet"))
+    with open(os.path.join(log1, "_last_checkpoint")) as fh:
+        assert "parts" not in _json.load(fh)
+
+    # over budget -> auto multi-part
+    c2 = str(tmp_path / "auto")
+    _shutil.copytree(base, c2)
+    v = delta_checkpoint(spark, c2, part_rows=2)
+    log2 = os.path.join(c2, "_delta_log")
+    with open(os.path.join(log2, "_last_checkpoint")) as fh:
+        lc = _json.load(fh)
+    assert lc.get("parts", 0) >= 2
+    for i in range(1, lc["parts"] + 1):
+        assert os.path.exists(
+            os.path.join(
+                log2,
+                f"{v:020d}.checkpoint.{i:010d}.{lc['parts']:010d}.parquet",
+            )
+        )
+    assert not os.path.exists(os.path.join(log2, f"{v:020d}.checkpoint.parquet"))
