@@ -181,31 +181,31 @@ def _deserialize_rb32(buf: bytes, base: int) -> tuple[list[int], int]:
 _MAGIC = 1681511377
 
 
-def serialize_bitmap(positions: list[int]) -> bytes:
-    """Serialize sorted-able int64 row positions as Delta's magic-prefixed
-    portable RoaringBitmapArray."""
+def serialize_portable64(positions: list[int]) -> bytes:
+    """The bare 64-bit portable RoaringBitmapArray layout (u64 LE bitmap
+    count, then per bitmap u32 LE high-key + 32-bit portable roaring) —
+    the format BOTH Delta (magic-prefixed, below) and Iceberg v3
+    deletion vectors (puffin `deletion-vector-v1` blobs,
+    functions/puffin.py) serialize row positions with."""
     positions = sorted(set(int(p) for p in positions))
     if positions and positions[0] < 0:
         raise ValueError("row positions must be non-negative")
     by_hi: dict[int, list[int]] = {}
     for p in positions:
         by_hi.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
-    out = bytearray(struct.pack("<Iq", _MAGIC, len(by_hi)))
+    out = bytearray(struct.pack("<q", len(by_hi)))
     for hi in sorted(by_hi):
         out += struct.pack("<I", hi)
         out += _serialize_rb32(by_hi[hi])
     return bytes(out)
 
 
-def deserialize_bitmap(data: bytes) -> list[int]:
-    """Decode a magic-prefixed portable RoaringBitmapArray → sorted
-    int64 positions."""
-    if len(data) < 12:
-        raise ValueError(f"DV bitmap too short ({len(data)} bytes)")
-    magic, n_bitmaps = struct.unpack_from("<Iq", data, 0)
-    if magic != _MAGIC:
-        raise ValueError(f"bad DV magic {magic} (expected {_MAGIC})")
-    pos = 12
+def deserialize_portable64(data: bytes, offset: int = 0) -> list[int]:
+    """Decode the bare 64-bit portable RoaringBitmapArray layout."""
+    if len(data) - offset < 8:
+        raise ValueError(f"portable bitmap too short ({len(data) - offset} bytes)")
+    (n_bitmaps,) = struct.unpack_from("<q", data, offset)
+    pos = offset + 8
     values: list[int] = []
     for _ in range(n_bitmaps):
         (hi,) = struct.unpack_from("<I", data, pos)
@@ -214,6 +214,23 @@ def deserialize_bitmap(data: bytes) -> list[int]:
         pos += used
         values.extend((hi << 32) | v for v in lows)
     return sorted(values)
+
+
+def serialize_bitmap(positions: list[int]) -> bytes:
+    """Serialize sorted-able int64 row positions as Delta's magic-prefixed
+    portable RoaringBitmapArray."""
+    return struct.pack("<I", _MAGIC) + serialize_portable64(positions)
+
+
+def deserialize_bitmap(data: bytes) -> list[int]:
+    """Decode a magic-prefixed portable RoaringBitmapArray → sorted
+    int64 positions."""
+    if len(data) < 12:
+        raise ValueError(f"DV bitmap too short ({len(data)} bytes)")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != _MAGIC:
+        raise ValueError(f"bad DV magic {magic} (expected {_MAGIC})")
+    return deserialize_portable64(data, offset=4)
 
 
 # ----------------------------------------------------- DV file + paths
