@@ -250,6 +250,13 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "types2",
         "grand-total window over ≤|types|×7 cells, then 1-row final",
     ),
+    "stats_cramers_v": (
+        "types2",
+        "≤5×3 priority×status cells (chi2 shape) + 1-row final",
+    ),
+    "stats_levene_brown_forsythe": 1,  # 5-group sufficient-stat combine → 1-row final
+    "stats_cohens_d": 1,  # 2-row arm stats → 1-row fold
+    "stats_jarque_bera": 1,  # 1-row power-sum global final
     "stats_kendall_tau": 1,  # 25-row grain self-join → 1-row concordance final
     "ml_mcc": 1,  # 1-row confusion final
     "ml_brier_decomposition": 1,  # 1-row brier + 1-row bin-total finals

@@ -1,0 +1,81 @@
+"""Batch EV pins — planted closed-form values for Brown–Forsythe,
+Cohen's d / Hedges' g, Jarque–Bera, and Cramér's V (the oracle certifies
+engine parity; these certify the STATISTICS against hand arithmetic)."""
+
+from __future__ import annotations
+
+import math
+
+import sap_cta_data_pipeline_spark.operators.stats_tests3 as m3
+from sap_cta_data_pipeline_spark.operators.stats_tests3 import (
+    stats_cohens_d,
+    stats_cramers_v,
+    stats_jarque_bera,
+    stats_levene_brown_forsythe,
+)
+
+
+def _plant(monkeypatch, df_of):
+    monkeypatch.setattr(m3, "t", lambda spark, sf, name: df_of(name))
+
+
+def test_levene_planted(spark, monkeypatch):
+    # g1 = [0, 10, 20] (z = 10,0,10), g2 = [0, 2, 4] (z = 2,0,2)
+    rows = [("g1", 0.0), ("g1", 10.0), ("g1", 20.0),
+            ("g2", 0.0), ("g2", 2.0), ("g2", 4.0)]
+    _plant(
+        monkeypatch,
+        lambda name: spark.createDataFrame(
+            rows, "o_orderpriority string, o_totalprice double"
+        ),
+    )
+    r = stats_levene_brown_forsythe.__wrapped__(spark, "x").collect()[0]
+    assert (r.k, r.n_total) == (2, 6)
+    # SSB = (400/3 + 16/3) - 24^2/6 ; SSW = (200-400/3)+(8-16/3); W = 4*SSB/SSW
+    assert math.isclose(r.w_stat, 2.461538, abs_tol=1e-6)
+
+
+def test_cohens_d_planted(spark, monkeypatch):
+    # arm0: users 0,2 with 2,4 events; arm1: users 1,3 with 4,6 events
+    events = []
+    for uid, c in ((0, 2), (2, 4), (1, 4), (3, 6)):
+        events += [(uid, f"e{i}") for i in range(c)]
+    _plant(
+        monkeypatch,
+        lambda name: spark.createDataFrame(events, "user_id long, event_type string"),
+    )
+    r = stats_cohens_d.__wrapped__(spark, "x").collect()[0]
+    assert (r.n0, r.n1, r.mean0, r.mean1) == (2, 2, 3.0, 5.0)
+    assert math.isclose(r.cohens_d, 2 / math.sqrt(2), abs_tol=1e-6)
+    assert math.isclose(r.hedges_g, (2 / math.sqrt(2)) * (1 - 3 / 7), abs_tol=1e-6)
+
+
+def test_jarque_bera_planted(spark, monkeypatch):
+    _plant(
+        monkeypatch,
+        lambda name: spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,)], "l_quantity double"
+        ),
+    )
+    r = stats_jarque_bera.__wrapped__(spark, "x").collect()[0]
+    assert r.n == 4 and r.skewness == 0.0
+    assert math.isclose(r.kurtosis_excess, 1.64 - 3, abs_tol=1e-6)
+    assert math.isclose(r.jb_stat, (4 / 6) * ((1.36**2) / 4), abs_tol=1e-6)
+
+
+def test_cramers_v_planted(spark, monkeypatch):
+    # dense 2x2 (a,b,c,d) = (30,10,10,30), N = 80:
+    # chi2 = N(ad-bc)^2/(r1 r2 c1 c2) = 80*800^2/40^4 = 20; V = sqrt(20/80) = .5
+    rows = (
+        [("A", "X")] * 30 + [("A", "Y")] * 10 + [("B", "X")] * 10 + [("B", "Y")] * 30
+    )
+    _plant(
+        monkeypatch,
+        lambda name: spark.createDataFrame(
+            rows, "o_orderpriority string, o_orderstatus string"
+        ),
+    )
+    r = stats_cramers_v.__wrapped__(spark, "x").collect()[0]
+    assert (r.n_rows, r.n_cols) == (2, 2)
+    assert math.isclose(r.chi2, 20.0, abs_tol=1e-6)
+    assert math.isclose(r.cramers_v, 0.5, abs_tol=1e-6)
