@@ -279,6 +279,15 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "tpch_q22_dormant_customers": 2,
     "tpch_q6_forecast_revenue": 1,
     "ts_changepoint_cusum": ("calendar", "day-grain running CUSUM window"),
+    "ts_ljung_box": (
+        "calendar",
+        "day-index windows + 7-lag ACF rows + 1-row stats broadcast",
+    ),
+    "ts_local_extrema": ("calendar", "day-grain neighbor window"),
+    "ts_turning_points_test": (
+        "calendar",
+        "day-grain neighbor window + 1-row final",
+    ),
     "win_ntile_pct": (
         "semantic-global+route",
         "global quartile IS the contract; docstring routes to "

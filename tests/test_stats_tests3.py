@@ -79,3 +79,58 @@ def test_cramers_v_planted(spark, monkeypatch):
     assert (r.n_rows, r.n_cols) == (2, 2)
     assert math.isclose(r.chi2, 20.0, abs_tol=1e-6)
     assert math.isclose(r.cramers_v, 0.5, abs_tol=1e-6)
+
+
+# ------------------------------------------ batch EW (timeseries4) pins
+
+
+def _plant_events_days(spark, monkeypatch, counts):
+    """Plant an events table whose daily counts are exactly `counts`."""
+    import sap_cta_data_pipeline_spark.operators.timeseries4 as t4
+
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(f"2024-01-{d:02d} 00:{i:02d}:00",) for i in range(c)]
+    df = spark.createDataFrame(rows, "ts_s string").selectExpr(
+        "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    monkeypatch.setattr(t4, "t", lambda spark_, sf_, name: df)
+
+
+def test_local_extrema_and_turning_points_planted(spark, monkeypatch):
+    from sap_cta_data_pipeline_spark.operators.timeseries4 import (
+        ts_local_extrema,
+        ts_turning_points_test,
+    )
+
+    _plant_events_days(spark, monkeypatch, [1, 3, 2, 4, 1])
+    ext = {
+        r.day: r.kind for r in ts_local_extrema.__wrapped__(spark, "x").collect()
+    }
+    assert ext == {
+        "2024-01-02": "peak",
+        "2024-01-03": "trough",
+        "2024-01-04": "peak",
+    }
+    r = ts_turning_points_test.__wrapped__(spark, "x").collect()[0]
+    assert (r.n, r.n_turning, r.expected) == (5, 3, 2.0)
+    assert math.isclose(r.z_score, 1.0 / math.sqrt((16 * 5 - 29) / 90), abs_tol=1e-6)
+
+
+def test_ljung_box_planted_matches_reference_formula(spark, monkeypatch):
+    from sap_cta_data_pipeline_spark.operators.timeseries4 import ts_ljung_box
+
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    _plant_events_days(spark, monkeypatch, counts)
+    got = {r.lag: (r.acf, r.q_stat) for r in ts_ljung_box.__wrapped__(spark, "x").collect()}
+    n = len(counts)
+    mean = sum(counts) / n
+    den = sum((x - mean) ** 2 for x in counts)
+    q = 0.0
+    for k in range(1, 8):
+        rho = sum(
+            (counts[i] - mean) * (counts[i + k] - mean) for i in range(n - k)
+        ) / den
+        q += rho * rho / (n - k)
+        assert math.isclose(got[k][0], rho, abs_tol=1e-6), k
+        assert math.isclose(got[k][1], n * (n + 2) * q, abs_tol=1e-5), k
