@@ -87,6 +87,10 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "agg_theil_decomposition": 2,  # 1-row global (mu, y) broadcast — sub_scalar_global class
     "corpus_mix_exact": 2,
     "corpus_shuffle_deterministic": ("n_partitions", "ranks-helper offset table"),
+    "corpus_mix_temperature": (
+        "k-row",
+        "≤|langs| allocation rank + 1-row budget/weight-sum broadcasts",
+    ),
     "customer_interpurchase_time": 1,
     "customer_rfm_segments": (
         "n_partitions",

@@ -134,3 +134,112 @@ def test_ljung_box_planted_matches_reference_formula(spark, monkeypatch):
         q += rho * rho / (n - k)
         assert math.isclose(got[k][0], rho, abs_tol=1e-6), k
         assert math.isclose(got[k][1], n * (n + 2) * q, abs_tol=1e-5), k
+
+
+# ----------------------------------------- batch EX (training_prep4) pins
+
+
+def test_mix_temperature_planted_allocation(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.training_prep4 as tp4
+    from sap_cta_data_pipeline_spark.operators.training_prep4 import (
+        _BUDGET,
+        corpus_mix_temperature,
+    )
+
+    docs = spark.createDataFrame(
+        [("A", " ".join(["w"] * 100)), ("B", " ".join(["w"] * 25))],
+        "lang string, text string",
+    )
+    monkeypatch.setattr(tp4, "t", lambda spark_, sf_, name: docs)
+    rows = {r.lang: r for r in corpus_mix_temperature.__wrapped__(spark, "x").collect()}
+    assert rows["A"].n_tokens == 100 and rows["B"].n_tokens == 25
+    assert rows["A"].weight == 10.0 and rows["B"].weight == 5.0
+    # quotas: 66666.666667 -> 66666 (+1 largest remainder), 33333.333333 -> 33333
+    assert rows["A"].quota_tokens == 66667 and rows["B"].quota_tokens == 33333
+    assert rows["A"].quota_tokens + rows["B"].quota_tokens == _BUDGET
+
+
+def test_mmr_matches_pure_python_reference(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.training_prep4 as tp4
+    from sap_cta_data_pipeline_spark.operators.training_prep4 import (
+        _K,
+        _LAM,
+        emb_mmr_select,
+    )
+
+    def vec(*head):
+        v = [0.0] * 64
+        v[: len(head)] = [float(x) for x in head]
+        return v
+
+    data = {
+        0: vec(1.0),        # query (lowest vec_id)
+        13: vec(1.0),       # exact dup of query direction
+        26: vec(1.0, 0.001),
+        39: vec(0.0, 1.0),
+        52: vec(0.8, 0.6),
+        65: vec(0.6, 0.8),
+        78: vec(0.0, 0.0, 1.0),
+    }
+    emb = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(data.items())],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(tp4, "t", lambda spark_, sf_, name: emb)
+    got = [
+        (r.rank, r.vec_id, r.score)
+        for r in sorted(
+            emb_mmr_select.__wrapped__(spark, "x").collect(), key=lambda r: r.rank
+        )
+    ]
+
+    # pure-python reference MMR with the same float32-ingest + r6 rounding
+    import numpy as np
+
+    def cos(a, b):
+        a = np.array(a, dtype=np.float32).astype(np.float64)
+        b = np.array(b, dtype=np.float32).astype(np.float64)
+        return round(
+            float(a @ b / (math.sqrt(float(a @ a)) * math.sqrt(float(b @ b)))), 6
+        )
+
+    q = data[0]
+    pool = {k: v for k, v in data.items() if k % 13 == 0 and k != 0}
+    rel = {k: cos(v, q) for k, v in pool.items()}
+    sel, expect = [], []
+    for rank in range(1, _K + 1):
+        best = None
+        for k in sorted(pool):
+            if k in sel:
+                continue
+            if not sel:
+                score = rel[k]
+            else:
+                score = round(
+                    _LAM * rel[k]
+                    - round(1 - _LAM, 6) * max(cos(pool[k], pool[s]) for s in sel),
+                    6,
+                )
+            if best is None or score > best[1]:
+                best = (k, score)
+        sel.append(best[0])
+        expect.append((rank, best[0], best[1]))
+    assert [(r, v) for r, v, _ in got] == [(r, v) for r, v, _ in expect]
+    for (_, _, gs), (_, _, es) in zip(got, expect):
+        assert math.isclose(gs, es, abs_tol=2e-6)
+
+
+def test_code_detect_planted(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.training_prep4 as tp4
+    from sap_cta_data_pipeline_spark.operators.training_prep4 import text_code_detect
+
+    code = "def f(x):\n    return g(x) + h[0] <= y\n    import os\n"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(7, code), (14, prose)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(tp4, "t", lambda spark_, sf_, name: docs)
+    rows = {r.doc_id: r for r in text_code_detect.__wrapped__(spark, "x").collect()}
+    assert rows[7].is_code is True
+    assert rows[14].is_code is False
+    assert rows[7].code_score > rows[14].code_score
