@@ -80,6 +80,11 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "agg_global": 1,
     "agg_hll_intersection_eval": 1,
     "agg_heavy_hitters": 2,
+    "agg_hll_rolling_window_eval": (
+        "calendar",
+        "day-grain sketch-union RANGE window (composes the exact lane's "
+        "day-grain expansion)",
+    ),
     "agg_hll_mergeable": 1,
     "agg_percentile_bands": 2,
     "agg_quantile_mergeable": 1,
