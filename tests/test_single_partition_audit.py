@@ -266,7 +266,9 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "stats_levene_brown_forsythe": 1,  # 5-group sufficient-stat combine → 1-row final
     "stats_cohens_d": 1,  # 2-row arm stats → 1-row fold
     "stats_jarque_bera": 1,  # 1-row power-sum global final
+    "stats_friedman_test": 2,  # 1-row k broadcast + k-row type final
     "stats_kendall_tau": 1,  # 25-row grain self-join → 1-row concordance final
+    "ts_pacf_durbin_levinson": 2,  # 1-row stats broadcast + 1-row ACF pivot
     "ml_mcc": 1,  # 1-row confusion final
     "ml_brier_decomposition": 1,  # 1-row brier + 1-row bin-total finals
     "ml_cohens_kappa": 1,  # 1-row marginals final

@@ -243,3 +243,72 @@ def test_code_detect_planted(spark, monkeypatch):
     assert rows[7].is_code is True
     assert rows[14].is_code is False
     assert rows[7].code_score > rows[14].code_score
+
+
+# ------------------------------------------- batch FA (stats_tests4) pins
+
+
+def test_pacf_matches_pure_python_durbin_levinson(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.timeseries4 as t4
+    from sap_cta_data_pipeline_spark.operators.stats_tests4 import (
+        ts_pacf_durbin_levinson,
+    )
+
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    _plant_events_days(spark, monkeypatch, counts)
+    got = {
+        r.lag: r.pacf
+        for r in ts_pacf_durbin_levinson.__wrapped__(spark, "x").collect()
+    }
+    n = len(counts)
+    mean = sum(counts) / n
+    den = sum((x - mean) ** 2 for x in counts)
+    rho = {
+        k: sum((counts[i] - mean) * (counts[i + k] - mean) for i in range(n - k))
+        / den
+        for k in range(1, 5)
+    }
+    # Durbin-Levinson reference
+    phi = {(1, 1): rho[1]}
+    expect = {1: rho[1]}
+    for k in range(2, 5):
+        num = rho[k] - sum(phi[(k - 1, j)] * rho[k - j] for j in range(1, k))
+        den_k = 1 - sum(phi[(k - 1, j)] * rho[j] for j in range(1, k))
+        phi[(k, k)] = num / den_k
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+        expect[k] = phi[(k, k)]
+    for k in range(1, 5):
+        assert math.isclose(got[k], expect[k], abs_tol=1e-6), k
+
+
+def test_friedman_planted_perfect_agreement(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.stats_tests4 as s4
+    from sap_cta_data_pipeline_spark.operators.stats_tests4 import stats_friedman_test
+
+    # 3 users, 3 types, identical preference order A<B<C  ->  Q = n(k-1) = 6
+    rows = []
+    for u in (1, 2, 3):
+        for typ, c in (("A", 1), ("B", 2), ("C", 3)):
+            rows += [(u, typ)] * c
+    # plus one incomplete user (missing type C) that must be EXCLUDED
+    rows += [(9, "A"), (9, "B")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    monkeypatch.setattr(s4, "t", lambda spark_, sf_, name: df)
+    r = stats_friedman_test.__wrapped__(spark, "x").collect()[0]
+    assert (r.k, r.n_blocks) == (3, 3)
+    assert math.isclose(r.q_stat, 6.0, abs_tol=1e-6)
+
+
+def test_hash_digests_known_vectors(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.stats_tests4 as s4
+    from sap_cta_data_pipeline_spark.operators.stats_tests4 import fn_hash_digests
+
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    monkeypatch.setattr(s4, "t", lambda spark_, sf_, name: df)
+    r = fn_hash_digests.__wrapped__(spark, "x").collect()[0]
+    assert r.md5_hex == "900150983cd24fb0d6963f7d28e17f72"
+    assert (
+        r.sha256_hex
+        == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
