@@ -267,6 +267,11 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "stats_cohens_d": 1,  # 2-row arm stats → 1-row fold
     "stats_jarque_bera": 1,  # 1-row power-sum global final
     "stats_friedman_test": 2,  # 1-row k broadcast + k-row type final
+    "stats_proportion_ztest": 1,  # 2-row arm stats → 1-row fold
+    "ts_forecast_backtest_naive_horizon": (
+        "calendar",
+        "1-row horizon broadcast + 7-row per-horizon finals (day grain)",
+    ),
     "stats_kendall_tau": 1,  # 25-row grain self-join → 1-row concordance final
     "ts_pacf_durbin_levinson": 2,  # 1-row stats broadcast + 1-row ACF pivot
     "ml_mcc": 1,  # 1-row confusion final

@@ -312,3 +312,55 @@ def test_hash_digests_known_vectors(spark, monkeypatch):
         r.sha256_hex
         == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
     )
+
+
+# ------------------------------------------ batch FB (forecast_eval) pins
+
+
+def test_proportion_ztest_planted(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.forecast_eval as fe
+    from sap_cta_data_pipeline_spark.operators.forecast_eval import (
+        stats_proportion_ztest,
+    )
+
+    # arm0: users 0,2,4,6 (1 converter); arm1: users 1,3,5,7 (3 converters)
+    rows = []
+    for uid in range(8):
+        rows.append((uid, "view"))
+    for uid in (0, 1, 3, 5):
+        rows.append((uid, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    monkeypatch.setattr(fe, "t", lambda spark_, sf_, name: df)
+    r = stats_proportion_ztest.__wrapped__(spark, "x").collect()[0]
+    assert (r.n0, r.n1, r.p0, r.p1) == (4, 4, 0.25, 0.75)
+    pp = 0.5
+    z = (0.75 - 0.25) / math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert math.isclose(r.z_score, z, abs_tol=1e-6)
+
+
+def test_backtest_naive_horizon_planted(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.forecast_eval as fe
+    from sap_cta_data_pipeline_spark.operators.forecast_eval import (
+        ts_forecast_backtest_naive_horizon,
+    )
+
+    # linear series c = day index: naive error at horizon h is exactly h
+    _plant_events_days_fe(spark, monkeypatch, fe, list(range(1, 15)))
+    rows = {
+        r.horizon: r
+        for r in ts_forecast_backtest_naive_horizon.__wrapped__(spark, "x").collect()
+    }
+    for h in range(1, 8):
+        assert math.isclose(rows[h].mae, float(h), abs_tol=1e-6), h
+        # every day in the 28-day test window with a lag-h partner counts
+        assert rows[h].n_days == 14 - h
+
+
+def _plant_events_days_fe(spark, monkeypatch, mod, counts):
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(f"2024-01-{d:02d} 00:{i % 60:02d}:{i // 60:02d}",) for i in range(c)]
+    df = spark.createDataFrame(rows, "ts_s string").selectExpr(
+        "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    monkeypatch.setattr(mod, "t", lambda spark_, sf_, name: df)
