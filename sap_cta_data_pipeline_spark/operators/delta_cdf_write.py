@@ -277,3 +277,186 @@ def delta_cdf_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__ct")
     )
     return latest.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+# ----------------------------------------- round 9 batch FC: MERGE + CDF
+
+
+def delta_merge_cdf(
+    spark: SparkSession,
+    base: str,
+    source: DataFrame,
+    on: str,
+    update_cols: list[str],
+) -> int:
+    """MERGE INTO (WHEN MATCHED UPDATE SET update_cols / WHEN NOT
+    MATCHED INSERT *) that also RECORDS the change feed: matched rows
+    emit their update_preimage/update_postimage pair, inserted rows emit
+    ``insert`` change rows — all in one ``_change_data`` parquet
+    committed as a ``cdc`` action alongside the rewrite's removes/adds,
+    so a downstream CDF consumer sees exactly 2·matched + inserted
+    change rows instead of whole-file rewrite noise. Source must be
+    unique on ``on`` (Delta's multiple-match error, as in
+    delta_dml.delta_merge_into); a source row carrying NULL in an update
+    column SETS NULL (match-gated when, never coalesce). Returns the
+    committed version.
+
+    Scale: the same probe + per-hit-file rewrite envelope as the plain
+    MERGE; the change frame adds one map-side pass over matched+inserted
+    rows — O(changed), never O(table)."""
+    live, schema_string, _, config, _ = delta_state(spark, base, None)
+    assert config.get("delta.enableChangeDataFeed") == "true"
+    if source.groupBy(on).count().filter("count > 1").limit(1).count() > 0:
+        raise ValueError(
+            f"MERGE source has duplicate rows on merge key {on!r}"
+        )
+    tgt_cols = [
+        c
+        for c in spark.read.parquet(os.path.join(base, sorted(live)[0])).columns
+    ]
+    src = source.select(*tgt_cols)
+    tagged = spark.read.parquet(*[os.path.join(base, p) for p in live]).select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__file"
+        ),
+    )
+    keys = src.select(F.col(on).alias("__k"))
+    hit = (
+        tagged.join(keys, tagged[on] == keys["__k"], "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )  # file names only — file-count bounded
+    hit_files = sorted(r["__file"] for r in hit)
+    src_upd = src.select(
+        F.col(on),
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        joined = df.join(src_upd, on, "left")
+        return joined.select(
+            *[
+                (
+                    F.when(
+                        F.coalesce(F.col("__matched"), F.lit(False)),
+                        F.col(f"__src_{c}"),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in update_cols
+                    else F.col(c)
+                )
+                for c in tgt_cols
+            ]
+        )
+
+    matched = tagged.drop("__file").join(keys, F.col(on) == F.col("__k"), "left_semi")
+    inserts = src.join(
+        tagged.select(F.col(on).alias("__k")).distinct(),
+        src[on] == F.col("__k"),
+        "left_anti",
+    ).select(*tgt_cols)
+    pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+    post = _apply(matched).withColumn("_change_type", F.lit("update_postimage"))
+    ins_changes = inserts.withColumn("_change_type", F.lit("insert"))
+
+    version = _log_tip(base) + 1
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "MERGE", "predicate": f"{on} = source.{on}"}}
+    ]
+    for i, fname in enumerate(hit_files):
+        old = tagged.filter(F.col("__file") == fname).drop("__file")
+        survivors = old.join(keys, old[on] == keys["__k"], "left_anti")
+        rewritten = survivors.unionByName(
+            _apply(old.join(keys, old[on] == keys["__k"], "left_semi"))
+        )
+        rel = f"mrgcdf-{version}-{i}.parquet"
+        _stage_single_parquet(rewritten, os.path.join(base, rel))
+        actions += [_remove(fname), _add(rel)]
+    ins_rel = f"mrgcdf-{version}-ins.parquet"
+    _stage_single_parquet(inserts, os.path.join(base, ins_rel))
+    actions.append(_add(ins_rel))
+    cdc_rel = f"_change_data/cdc-{version}.parquet"
+    cdc = pre.unionByName(post).unionByName(ins_changes)
+    _stage_single_parquet(cdc, os.path.join(base, cdc_rel))
+    actions.append(_cdc_action(cdc_rel))
+    _commit(os.path.join(base, "_delta_log"), version, actions)
+    return version
+
+
+_MRG_SUBSET = "o_orderkey % 37 = 0"
+
+
+@query(
+    "delta_merge_cdf_emit",
+    oracle=f"""
+    WITH sub AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE {_MRG_SUBSET}
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           'update_preimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM sub WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 5, o_orderstatus,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM sub WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus,
+           'insert', CAST(1 AS BIGINT)
+    FROM sub WHERE o_orderkey % 5 = 0
+    """,
+)
+def delta_merge_cdf_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-with-CDF round-trip: one MERGE (update every even key's
+    price +5, insert shifted copies of keys ≡ 0 mod 5) through the
+    emitting writer, then read version 1's feed back through the house
+    CDF reader — exactly 2·matched update images + the inserted rows,
+    certifying that the cdc action is authoritative over the rewrite's
+    derived add/remove noise for ALL THREE change kinds in one commit
+    (update pre/post + insert). Completes the CDF write surface:
+    UPDATE (batch ED), DELETE (batch ED), MERGE (this lane).
+
+    Scale: change volume is O(matched + inserted); the probe and
+    rewrites are the plain MERGE's file-bounded envelope."""
+    base = _scratch(sf_dir, "delta_merge_cdf")
+    marker = os.path.join(base, "_FIXTURE_READY")
+    if not os.path.exists(marker):
+        import shutil
+
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(_MRG_SUBSET)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        )
+        _stage_single_parquet(o, os.path.join(base, "seed.parquet"))
+        _commit(
+            os.path.join(base, "_delta_log"),
+            0,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+                _meta_action(
+                    [],
+                    schema_json=o.schema.jsonValue(),
+                    configuration={"delta.enableChangeDataFeed": "true"},
+                ),
+                _add("seed.parquet"),
+            ],
+        )
+        src = o.filter("o_orderkey % 2 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 5
+        ).unionByName(
+            o.filter("o_orderkey % 5 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1000000000
+            )
+        )
+        delta_merge_cdf(spark, base, src, "o_orderkey", ["o_totalprice"])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return delta_table_changes(spark, base, 1, 1)

@@ -273,6 +273,11 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "1-row horizon broadcast + 7-row per-horizon finals (day grain)",
     ),
     "stats_kendall_tau": 1,  # 25-row grain self-join → 1-row concordance final
+    "stats_kruskal_wallis": (
+        "value-grain+route",
+        "cent-quantized value-grain cumulative window (pre-binning IS "
+        "the quantization) + 1-row tie broadcast + k-row final",
+    ),
     "ts_pacf_durbin_levinson": 2,  # 1-row stats broadcast + 1-row ACF pivot
     "ml_mcc": 1,  # 1-row confusion final
     "ml_brier_decomposition": 1,  # 1-row brier + 1-row bin-total finals

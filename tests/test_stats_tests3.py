@@ -364,3 +364,50 @@ def _plant_events_days_fe(spark, monkeypatch, mod, counts):
         "CAST(ts_s AS TIMESTAMP) AS ts"
     )
     monkeypatch.setattr(mod, "t", lambda spark_, sf_, name: df)
+
+
+# --------------------------------------------------- batch FC pins
+
+
+def test_kruskal_wallis_planted_no_ties(spark, monkeypatch):
+    import sap_cta_data_pipeline_spark.operators.stats_tests5 as s5
+    from sap_cta_data_pipeline_spark.operators.stats_tests5 import (
+        stats_kruskal_wallis,
+    )
+
+    # groups A={1,2}, B={3,4}, C={5,6} (cents-distinct, no ties):
+    # ranks 1..6, R = (3, 7, 11); H = 12/(6*7) * (9/2+49/2+121/2) - 3*7
+    rows = [
+        ("A", 0.01), ("A", 0.02),
+        ("B", 0.03), ("B", 0.04),
+        ("C", 0.05), ("C", 0.06),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    monkeypatch.setattr(s5, "t", lambda spark_, sf_, name: df)
+    r = stats_kruskal_wallis.__wrapped__(spark, "x").collect()[0]
+    assert (r.k, r.n_total) == (3, 6)
+    h = 12.0 / (6 * 7) * (9 / 2 + 49 / 2 + 121 / 2) - 3 * 7
+    assert math.isclose(r.h_stat, h, abs_tol=1e-6)
+
+
+def test_merge_cdf_feed_shape(spark, sf_dir):
+    from sap_cta_data_pipeline_spark.operators.delta_cdf_write import (
+        delta_merge_cdf_emit,
+    )
+    from sap_cta_data_pipeline_spark.operators.delta_reader import delta_snapshot
+    from sap_cta_data_pipeline_spark.operators.sources import _scratch
+
+    from pyspark.sql import functions as F
+
+    feed = delta_merge_cdf_emit.__wrapped__(spark, sf_dir)
+    kinds = {
+        r._change_type: r.cnt
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(kinds) == {"update_preimage", "update_postimage", "insert"}
+    assert kinds["update_preimage"] == kinds["update_postimage"] > 0
+    assert kinds["insert"] > 0
+    # snapshot agrees with the feed's postimages + inserts
+    base = _scratch(sf_dir, "delta_merge_cdf")
+    snap = delta_snapshot(spark, base)
+    assert snap.filter("o_orderkey >= 1000000000").count() == kinds["insert"]
