@@ -345,3 +345,39 @@ def test_colmap_delete_dv(spark, sf_dir, tmp_path):
     got = delta_snapshot(spark, base)
     assert got.filter("n_regionkey = 2").count() == 0
     assert got.count() > 0
+
+
+def test_colmap_probe_pushes_predicate_to_physical_scan(spark, sf_dir, tmp_path):
+    """S19 claim, pinned: under column mapping the DML probe's logical
+    predicate reaches the parquet scan as a pushed filter on the
+    PHYSICAL column name (Catalyst pushes the filter below the rename
+    project)."""
+    import contextlib
+    import io
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    from sap_cta_data_pipeline_spark.operators.delta_dml import (
+        _phys_map,
+        _tagged_read,
+    )
+
+    base = _clone_colmap(spark, sf_dir, tmp_path, "cm_plan")
+    live, schema_string, part_cols, config, _ = delta_state(spark, base)
+    schema = _T.StructType.fromJson(_json.loads(schema_string))
+    phys_of = _phys_map(schema, config)
+    assert phys_of is not None and phys_of["n_nationkey"].startswith("col-")
+    probe = _tagged_read(
+        spark,
+        base,
+        [os.path.abspath(os.path.join(base, p)) for p in live],
+        schema,
+        phys_of,
+    ).where("n_nationkey = 1")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    phys = phys_of["n_nationkey"]
+    assert f"EqualTo(`{phys}`,1)" in plan or f"EqualTo({phys},1)" in plan, plan
