@@ -302,22 +302,37 @@ def delta_merge_into(
     remains one distributed job per file group — no driver-side rows ever.
     """
     live, schema_string, part_cols, config, dvs = delta_state(spark, base)
-    if part_cols:
-        raise NotImplementedError(
-            "delta_merge_into on a partitioned table: INSERT would need "
-            "partition-value routing; the partitioned writer "
-            "(sink_delta_append_partitioned) covers that shape"
-        )
     schema = _T.StructType.fromJson(json.loads(schema_string))
-    data_schema = schema  # unpartitioned: data files carry every column
+    # partitioned tables (round 9): data files carry only the DATA
+    # columns; the partition column lives in each add's partitionValues.
+    # Matched-file rewrites stay within their partition (update_cols may
+    # not include partition columns — that would move rows), and INSERTs
+    # are ROUTED: one staged file per distinct partition value of the
+    # not-matched source rows.
+    if on in part_cols:
+        raise NotImplementedError(
+            f"merge key {on!r} is a partition column: data files do not "
+            "carry it, so matched-file discovery would need partition-"
+            "grain routing instead of a key semi-join"
+        )
+    moved = sorted(set(update_cols) & set(part_cols))
+    if moved:
+        raise NotImplementedError(
+            f"updating partition column(s) {moved} moves rows between "
+            "partitions — a rewrite-with-repartition this writer refuses"
+        )
+    data_schema = _T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
     phys_of = _phys_map(schema, config)
-    tgt_cols = [f.name for f in data_schema.fields]
+    tgt_cols = [f.name for f in schema.fields]
+    data_cols = [f.name for f in data_schema.fields]
     if set(source.columns) != set(tgt_cols):
         raise ValueError(
             f"source columns {sorted(source.columns)} must equal target "
             f"columns {sorted(tgt_cols)} for INSERT *"
         )
-    if on not in tgt_cols or on in update_cols:
+    if on not in data_cols or on in update_cols:
         raise ValueError(f"merge key {on!r} must be a non-updated target column")
     abs_of = {os.path.abspath(os.path.join(base, p)): p for p in live}
     read_tip = _log_tip(base)
@@ -382,6 +397,7 @@ def delta_merge_into(
     for i, fp in enumerate(sorted(matched_files)):
         rel = abs_of[fp]
         rows = live_tagged.filter(F.col("__fp") == fp).drop("__fp", "__ri")
+        type_of = {f.name: f.dataType for f in data_schema.fields}
         rewritten = rows.join(src_upd, on, "left").select(
             *[
                 (
@@ -390,12 +406,12 @@ def delta_merge_into(
                         F.col(f"__src_{c}"),
                     )
                     .otherwise(F.col(c))
-                    .cast(dict(zip(tgt_cols, [f.dataType for f in data_schema.fields]))[c])
+                    .cast(type_of[c])
                     .alias(c)
                     if c in update_cols
                     else F.col(c)
                 )
-                for c in tgt_cols
+                for c in data_cols
             ]
         )
         new_rel = f"mrg-{uid}-{i}.parquet"
@@ -423,10 +439,42 @@ def delta_merge_into(
                 }
             }
         )
-    # (4) not-matched inserts: anti-join against the FULL target key set
+    # (4) not-matched inserts: anti-join against the FULL target key set.
+    # Partitioned tables ROUTE inserts — one staged file per distinct
+    # partition value of the not-matched rows (the driver sees only the
+    # distinct partition tuples — bounded by partitions touched, the
+    # delta_append_partitioned discovery class).
     inserts = src.join(target.select(on), on, "left_anti")
     n_insert = inserts.count()
-    if n_insert:
+    if n_insert and part_cols:
+        pvs = sorted(
+            inserts.select(*part_cols).distinct().collect(),
+            key=lambda r: tuple(str(r[c]) for c in part_cols),
+        )
+        for j, pv in enumerate(pvs):
+            part_df = inserts
+            for c in part_cols:
+                part_df = part_df.filter(F.col(c) == pv[c])
+            ins_rel = f"mrg-{uid}-ins-{j}.parquet"
+            _stage_single_parquet(
+                _to_physical(part_df.select(*data_cols), data_schema, phys_of),
+                os.path.join(base, ins_rel),
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": ins_rel,
+                        "partitionValues": {
+                            (phys_of[c] if phys_of else c): str(pv[c])
+                            for c in part_cols
+                        },
+                        "size": 1024,
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                    }
+                }
+            )
+    elif n_insert:
         ins_rel = f"mrg-{uid}-ins.parquet"
         _stage_single_parquet(
             _to_physical(inserts.select(*tgt_cols), data_schema, phys_of),
@@ -666,5 +714,76 @@ def delta_delete_colmap_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(clone, "_FIXTURE_READY"), "w") as fh:
             fh.write("ok")
     return delta_snapshot(spark, clone).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "delta_merge_partitioned_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 5 THEN n_name || '_U' ELSE n_name END
+               AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, 'NEWP_' || n_name, n_regionkey
+    FROM nation WHERE n_nationkey < 3
+    UNION ALL
+    SELECT 200, 'NEWREGION', 9
+    """,
+)
+def delta_merge_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO a PARTITIONED Delta table (round 9 — retires the
+    round-8 refusal): matched files rewrite in place keeping their
+    partitionValues, and not-matched source rows are ROUTED — one insert
+    file per distinct partition value, including a partition that did
+    not exist before the merge (region 9). The identity oracle certifies
+    update + routed inserts + new-partition creation end to end; tests
+    pin that partition pruning still plans one file per partition after
+    the merge and that partition-key merges / partition-column updates
+    refuse loudly (row movement).
+
+    Scale: the probe and rewrites keep the unpartitioned MERGE's
+    file-bounded envelope; insert routing collects only the DISTINCT
+    partition tuples of the not-matched rows (bounded by partitions
+    touched — the delta_append_partitioned discovery class)."""
+    base = _scratch(sf_dir, "delta_merge_part")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        from .lakehouse_interop import delta_append_partitioned
+
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        n = t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        delta_append_partitioned(spark, base, n, "n_regionkey")
+        rk_type = dict(n.dtypes)["n_regionkey"]
+        nk_type = dict(n.dtypes)["n_nationkey"]
+        src = (
+            n.filter("n_nationkey < 5")
+            .withColumn("n_name", F.concat("n_name", F.lit("_U")))
+            .unionByName(
+                n.filter("n_nationkey < 3").select(
+                    (F.col("n_nationkey") + 100).cast(nk_type).alias("n_nationkey"),
+                    F.concat(F.lit("NEWP_"), F.col("n_name")).alias("n_name"),
+                    "n_regionkey",
+                )
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(200, "NEWREGION", 9)],
+                    "n_nationkey int, n_name string, n_regionkey int",
+                ).select(
+                    F.col("n_nationkey").cast(nk_type),
+                    "n_name",
+                    F.col("n_regionkey").cast(rk_type),
+                )
+            )
+        )
+        delta_merge_into(spark, base, src, "n_nationkey", ["n_name"])
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return delta_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )

@@ -381,3 +381,44 @@ def test_colmap_probe_pushes_predicate_to_physical_scan(spark, sf_dir, tmp_path)
     plan = buf.getvalue()
     phys = phys_of["n_nationkey"]
     assert f"EqualTo(`{phys}`,1)" in plan or f"EqualTo({phys},1)" in plan, plan
+
+
+def test_merge_partitioned_routing_and_refusals(spark, sf_dir, tmp_path):
+    from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
+        delta_append_partitioned,
+    )
+
+    base = str(tmp_path / "mp")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    delta_append_partitioned(spark, base, n, "n_regionkey")
+    live0, *_ = delta_state(spark, base)
+    rk = dict(n.dtypes)["n_regionkey"]
+    nk = dict(n.dtypes)["n_nationkey"]
+    src = n.filter("n_nationkey = 1").withColumn(
+        "n_name", F.lit("UPD")
+    ).unionByName(
+        spark.createDataFrame(
+            [(300, "NEWROW", 9)], "n_nationkey int, n_name string, n_regionkey int"
+        ).select(F.col("n_nationkey").cast(nk), "n_name", F.col("n_regionkey").cast(rk))
+    )
+    version, n_rewritten, n_inserted = delta_merge_into(
+        spark, base, src, "n_nationkey", ["n_name"]
+    )
+    assert (n_rewritten, n_inserted) == (1, 1)
+    live1, *_ = delta_state(spark, base)
+    # rewritten file keeps its partitionValues; new partition 9 appears
+    pvs = {tuple(sorted(v.items())) for v in live1.values()}
+    assert (("n_regionkey", "9"),) in pvs
+    # partition pruning still plans exactly the region-9 file
+    got = delta_snapshot(spark, base, partition_filter={"n_regionkey": "9"})
+    rows = got.collect()
+    assert [r.n_nationkey for r in rows] == [300]
+    assert rows[0].n_regionkey == 9, "reader reconstructs the routed partition"
+    snap = {r.n_nationkey: r.n_name for r in delta_snapshot(spark, base).collect()}
+    assert snap[1] == "UPD" and snap[300] == "NEWROW"
+    assert len(snap) == n.count() + 1
+
+    with pytest.raises(NotImplementedError, match="partition column"):
+        delta_merge_into(spark, base, src, "n_regionkey", ["n_name"])
+    with pytest.raises(NotImplementedError, match="moves rows"):
+        delta_merge_into(spark, base, src, "n_nationkey", ["n_regionkey"])
