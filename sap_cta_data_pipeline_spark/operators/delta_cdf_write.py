@@ -19,6 +19,11 @@ the DV writer closed deletion vectors:
   postimage-over-preimage rank) and drop deletes; the replica equals
   the source table's final state (the invariant that makes CDF a
   replication protocol, not just an audit log).
+
+Round-9 batch FC adds ``delta_merge_cdf`` / ``delta_merge_cdf_emit`` —
+the MERGE member of the emitting-DML family (update images + insert
+change rows in one cdc action), completing UPDATE/DELETE/MERGE write
+coverage of the change feed.
 """
 
 from __future__ import annotations
