@@ -112,9 +112,22 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = None
     # Unnormalized power iteration: in-loop L2 norms only rescale (see
     # docstring), so the loop body is purely the two keyed shuffles.
+    # The score frames are NODE-cardinality (they grow with the corpus),
+    # so the joins are hinted shuffle_hash — never broadcast-planned:
+    # at 100× a broadcast of one side is the wrong plan, and in a long
+    # shared session (the 600-key sweep) each iteration's broadcast
+    # build lands on a heap full of stale broadcast blocks and fails
+    # ("Not enough memory to build and broadcast" — observed at sf0.1
+    # in both round 8 and round 9 before this hint). The loop is now
+    # broadcast-FREE; the only broadcasts are the two 1-row post-loop
+    # norm scalars.
     for k in range(1, _HITS_ITERS + 1):
-        a = eg.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
-        h = eg.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
+        a = eg.join(h.hint("shuffle_hash"), "c").groupBy("p").agg(
+            F.sum("h").alias("a")
+        )
+        h = eg.join(a.hint("shuffle_hash"), "p").groupBy("c").agg(
+            F.sum("a").alias("h")
+        )
         if k == 3:
             a, h = a.localCheckpoint(), h.localCheckpoint()
     # Final normalization: 1-row aggregates attached via explicit-

@@ -72,6 +72,9 @@ def main() -> int:
             failed.append((key, [str(exc)[:500]]))
             print(f"ERR  {key:28s} {type(exc).__name__}: {str(exc)[:200]}")
     print(f"== done: {len(qs) - len(failed)}/{len(qs)} matched ==")
+    for key, problems in failed:  # re-list failures AFTER the summary so a
+        # tail of the log always carries the names + first diffs
+        print(f"== FAILED {key}: {problems[:3]}")
     return 1 if failed else 0
 
 

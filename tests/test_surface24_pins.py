@@ -89,3 +89,24 @@ def test_hits_plan_no_inloop_global_exchanges(spark, sf_dir):
         f"{d.n_single_partition} single-partition exchanges — in-loop "
         "global windows are back?"
     )
+
+
+def test_hits_loop_is_broadcast_free(spark, sf_dir):
+    """Round-9 field-failure pin: the ONLY broadcast exchanges in the
+    HITS plan are the two 1-row post-loop norm scalars — the in-loop
+    score joins are shuffle-hash (node frames grow with the corpus, and
+    in a long shared session per-iteration broadcast builds exhaust the
+    driver heap — observed at sf0.1 in rounds 8 AND 9)."""
+    import contextlib
+    import io
+
+    df = graph_hits_bipartite.__wrapped__(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" not in plan, plan
+    # the only broadcasts: two 1-row norm scalars (each BroadcastExchange
+    # appears twice in formatted output — tree line + detail section)
+    assert plan.count("BroadcastExchange") <= 4, plan
+    assert plan.count("ShuffledHashJoin") >= 6, "loop joins must be shuffle-hash" 
