@@ -278,6 +278,13 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "cent-quantized value-grain cumulative window (pre-binning IS "
         "the quantization) + 1-row tie broadcast + k-row final",
     ),
+    "stats_wilcoxon_signed_rank": (
+        "value-grain+route",
+        "cent-quantized |d| value-grain cumulative window + 1-row tie "
+        "broadcast + 1-row final",
+    ),
+    "stats_mcnemar": 1,  # 1-row discordant-count final
+    "stats_cochran_armitage": 1,  # 7-row year grain → 1-row trend final
     "ts_pacf_durbin_levinson": 2,  # 1-row stats broadcast + 1-row ACF pivot
     "ml_mcc": 1,  # 1-row confusion final
     "ml_brier_decomposition": 1,  # 1-row brier + 1-row bin-total finals
