@@ -312,6 +312,16 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "day-index windows + 7-lag ACF rows + 1-row stats broadcast",
     ),
     "ts_local_extrema": ("calendar", "day-grain neighbor window"),
+    "ts_theta_forecast": (
+        "calendar",
+        "day-grain index window + day-length in-row SES fold + 1-row "
+        "OLS broadcast + 7-row horizon final",
+    ),
+    "ts_hurst_rs": (
+        "calendar",
+        "day-grain index window + 4-row size pivot + 1-row n_days "
+        "broadcast (block windows partition by (size, block))",
+    ),
     "ts_turning_points_test": (
         "calendar",
         "day-grain neighbor window + 1-row final",
