@@ -312,6 +312,15 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "day-index windows + 7-lag ACF rows + 1-row stats broadcast",
     ),
     "ts_local_extrema": ("calendar", "day-grain neighbor window"),
+    "ts_permutation_entropy": (
+        "calendar",
+        "day-grain triple window + 6-row pattern-ordered entropy fold "
+        "+ 1-row total broadcast",
+    ),
+    "stats_runs_test": (
+        "calendar",
+        "day-grain sign lag + 1-row mean broadcast + 1-row final",
+    ),
     "ts_theta_forecast": (
         "calendar",
         "day-grain index window + day-length in-row SES fold + 1-row "
