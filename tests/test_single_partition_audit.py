@@ -286,6 +286,11 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "stats_mcnemar": 1,  # 1-row discordant-count final
     "graph_modularity": 2,  # 1-row edge-total + |brands|-row community finals
     "match_fs_weights": 1,  # 1-row sufficient-stat final, 3-row unpivot
+    "ts_durbin_watson": (
+        "calendar",
+        "day-grain lag window + 1-row integer-sum algebraic final",
+    ),
+    "ml_hbos_outlier_topk": 2,  # 1-row range broadcast + top-20 limit
     "stats_cochran_armitage": 1,  # 7-row year grain → 1-row trend final
     "ts_pacf_durbin_levinson": 2,  # 1-row stats broadcast + 1-row ACF pivot
     "ml_mcc": 1,  # 1-row confusion final
