@@ -291,6 +291,11 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "day-grain lag window + 1-row integer-sum algebraic final",
     ),
     "ml_hbos_outlier_topk": 2,  # 1-row range broadcast + top-20 limit
+    "ts_ses_grid_backtest": (
+        "calendar",
+        "day-grain index window + calendar-bounded series collect + "
+        "9-row grid rank",
+    ),
     "stats_cochran_armitage": 1,  # 7-row year grain → 1-row trend final
     "ts_pacf_durbin_levinson": 2,  # 1-row stats broadcast + 1-row ACF pivot
     "ml_mcc": 1,  # 1-row confusion final
