@@ -336,3 +336,132 @@ def iceberg_rewrite_manifests_read(
     return iceberg_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+# ------------------------------------------- batch FO: metadata surfaces
+
+
+def iceberg_manifests_meta(spark: SparkSession, base: str) -> DataFrame:
+    """`.manifests` metadata table of the CURRENT snapshot: one row per
+    manifest-list entry with its content code, sequence bounds, and the
+    live (status != DELETED) entry count — what a maintenance planner
+    reads to decide WHEN rewrite_manifests is worth running. O(manifest
+    bytes) driver work, zero data-file reads."""
+    meta_dir = os.path.join(base, "metadata")
+    import re as _re
+
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(meta_dir)
+        if (m := _re.match(r"^v(\d+)\.metadata\.json$", f))
+    ]
+    with open(os.path.join(meta_dir, f"v{max(versions)}.metadata.json")) as fh:
+        md = json.load(fh)
+    snap = {s["snapshot-id"]: s for s in md["snapshots"]}[
+        md["current-snapshot-id"]
+    ]
+    _, manifests = read_container(_resolve_path(base, snap["manifest-list"]))
+    rows = []
+    for m in manifests:
+        _, entries = read_container(_resolve_path(base, m["manifest_path"]))
+        rows.append(
+            (
+                os.path.basename(m["manifest_path"]),
+                int(m.get("content", 0)),
+                int(m.get("sequence_number", 0)),
+                int(m.get("min_sequence_number", 0)),
+                sum(1 for e in entries if e["status"] != 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "manifest_name string, content int, sequence_number bigint, "
+        "min_sequence_number bigint, live_entries bigint",
+    )
+
+
+@query(
+    "iceberg_manifests_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('m-del-1004.avro', 1, CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(1 AS BIGINT)),
+      ('m-rewrite-1005.avro', 0, CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(3 AS BIGINT))
+    ) t(manifest_name, content, sequence_number, min_sequence_number,
+        live_entries)
+    """,
+)
+def iceberg_manifests_meta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.manifests` over the rewrite_manifests fixture: after the merge
+    the current snapshot carries exactly TWO manifests — the rewritten
+    data manifest (3 live entries, min_seq 1 from the explicit entry
+    seqs, manifest seq 5) and the untouched delete manifest (seq 4) —
+    pinned literally. The planner-facing proof that rewrite_manifests
+    did its job (4 manifests → 2) without touching delete metadata."""
+    iceberg_rewrite_manifests_read.__wrapped__(spark, sf_dir)
+    base = _scratch(sf_dir, "iceberg_rewrite_manifests")
+    return iceberg_manifests_meta(spark, base)
+
+
+def _protocol_action(base: str) -> dict:
+    """Newest protocol action in the JSON log."""
+    log_dir = os.path.join(base, "_delta_log")
+    from .delta_reader import _COMMIT_RE
+
+    for v in sorted(
+        (
+            int(m.group(1))
+            for f in os.listdir(log_dir)
+            if (m := _COMMIT_RE.match(f))
+        ),
+        reverse=True,
+    ):
+        for a in _read_commit(log_dir, v):
+            if "protocol" in a:
+                return a["protocol"]
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+@query(
+    "delta_describe_detail",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('parquet', CAST(2 AS BIGINT), CAST(3 AS BIGINT), 0,
+       'name', 2, 5)
+    ) t(format, num_files, num_columns, num_partition_columns,
+        column_mapping_mode, min_reader_version, min_writer_version)
+    """,
+)
+def delta_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL over the column-mapping fixture: live file count
+    from log replay, column count from the schemaString, partition
+    arity, the columnMapping mode, and the protocol floor (2/5 — the
+    versions column mapping requires) — the one-row health card an
+    operator checks before running maintenance. Metadata-only: O(log)
+    driver work, no data file opened.
+
+    Scale: identical cost at 100 TB — DESCRIBE DETAIL is a log replay,
+    which checkpoints bound exactly as delta_state already does."""
+    from .lakehouse_interop import _build_colmap_fixture
+
+    base = _build_colmap_fixture(spark, sf_dir)
+    live, schema_string, part_cols, config, _ = delta_state(spark, base)
+    proto = _protocol_action(base)
+    sch = json.loads(schema_string)
+    return spark.createDataFrame(
+        [
+            (
+                "parquet",
+                len(live),
+                len(sch["fields"]),
+                len(part_cols or []),
+                config.get("delta.columnMapping.mode", "none"),
+                int(proto.get("minReaderVersion", 1)),
+                int(proto.get("minWriterVersion", 2)),
+            )
+        ],
+        "format string, num_files bigint, num_columns bigint, "
+        "num_partition_columns int, column_mapping_mode string, "
+        "min_reader_version int, min_writer_version int",
+    )
