@@ -564,3 +564,58 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sax"),
     )
+
+
+@query(
+    "stream_chained_window_agg",
+    oracle="""
+    WITH sub AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 hour', w15) AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_subwindows,
+           CAST(max(n) AS BIGINT) AS max_15m,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_15m
+    FROM sub GROUP BY 1, 2
+    """,
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED windowed aggregation — 15-minute counts per type
+    re-aggregated into 1-hour (max, avg) of sub-window activity: the
+    burstiness rollup that needs TWO stateful operators in one query.
+    Batch-declared here; the Structured Streaming twin runs both levels
+    in a single streaming query (Spark's multiple-stateful-operators
+    support: window(window_col, '1 hour') re-windowing under one
+    watermark, append mode), asserted equal on the finalized prefix in
+    tests — the engine surface this key exists to pin. avg is exact
+    integer sum / count.
+
+    Scale: two hash aggs, the second over the 15-min grain (96·|types|
+    rows/day) — the chained-agg plan is what saves a second full scan
+    at 100 TB; without it the rollup re-reads the corpus."""
+    e = t(spark, sf_dir, "events")
+    sub = e.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sub.groupBy(
+            F.window(F.col("w"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_subwindows"),
+            F.max("n").alias("max_15m"),
+            F.sum("n").alias("sn"),
+        )
+        .select(
+            F.col("h.start").alias("hour_start"),
+            "event_type",
+            bi(F.col("n_subwindows")).alias("n_subwindows"),
+            bi(F.col("max_15m")).alias("max_15m"),
+            r6(
+                F.col("sn").cast("double") / F.col("n_subwindows")
+            ).alias("avg_15m"),
+        )
+    )

@@ -286,3 +286,36 @@ def click_purchase_pairs_outer(clicks: DataFrame, purchases: DataFrame) -> DataF
         ),
         "leftOuter",
     ).select("purchase_id", "click_id", "p_ts")
+
+
+def chained_window_agg(events: DataFrame) -> DataFrame:
+    """Twin of stream_chained_window_agg: TWO stateful windowed
+    aggregations chained in ONE streaming query (Spark's
+    multiple-stateful-operators support) — 15-min counts re-windowed to
+    1-hour (max, avg) via window(window_col, '1 hour') under a single
+    10-minute watermark, append mode. Windows still open at the final
+    watermark stay in state (the append-mode boundary); the equality
+    test compares the finalized prefix."""
+    sub = (
+        _with_event_time(events)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sub.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_subwindows"),
+            F.max("n").alias("max_15m"),
+            F.sum("n").alias("sn"),
+        )
+        .select(
+            F.col("h.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            F.col("n_subwindows").cast("bigint").alias("n_subwindows"),
+            F.col("max_15m").cast("bigint").alias("max_15m"),
+            F.round(
+                F.col("sn").cast("double") / F.col("n_subwindows"), 6
+            ).alias("avg_15m"),
+        )
+    )

@@ -186,3 +186,31 @@ def test_stream_join_left_outer_twin(spark, stream_source):
     )
     problems = frames_match(got_pdf, want)
     assert not problems, "; ".join(problems)
+
+
+def test_chained_window_agg_twin(spark, stream_source):
+    """Two stateful operators in one streaming query (append mode):
+    equality vs the batch declaration holds on the FINALIZED prefix —
+    hour windows still open at the final watermark remain in state."""
+    streamed = _run_stream(
+        spark, twins.chained_window_agg(stream_source), "sink_chained", "append"
+    ).toPandas()
+    batch = QUERIES["stream_chained_window_agg"](spark, SF_SMALL).toPandas()
+    assert len(streamed) > 0
+    # every emitted row must match its batch twin exactly
+    merged = streamed.merge(
+        batch, on=["hour_start", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed)
+    assert (merged.n_subwindows_s == merged.n_subwindows_b).all()
+    assert (merged.max_15m_s == merged.max_15m_b).all()
+    assert (merged.avg_15m_s == merged.avg_15m_b).all()
+    # only the final (unfinalized) hours may be missing
+    import pandas as pd
+
+    missing = set(map(tuple, batch[["hour_start", "event_type"]].values)) - set(
+        map(tuple, streamed[["hour_start", "event_type"]].values)
+    )
+    if missing:
+        last_emitted = streamed.hour_start.max()
+        assert all(h >= last_emitted for h, _ in missing)
