@@ -293,6 +293,8 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "ml_hbos_outlier_topk": 2,  # 1-row range broadcast + top-20 limit
     "part_demand_classification": 2,  # 1-row month-count broadcast + 4-row class fold
     "stats_spc_xbar_r": 1,  # 1-row grand-limits broadcast
+    "stats_welch_anova": 2,  # 1-row weight-total broadcast + 1-row final
+    "stats_tost_equivalence": 1,  # 2-row arm pivot -> 1-row final
     "stats_grubbs_max_dev": (
         "calendar",
         "day-grain arg-max rank + 1-row moment broadcast",
