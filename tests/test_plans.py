@@ -701,3 +701,33 @@ def test_tfidf_vocab_gate_flips(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(text_mod, "_TFIDF_VOCAB_BROADCAST_MAX", 1)
     over = plan_text(text_mod.tfidf_topk_frame(docs), "simple")
     assert "ShuffledHashJoin" in over
+
+
+def test_round9_new_lanes_prune_columns(q):
+    """Round-9 batches: the token/doc lanes read ONLY (doc_id, text) and
+    the series lanes ONLY o_orderdate (+price where priced) — a scan
+    that drags all columns through an explode is the classic 100x
+    regression."""
+    plan = plan_text(q("text_ttr_mattr"))
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read
+    plan = plan_text(q("ts_theta_forecast"))
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_orderdate" in read and "o_totalprice" not in read
+
+
+def test_round9_broadcast_shapes(q):
+    """Pinball's quantile table and conformal's fit/radius tables reach
+    the test scan as BroadcastHashJoins (|types|-row builds); the
+    inverted-index term table broadcasts into postings."""
+    for key in ("ml_pinball_loss_eval", "ml_conformal_interval_eval",
+                "text_inverted_index_lookup"):
+        assert "BroadcastHashJoin" in plan_text(q(key), "simple"), key
+
+
+def test_hbos_topk_no_global_sort(q):
+    """HBOS top-20 must plan as TakeOrderedAndProject (per-partition
+    top-k merge), never a full Sort+Exchange of the scored corpus."""
+    plan = plan_text(q("ml_hbos_outlier_topk"), "simple")
+    assert "TakeOrderedAndProject" in plan
