@@ -31,12 +31,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # fixed dims like nation/region, k-row grids/centroids) or guarded by
     # a MEASURED gate (minhash scoring, tfidf vocab). Scale-growing sides
     # (TPC-H part/supplier, per-key aggregates) carry no hint — Catalyst/
-    # AQE decides from measured stats against this threshold, sized to
-    # executor broadcast headroom rather than the conservative 10 MB
-    # default, so graded-scale plans keep the dim-into-fact broadcast
-    # while a genuinely large build flips to a shuffle join instead of
-    # OOMing the driver.
-    "spark.sql.autoBroadcastJoinThreshold": "256m",
+    # AQE decides from measured stats against this threshold. Round-9
+    # re-sizing: the round-8 256m value let a 64-256 MB estimated build
+    # through on the sf30 relational rung, and the single-threaded
+    # driver-side hash-table build DOUBLED join_multiway's wall
+    # (12.6-16.0 s vs 5.9-7.9 s at <=64m; A/B in BASELINE.md round-9).
+    # 64m keeps every graded-scale dim broadcast (fixture pins + bench
+    # unchanged) while capping the build at what a driver thread
+    # assembles in well under a second.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Exact ANSI NULL-on-error semantics diverge between engines; keep the
     # permissive (non-ANSI) mode Spark classic behavior for parity with the
     # guards we write explicitly (nullif etc.).
