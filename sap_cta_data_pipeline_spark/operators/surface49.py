@@ -118,7 +118,12 @@ def iceberg_fast_forward(
 ) -> int:
     """PUBLISH: fast-forward ``to_branch`` (and, for main, the table's
     current-snapshot-id) to ``from_branch``'s snapshot — pure metadata,
-    no file is touched. Refuses when the source ref is unknown."""
+    no file is touched. Refuses when the source ref is unknown, and —
+    the fast-forward contract — when ``to_branch`` has ADVANCED past
+    the staged lineage (the staged snapshot's ancestry must contain the
+    target ref's current snapshot; otherwise publishing would silently
+    DROP the concurrent commits, and the correct verb is a cherry-pick
+    that re-applies the staged changes on the new tip)."""
     cur_v, md = _tip_metadata(base)
     refs = dict(md.get("refs", {}))
     if from_branch not in refs:
@@ -126,6 +131,25 @@ def iceberg_fast_forward(
             f"fast-forward: unknown branch {from_branch!r} (have {sorted(refs)})"
         )
     target = refs[from_branch]["snapshot-id"]
+    if to_branch in refs:
+        cur_tip = refs[to_branch]["snapshot-id"]
+        parents = {s["snapshot-id"]: s.get("parent-snapshot-id")
+                   for s in md["snapshots"]}
+        anc, seen = target, set()
+        while anc is not None and anc not in seen:
+            if anc == cur_tip:
+                break
+            seen.add(anc)
+            anc = parents.get(anc)
+        else:
+            anc = None
+        if anc != cur_tip:
+            raise ValueError(
+                f"fast-forward: {to_branch!r} (snapshot {cur_tip}) is not "
+                f"an ancestor of {from_branch!r} (snapshot {target}) — the "
+                "target advanced since staging; re-apply the staged changes "
+                "on the new tip (cherry-pick) instead of dropping its commits"
+            )
     md = dict(md)
     refs[to_branch] = {"snapshot-id": target, "type": "branch"}
     md["refs"] = refs

@@ -100,3 +100,32 @@ def test_publish_is_metadata_only(spark, tmp_path):
     with open(os.path.join(base, "metadata", "version-hint.text"), "w") as fh:
         fh.write(str(v + 1))
     assert iceberg_snapshot(spark, base).count() == 12
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    """The fast-forward contract: if main advanced past the staged
+    branch's lineage, publishing would DROP the concurrent commits —
+    the guard refuses and names the cherry-pick path."""
+    base, n = _fresh(spark, tmp_path, "wap_diverge")
+    iceberg_append_to_branch(
+        spark, base, n.filter("n_nationkey >= 12"), "b1.parquet", "audit"
+    )
+    # main advances concurrently (an ordinary append moves the tip)
+    iceberg_append(
+        spark, base, n.filter("n_nationkey = 0"), "concurrent.parquet"
+    )
+    cur_v, md = _tip_metadata(base)
+    md = dict(md)
+    md["refs"] = dict(md["refs"])
+    md["refs"]["main"] = {
+        "snapshot-id": md["current-snapshot-id"], "type": "branch"
+    }
+    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
+        _put_metadata_if_absent,
+    )
+
+    _put_metadata_if_absent(os.path.join(base, "metadata"), cur_v + 1, md)
+    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(cur_v + 1))
+    with pytest.raises(ValueError, match="cherry-pick"):
+        iceberg_fast_forward(spark, base, "audit")
