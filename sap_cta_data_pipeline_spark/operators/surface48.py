@@ -70,7 +70,8 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bi(F.length(F.col("text"))).alias("n_chars"),
         r6(r).alias("deflate_ratio"),
-        F.when(r < _LOW, "repetitive")
+        F.when(r.isNull(), F.lit(None).cast("string"))
+        .when(r < _LOW, "repetitive")
         .when(r > _HIGH, "incompressible")
         .otherwise("prose")
         .alias("verdict"),

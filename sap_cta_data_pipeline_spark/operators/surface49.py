@@ -70,11 +70,13 @@ def iceberg_append_to_branch(
     meta_dir = os.path.join(base, "metadata")
     refs = dict(md.get("refs", {}))
     snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
-    parent_id = (
-        refs.get(branch, refs.get("main", {"snapshot-id": md["current-snapshot-id"]}))[
-            "snapshot-id"
-        ]
-    )
+    if branch in refs:
+        parent_id = refs[branch]["snapshot-id"]
+    else:
+        # Fork from the table's CURRENT tip: ordinary appends advance
+        # current-snapshot-id without touching refs['main'], so the ref
+        # can be stale — current-snapshot-id is authoritative.
+        parent_id = md["current-snapshot-id"]
     seq = md.get("last-sequence-number", 0) + 1
     snap_id = 1000 + seq
     mrel = f"m-wap-{snap_id}.avro"
@@ -131,24 +133,35 @@ def iceberg_fast_forward(
             f"fast-forward: unknown branch {from_branch!r} (have {sorted(refs)})"
         )
     target = refs[from_branch]["snapshot-id"]
-    if to_branch in refs:
-        cur_tip = refs[to_branch]["snapshot-id"]
-        parents = {s["snapshot-id"]: s.get("parent-snapshot-id")
-                   for s in md["snapshots"]}
+    parents = {s["snapshot-id"]: s.get("parent-snapshot-id")
+               for s in md["snapshots"]}
+
+    def _is_ancestor(tip: int) -> bool:
         anc, seen = target, set()
         while anc is not None and anc not in seen:
-            if anc == cur_tip:
-                break
+            if anc == tip:
+                return True
             seen.add(anc)
             anc = parents.get(anc)
-        else:
-            anc = None
-        if anc != cur_tip:
+        return False
+
+    # Every authoritative tip of the publish target must sit in the
+    # staged lineage. For main that includes current-snapshot-id —
+    # ordinary appends advance it WITHOUT updating refs['main'], so a
+    # refs-only check would silently drop those concurrent commits.
+    tips = {}
+    if to_branch in refs:
+        tips[f"refs[{to_branch!r}]"] = refs[to_branch]["snapshot-id"]
+    if to_branch == "main" and md.get("current-snapshot-id") is not None:
+        tips["current-snapshot-id"] = md["current-snapshot-id"]
+    for label, cur_tip in tips.items():
+        if not _is_ancestor(cur_tip):
             raise ValueError(
-                f"fast-forward: {to_branch!r} (snapshot {cur_tip}) is not "
-                f"an ancestor of {from_branch!r} (snapshot {target}) — the "
-                "target advanced since staging; re-apply the staged changes "
-                "on the new tip (cherry-pick) instead of dropping its commits"
+                f"fast-forward: {to_branch!r} ({label} = snapshot "
+                f"{cur_tip}) is not an ancestor of {from_branch!r} "
+                f"(snapshot {target}) — the target advanced since "
+                "staging; re-apply the staged changes on the new tip "
+                "(cherry-pick) instead of dropping its commits"
             )
     md = dict(md)
     refs[to_branch] = {"snapshot-id": target, "type": "branch"}
@@ -211,8 +224,12 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .surface26 import iceberg_snapshot_by_ref
 
         staged = iceberg_snapshot_by_ref(spark, base, "audit")
-        assert staged.filter(F.col("n_nationkey").isNull()).count() == 0
-        assert staged.count() == n.count()
+        # Explicit raises, not asserts: the gate must hold under -O too.
+        null_keys = staged.filter(F.col("n_nationkey").isNull()).count()
+        if null_keys != 0:
+            raise ValueError(f"WAP audit failed: {null_keys} NULL keys staged")
+        if staged.count() != n.count():
+            raise ValueError("WAP audit failed: staged row count mismatch")
         iceberg_fast_forward(spark, base, "audit")
         with open(marker, "w") as fh:
             fh.write("ok")

@@ -56,6 +56,26 @@ def test_ratio_matches_direct_zlib(spark, monkeypatch):
     assert r.n_chars == len(_PROSE)
 
 
+def test_null_and_empty_docs_get_null_verdict(spark, monkeypatch):
+    """NULL/empty text → NULL ratio AND NULL verdict (not 'prose'):
+    the verdict must not fall through F.when's NULL conditions into
+    otherwise()."""
+    _plant(monkeypatch, spark, [_PROSE])
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, _PROSE)], "doc_id long, text string"
+    )
+    import sap_cta_data_pipeline_spark.operators.surface48 as m
+
+    monkeypatch.setattr(m, "t", lambda s, sf, name: df)
+    rows = {
+        r.doc_id: r
+        for r in text_compression_ratio.__wrapped__(spark, "x").collect()
+    }
+    assert rows[0].deflate_ratio is None and rows[0].verdict is None
+    assert rows[1].deflate_ratio is None and rows[1].verdict is None
+    assert rows[2].verdict == "prose"
+
+
 def test_deterministic_across_runs(spark, monkeypatch):
     _plant(monkeypatch, spark, [_REP, _PROSE, _NOISE])
     a = sorted(map(tuple, text_compression_ratio.__wrapped__(spark, "x").collect()))

@@ -105,27 +105,40 @@ def test_publish_is_metadata_only(spark, tmp_path):
 def test_fast_forward_refuses_diverged_main(spark, tmp_path):
     """The fast-forward contract: if main advanced past the staged
     branch's lineage, publishing would DROP the concurrent commits —
-    the guard refuses and names the cherry-pick path."""
+    the guard refuses and names the cherry-pick path. Crucially the
+    concurrent append moves ONLY current-snapshot-id (ordinary appends
+    never touch refs['main']): the guard must treat the stale ref as
+    non-authoritative and still refuse."""
     base, n = _fresh(spark, tmp_path, "wap_diverge")
     iceberg_append_to_branch(
         spark, base, n.filter("n_nationkey >= 12"), "b1.parquet", "audit"
     )
-    # main advances concurrently (an ordinary append moves the tip)
+    # main advances concurrently (an ordinary append moves the tip —
+    # current-snapshot-id only; refs['main'] is left stale on purpose)
     iceberg_append(
         spark, base, n.filter("n_nationkey = 0"), "concurrent.parquet"
     )
-    cur_v, md = _tip_metadata(base)
-    md = dict(md)
-    md["refs"] = dict(md["refs"])
-    md["refs"]["main"] = {
-        "snapshot-id": md["current-snapshot-id"], "type": "branch"
-    }
-    from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
-        _put_metadata_if_absent,
-    )
-
-    _put_metadata_if_absent(os.path.join(base, "metadata"), cur_v + 1, md)
-    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as fh:
-        fh.write(str(cur_v + 1))
+    _, md = _tip_metadata(base)
+    assert (
+        md["refs"]["main"]["snapshot-id"] != md["current-snapshot-id"]
+    ), "precondition: the ref must be stale for this probe"
     with pytest.raises(ValueError, match="cherry-pick"):
         iceberg_fast_forward(spark, base, "audit")
+    # and the concurrent lineage is intact: main still serves 13 rows
+    assert iceberg_snapshot(spark, base).count() == 13
+
+
+def test_append_to_branch_forks_from_current_tip(spark, tmp_path):
+    """A NEW branch (no ref yet) must fork from current-snapshot-id,
+    not a stale refs['main'] left behind by ordinary appends — else
+    the staged world silently loses the latest main commits."""
+    base, n = _fresh(spark, tmp_path, "wap_fork")
+    # ordinary append advances current-snapshot-id; refs['main'] stale
+    iceberg_append(
+        spark, base, n.filter("n_nationkey = 12"), "extra.parquet"
+    )
+    iceberg_append_to_branch(
+        spark, base, n.filter("n_nationkey > 12"), "b1.parquet", "audit"
+    )
+    # the branch world contains base(12) + extra(1) + staged(12) = 25
+    assert iceberg_snapshot_by_ref(spark, base, "audit").count() == 25
