@@ -1,8 +1,13 @@
 """Benchmark runner (driver contract, BASELINE.md).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
-JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON
+lines: first the full record below, then a COMPACT
+`{"metric": "headline_summary", "sf01_total": ..., "sf01_queries":
+{...}, "sf1_total": ..., "spread_flags": {...}}` line LAST — round-10
+verdict ask #3: the full line outgrew the driver's tail capture
+(BENCH_r09.json lost the sf0.1 headline to truncation), so the totals
+are repeated in a tail-surviving line. The full record:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"<key>": min_sec, ...}, "queries_median": {...},
@@ -350,6 +355,22 @@ def main() -> int:
                 print(f"dup-dense diagnostic failed: {ex}", file=sys.stderr)
 
     print(json.dumps(out))
+    # Round-10 (verdict ask #3): the full line above has outgrown the
+    # driver's tail capture — its head (metric/value/queries) gets
+    # truncated OUT of BENCH_r{N}.json. Print a second COMPACT summary
+    # line LAST so the headline totals always survive a tail capture.
+    summary = {
+        "metric": "headline_summary",
+        "sf01_total": out["value"],
+        "sf01_queries": out["queries"],
+        "sf": out["sf"],
+        "n_runs": out["n_runs"],
+        "spread_flags": out["spread_flags"],
+    }
+    if "sf1" in out:
+        summary["sf1_total"] = out["sf1"]["value"]
+        summary["sf1_spread_flags"] = out["sf1"]["spread_flags"]
+    print(json.dumps(summary))
     return 0
 
 
