@@ -1256,20 +1256,96 @@ def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _commit_ict_ms(log_dir: str, version: int) -> int | None:
+    """``inCommitTimestamp`` (ms) of a commit's commitInfo, or None.
+    Per PROTOCOL.md the commitInfo action is the FIRST action of an
+    ICT commit, so this reads one line, not the whole file."""
+    with open(os.path.join(log_dir, f"{version:020d}.json")) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            ci = a.get("commitInfo")
+            return None if ci is None else ci.get("inCommitTimestamp")
+    return None
+
+
+def _ict_enablement(log_dir: str, versions: list[int]) -> tuple[int, int] | None:
+    """(enablementVersion, enablementTimestampMs) when the table's tip
+    metaData enables inCommitTimestamps, else None. Absent enablement
+    properties on an enabled table mean 'enabled since creation'
+    (version 0, first commit's ICT)."""
+    config: dict = {}
+    for v in versions:
+        for a in _read_commit(log_dir, v):
+            if "metaData" in a:
+                config = dict(a["metaData"].get("configuration") or {})
+    if config.get("delta.enableInCommitTimestamps", "false").lower() != "true":
+        return None
+    ev = int(config.get("delta.inCommitTimestampEnablementVersion", versions[0]))
+    et = config.get("delta.inCommitTimestampEnablementTimestamp")
+    if et is None:
+        et = _commit_ict_ms(log_dir, ev)
+    if et is None:
+        raise ValueError(
+            f"table enables inCommitTimestamps but commit {ev} carries no "
+            "commitInfo.inCommitTimestamp — the log violates PROTOCOL.md"
+        )
+    return ev, int(et)
+
+
 def delta_version_at_timestamp(base: str, ts: float) -> int:
-    """Resolve ``FOR TIMESTAMP AS OF``: the latest commit whose file
-    modification time is <= ts — the Delta protocol's documented
-    timestamp-travel rule for tables without the inCommitTimestamp
-    feature (commit mtime IS the commit timestamp). Pre-history
+    """Resolve ``FOR TIMESTAMP AS OF`` (``ts`` in epoch SECONDS).
+
+    Tables WITHOUT the inCommitTimestamp feature: the latest commit
+    whose file modification time is <= ts — the Delta protocol's
+    documented legacy rule (commit mtime IS the commit timestamp).
+
+    Tables WITH ``delta.enableInCommitTimestamps``: commits at/after the
+    enablement version are ordered by their commitInfo's
+    ``inCommitTimestamp`` (monotonic by spec, immune to file copies /
+    restores that rewrite mtimes); a target at/after the enablement
+    timestamp resolves ONLY through ICT, a target before it falls back
+    to the legacy mtime rule over pre-enablement commits — exactly the
+    mid-history-enablement split PROTOCOL.md defines. Pre-history
     timestamps raise, exactly like the version-based guard."""
     log_dir = os.path.join(base, "_delta_log")
-    pairs = sorted(
-        (int(m.group(1)), os.path.getmtime(os.path.join(log_dir, f)))
+    versions = sorted(
+        int(m.group(1))
         for f in os.listdir(log_dir)
         if (m := _COMMIT_RE.match(f))
     )
-    if not pairs:
+    if not versions:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    ict = _ict_enablement(log_dir, versions)
+    if ict is not None:
+        enable_v, enable_ts_ms = ict
+        if ts * 1000 >= enable_ts_ms:
+            eligible = [
+                v
+                for v in versions
+                if v >= enable_v
+                and (t_ms := _commit_ict_ms(log_dir, v)) is not None
+                and t_ms <= ts * 1000
+            ]
+            if eligible:
+                return max(eligible)
+            raise ValueError(
+                f"cannot time travel to timestamp {ts}: at/after the ICT "
+                f"enablement timestamp ({enable_ts_ms} ms) but before the "
+                f"first ICT commit's timestamp"
+            )
+        versions = [v for v in versions if v < enable_v]
+        if not versions:
+            raise ValueError(
+                f"cannot time travel to timestamp {ts}: before the ICT "
+                f"enablement timestamp ({enable_ts_ms} ms) and the table "
+                "has no pre-enablement history"
+            )
+    pairs = [
+        (v, os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")))
+        for v in versions
+    ]
     eligible = [v for v, mt in pairs if mt <= ts]
     if not eligible:
         raise ValueError(

@@ -103,6 +103,67 @@ def json_shred_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_variant_materialized",
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      count(*)                                                AS n,
+      round(avg(value), 6)                                    AS avg_value,
+      count(DISTINCT user_id)                                 AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_variant_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native-VARIANT parse-once lane (round-10 verdict ask #2):
+    ``parse_json(props)`` ONCE at ingest into a real ``variant`` column
+    persisted in parquet (Spark 4 writes the binary variant encoding —
+    metadata+value — natively), then answer json_extract_typed's exact
+    bucketed rollup with ``variant_get`` on the STORED column. Unlike
+    json_shred_materialized (which commits to one extracted schema at
+    write time), the variant lane keeps the FULL semi-structured value
+    queryable — any future path costs a binary-variant traversal, not a
+    JSON re-parse, which is the schema-flexibility-vs-speed trade the
+    open lakehouse VARIANT spec exists for. Same idempotent _SUCCESS-marker
+    materialization as the shred lane, so bench's warm runs measure the
+    query-from-variant steady state while run 1 carries the one-time
+    parse+write.
+
+    Measured A/B (scripts/variant_rung.py, BASELINE.md round-10, warm
+    min-of-3): sf0.1 variant 0.351 s ~= shred 0.375 s (within noise);
+    sf1-sparse shred 0.436 s < variant 0.503 s (the binary-variant
+    traversal per row costs more than a plain columnar long read once
+    data dominates job floor); both lanes are 2-3x ahead of the
+    parse-per-query lane (0.712 / 1.270 s). Shred stays the headline
+    hot-path form; variant is the right call when the path set is
+    open-ended."""
+    import os
+
+    from .sources import _scratch
+
+    path = _scratch(sf_dir, "events_variant")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = t(spark, sf_dir, "events")
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.parse_json("props").alias("props_v"),
+        ).write.mode("overwrite").parquet(path)
+    s = spark.read.parquet(path)
+    k = F.expr("variant_get(props_v, '$.k', 'bigint')")
+    return (
+        s.withColumn("k_bucket", F.floor(k / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("value")).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def discover_json_schema(raw: DataFrame) -> tuple[list[str], dict[str, str]]:
     """Runtime schema discovery over a `doc` JSON-string column.
 
