@@ -50,9 +50,18 @@ def main() -> int:
     only: set[str] | None = None
     argv = []
     dup_sparse = False
+    skew_hot = False
     for a in sys.argv[1:]:
         if a == "--dup-sparse":
             dup_sparse = True
+        elif a == "--skew-hot":
+            # round-10 verdict ask #1: adversarial Zipf-hot-key variant —
+            # ~30% of ALL lineitem rows collapse onto ONE orderkey (key 1,
+            # which replica 0 keeps in orders), the real-cluster join
+            # killer. Selection is a deterministic multiplicative hash of
+            # the pre-offset row identity, so the hot set is reproducible
+            # and spread uniformly across replicas. Only lineitem changes.
+            skew_hot = True
         elif a.startswith("--tables="):
             # partial synthesis for big-rep ladder runs (e.g. rep=300
             # relational-only — documents/embeddings stay at a lower rung)
@@ -111,9 +120,19 @@ def main() -> int:
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM read_parquet(src('orders')), {rep_src}""",
     )
+    if skew_hot:
+        # hot-key membership: ~30% of rows by multiplicative hash of the
+        # pre-offset (orderkey, linenumber, replica) identity → orderkey 1
+        lkey = (
+            "CASE WHEN ((l_orderkey * 2654435761 + l_linenumber * 97 + r)"
+            " % 10) < 3 THEN 1"
+            f" ELSE l_orderkey + r * {OFF} END AS l_orderkey"
+        )
+    else:
+        lkey = f"l_orderkey + r * {OFF} AS l_orderkey"
     copy(
         "lineitem",
-        f"""SELECT l_orderkey + r * {OFF} AS l_orderkey,
+        f"""SELECT {lkey},
                    l_partkey + r * {OFF} AS l_partkey,
                    l_suppkey + r * {OFF} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -159,6 +178,8 @@ def main() -> int:
     )
     with open(marker, "w") as fh:
         mode = "dup-sparse" if dup_sparse else "dup-dense"
+        if skew_hot:
+            mode += " skew-hot"
         if only is not None:
             mode += " tables=" + ",".join(sorted(only))
         fh.write(f"rep={rep} mode={mode}\n")
