@@ -40,6 +40,18 @@ RUNTIME_CONFS: dict[str, str] = {
     # unchanged) while capping the build at what a driver thread
     # assembles in well under a second.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Round-10 skew rung (BASELINE.md round-10, scripts/skew_rung.py):
+    # on a 30%-hot-key 60M-row join the DEFAULT 256m skew threshold
+    # never fired — the hot partition's compressed shuffle size sits
+    # under it — leaving a 58.6x max/median task-time straggler
+    # (unsalted) that AQE's coalescing alone made WORSE in absolute
+    # terms (11.1 s max task). At 64m the split fires
+    # (SortMergeJoin(skew=true)), task skew flattens to 2.8x, and the
+    # measured wall HALVES (11.8 -> 5.9 s). 64m also matches the S17
+    # broadcast cap: any partition too big to broadcast is big enough
+    # to be worth splitting. Advisory partition size stays default —
+    # the split granularity was already right; only detection was off.
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64m",
     # Exact ANSI NULL-on-error semantics diverge between engines; keep the
     # permissive (non-ANSI) mode Spark classic behavior for parity with the
     # guards we write explicitly (nullif etc.).

@@ -47,6 +47,9 @@ GROUP BY o_orderpriority
 ARMS = {
     "unsalted_noaqe": {"aqe": False, "salted": False},
     "unsalted_aqe": {"aqe": True, "salted": False},
+    # the shipped session posture (round-10 pin): skew threshold 64m so
+    # the split actually fires on hot partitions the 256m default misses
+    "unsalted_aqe_tuned": {"aqe": True, "salted": False, "skew_threshold": "64m"},
     "salted_noaqe": {"aqe": False, "salted": True},
     "salted_aqe": {"aqe": True, "salted": True},
 }
@@ -112,6 +115,10 @@ def run_arm(name: str, skew_dir: str) -> None:
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.enabled", str(cfg["aqe"]).lower())
         .config("spark.sql.adaptive.skewJoin.enabled", str(cfg["aqe"]).lower())
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            cfg.get("skew_threshold", "256m"),
+        )
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
     )

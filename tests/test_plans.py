@@ -731,3 +731,65 @@ def test_hbos_topk_no_global_sort(q):
     top-k merge), never a full Sort+Exchange of the scored corpus."""
     plan = plan_text(q("ml_hbos_outlier_topk"), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_threshold_pin_and_split_fires(spark):
+    """Round-10 skew-rung pin (session.py): the session ships
+    skewedPartitionThresholdInBytes=64m because the 256m default never
+    fired on a 30%-hot-key sf10 join (BASELINE.md round-10). Conf pin +
+    a miniature structural proof that the split fires under the shipped
+    posture: a deliberately hot key with thresholds scaled down to toy
+    size produces SortMergeJoin(skew=true) in the executed plan."""
+    from pyspark.sql import functions as F
+
+    from sap_cta_data_pipeline_spark.session import RUNTIME_CONFS
+
+    assert (
+        RUNTIME_CONFS[
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ]
+        == "64m"
+    )
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # scale the rung's shape to toy size: same factor between hot
+        # partition and threshold as sf10-vs-64m
+        spark.conf.set(keys[0], "32KB")
+        spark.conf.set(keys[1], "8KB")
+        spark.conf.set(keys[2], "false")
+        spark.conf.set(keys[3], "-1")
+        spark.conf.set(keys[4], "-1")
+        spark.conf.set(keys[5], "16")
+        # v is a hash-like double so the hot partition's shuffle blocks
+        # can't compress away below the toy threshold
+        hot = spark.range(1_000_000).select(
+            F.when(F.col("id") % 10 < 3, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.hash(F.col("id")) / 2147483647.0).alias("v"),
+        )
+        dim = spark.range(1_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        j = (
+            hot.join(dim, "k")
+            .groupBy("grp")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        txt = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in txt, txt[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
