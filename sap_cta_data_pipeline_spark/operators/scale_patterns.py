@@ -58,7 +58,16 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     side only; pick S ≈ (hottest-key rows / target task rows). AQE's
     runtime skew-split does this automatically per skewed partition; the
     explicit form works under any planner and for deliberately adversarial
-    keys. Oracled against the unsalted join — answer-preserving."""
+    keys. Oracled against the unsalted join — answer-preserving.
+
+    Round-10 skew rung (BASELINE.md, 30%-hot-key sf10, fresh JVMs):
+    salting cuts the straggler's max task 8.07 -> 4.74 s but pays the 8x
+    build replication every run (wall 10.6 vs 11.0 s unsalted), while
+    the shipped session posture — AQE skew split with the 64m detection
+    threshold — halves the wall outright (5.76 s, max task 3.73 s). So
+    the DEFAULT is tuned AQE; reach for the salt only when the planner
+    can't help (non-AQE engines, deliberately adversarial keys, or
+    aggregation skew AQE's join-split doesn't cover)."""
     li = t(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT))
     )
