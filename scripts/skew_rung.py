@@ -178,7 +178,92 @@ def run_arm(name: str, skew_dir: str) -> None:
     spark.stop()
 
 
+def run_agg_arm(name: str, skew_dir: str) -> None:
+    """Aggregation-skew probe: groupBy the HOT key itself (one group =
+    30% of all rows). scale_patterns.agg_salted_twophase claims
+    map-side partial aggregation absorbs this; the probe measures it —
+    each task pre-folds its hot rows to ONE partial row, so the
+    post-shuffle reduce sees |tasks| rows per group, never 18M."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 8))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4049")
+        .appName(f"aggskew-{name}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(os.path.join(skew_dir, "lineitem.parquet"))
+
+    def plan():
+        if name == "salted":
+            partial = li.withColumn(
+                "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT))
+            ).groupBy("l_orderkey", "salt").agg(
+                F.sum("l_quantity").alias("p_q"),
+                F.count(F.lit(1)).alias("p_n"),
+            )
+            g = partial.groupBy("l_orderkey").agg(
+                F.sum("p_q").alias("sum_qty"), F.sum("p_n").alias("n")
+            )
+        else:
+            g = li.groupBy("l_orderkey").agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        return g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("n").alias("hot_group_rows"),
+            F.round(F.sum("sum_qty"), 2).alias("total_qty"),
+        )
+
+    walls, rows = [], None
+    for i in range(3):
+        t0 = time.perf_counter()
+        rows = plan().collect()
+        if i:
+            walls.append(round(time.perf_counter() - t0, 3))
+    try:
+        task_skew = _task_skew(4049)
+    except Exception as ex:  # noqa: BLE001
+        task_skew = {"error": str(ex)[:200]}
+    print(json.dumps({
+        "arm": name, "walls": walls, "min_s": min(walls),
+        "task_skew": task_skew,
+        "result_fingerprint": sorted(map(list, rows)),
+    }))
+    spark.stop()
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--agg-arm":
+        run_agg_arm(sys.argv[2], sys.argv[3])
+        return 0
+    if len(sys.argv) > 2 and sys.argv[1] == "--agg":
+        skew_dir = sys.argv[2]
+        out = {"skew_dir": skew_dir, "probe": "aggregation-skew", "arms": {}}
+        for name in ("plain", "salted"):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--agg-arm",
+                 name, skew_dir],
+                capture_output=True, text=True,
+            )
+            out["arms"][name] = (
+                json.loads(r.stdout.strip().splitlines()[-1])
+                if r.returncode == 0 else {"error": r.stderr[-400:]}
+            )
+            print(f"   agg arm {name}: {out['arms'][name].get('walls')}",
+                  file=sys.stderr, flush=True)
+        fps = {json.dumps(a.get("result_fingerprint"))
+               for a in out["arms"].values()}
+        out["answers_agree"] = len(fps) == 1
+        print(json.dumps(out))
+        return 0
     if len(sys.argv) > 2 and sys.argv[1] == "--arm":
         run_arm(sys.argv[2], sys.argv[3])
         return 0
