@@ -1,0 +1,79 @@
+"""Batch GC pins — changelog update-pair view: carryover drop,
+pure delete/insert pass-through, and value-change detection on
+synthetic feeds (unit-grain, no fixture I/O)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sap_cta_data_pipeline_spark.operators.surface56 import changelog_updates
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k int, v string, change_type string, commit_snapshot_id bigint",
+    )
+
+
+def test_carryover_dropped_update_paired(spark):
+    chg = _chg(
+        spark,
+        [
+            (1, "a", "DELETE", 9), (1, "a", "INSERT", 9),     # carryover
+            (2, "b", "DELETE", 9), (2, "b2", "INSERT", 9),    # update
+        ],
+    )
+    out = changelog_updates(chg, ["k"], ["v"]).collect()
+    by = sorted((r.k, r.change_type, r.v) for r in out)
+    assert by == [
+        (2, "update_postimage", "b2"),
+        (2, "update_preimage", "b"),
+    ]
+
+
+def test_unmatched_sides_pass_through(spark):
+    chg = _chg(
+        spark,
+        [(3, "c", "DELETE", 9), (4, "d", "INSERT", 9)],
+    )
+    out = sorted(
+        (r.k, r.change_type, r.v)
+        for r in changelog_updates(chg, ["k"], ["v"]).collect()
+    )
+    assert out == [(3, "delete", "c"), (4, "insert", "d")]
+
+
+def test_pairs_scoped_per_commit(spark):
+    """A delete in commit 9 and an insert in commit 10 must NOT pair —
+    reconciliation is per (identifier, commit)."""
+    chg = _chg(
+        spark,
+        [(5, "e", "DELETE", 9), (5, "e2", "INSERT", 10)],
+    )
+    out = sorted(
+        (r.k, r.change_type, r.commit_snapshot_id)
+        for r in changelog_updates(chg, ["k"], ["v"]).collect()
+    )
+    assert out == [(5, "delete", 9), (5, "insert", 10)]
+
+
+def test_fixture_raw_vs_view_shape(spark):
+    """On the CoW-rewrite fixture the raw changelog is 50 rows and the
+    view is 10 — the compaction IS the operator."""
+    from sap_cta_data_pipeline_spark.operators.surface54 import (
+        iceberg_changelog,
+    )
+    from sap_cta_data_pipeline_spark.operators.surface56 import (
+        _build_rewrite_fixture,
+        iceberg_changelog_updates,
+    )
+    from sap_cta_data_pipeline_spark.operators.sources import _scratch
+    import os
+
+    SF = "/root/testdata/sf0.001"
+    base = _scratch(SF, "iceberg_rewrite_cdc")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        _build_rewrite_fixture(spark, SF, base)
+    assert iceberg_changelog(spark, base, 4001, 4002).count() == 50
+    assert iceberg_changelog_updates.__wrapped__(spark, SF).count() == 10
