@@ -175,7 +175,10 @@ def row_tracking_files(
         if (m := _COMMIT_RE.match(f))
     )
     target = versions[-1] if version is None else version
-    live: dict[str, tuple[int, int]] = {}
+    # pass 1 — the enablement gate comes from table config, so resolve
+    # it BEFORE judging adds (a plain table's add legitimately carries
+    # no baseRowId; it must get the "not enabled" error, not the
+    # corrupt-log one)
     config: dict = {}
     for v in versions:
         if v > target:
@@ -183,7 +186,17 @@ def row_tracking_files(
         for a in _read_commit(log_dir, v):
             if "metaData" in a:
                 config = dict(a["metaData"].get("configuration") or {})
-            elif "add" in a:
+    if config.get("delta.enableRowTracking", "false") != "true":
+        raise ValueError(
+            "row tracking requires delta.enableRowTracking=true; this "
+            "table does not enable it"
+        )
+    live: dict[str, tuple[int, int]] = {}
+    for v in versions:
+        if v > target:
+            break
+        for a in _read_commit(log_dir, v):
+            if "add" in a:
                 ad = a["add"]
                 if ad.get("baseRowId") is None:
                     raise ValueError(
@@ -196,11 +209,6 @@ def row_tracking_files(
                 )
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
-    if config.get("delta.enableRowTracking", "false") != "true":
-        raise ValueError(
-            "row tracking requires delta.enableRowTracking=true; this "
-            "table does not enable it"
-        )
     return live, config
 
 

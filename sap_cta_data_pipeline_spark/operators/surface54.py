@@ -42,6 +42,19 @@ def _tagged_live(
     """Live rows of a snapshot with (``__fp``, ``__pos``) tags; parquet
     position deletes applied at the scan (the fixture scope — eq/DV
     windows are refused by the caller)."""
+    from pyspark.sql import types as T
+
+    if not data_files:  # e.g. the pre-first-append snapshot of a window
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                schema.fields
+                + [
+                    T.StructField("__fp", T.StringType()),
+                    T.StructField("__pos", T.LongType()),
+                ]
+            ),
+        )
     df = spark.read.schema(schema).parquet(*[d["path"] for d in data_files])
     tagged = df.select(
         "*",

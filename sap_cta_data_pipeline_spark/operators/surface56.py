@@ -60,7 +60,10 @@ def changelog_updates(
     j = d.join(i, [*id_cols, "commit_snapshot_id"], "full_outer")
     both = F.col("__d").isNotNull() & F.col("__i").isNotNull()
     kind = (
-        F.when(both & (F.col("__d") == F.col("__i")), "carryover")
+        # eqNullSafe: a carried-over row with NULL cells must still be
+        # dropped — plain struct equality returns NULL on NULL fields
+        # and would emit a phantom update pair for it
+        F.when(both & F.col("__d").eqNullSafe(F.col("__i")), "carryover")
         .when(both, "update")
         .when(F.col("__d").isNotNull(), "delete")
         .otherwise("insert")

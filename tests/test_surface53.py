@@ -102,3 +102,30 @@ def test_not_enabled_refuses(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="enableRowTracking"):
         row_tracking_files(base)
+
+
+def test_plain_table_plain_add_gets_not_enabled_error(spark, tmp_path):
+    """A non-row-tracking table whose adds (legitimately) carry no
+    baseRowId must get the 'not enabled' refusal, not the corrupt-log
+    'no baseRowId' one — the gate resolves from config FIRST."""
+    base = str(tmp_path / "plain2")
+    log_dir = os.path.join(base, "_delta_log")
+    _commit(
+        log_dir,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action([]),
+            {
+                "add": {
+                    "path": "z.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    with pytest.raises(ValueError, match="enableRowTracking"):
+        row_tracking_files(base)

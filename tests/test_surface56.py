@@ -77,3 +77,21 @@ def test_fixture_raw_vs_view_shape(spark):
         _build_rewrite_fixture(spark, SF, base)
     assert iceberg_changelog(spark, base, 4001, 4002).count() == 50
     assert iceberg_changelog_updates.__wrapped__(spark, SF).count() == 10
+
+
+def test_null_valued_carryover_drops(spark):
+    """A carried-over row with a NULL value cell must still drop:
+    plain struct equality returns NULL on NULL fields (emitting a
+    phantom update pair); the reconcile uses eqNullSafe."""
+    chg = _chg(
+        spark,
+        [
+            (7, None, "DELETE", 9), (7, None, "INSERT", 9),   # carryover
+            (8, None, "DELETE", 9), (8, "x", "INSERT", 9),    # real update
+        ],
+    )
+    out = sorted(
+        (r.k, r.change_type, r.v)
+        for r in changelog_updates(chg, ["k"], ["v"]).collect()
+    )
+    assert out == [(8, "update_postimage", "x"), (8, "update_preimage", None)]
