@@ -1321,13 +1321,27 @@ def delta_version_at_timestamp(base: str, ts: float) -> int:
     if ict is not None:
         enable_v, enable_ts_ms = ict
         if ts * 1000 >= enable_ts_ms:
-            eligible = [
-                v
-                for v in versions
-                if v >= enable_v
-                and (t_ms := _commit_ict_ms(log_dir, v)) is not None
-                and t_ms <= ts * 1000
-            ]
+            eligible = []
+            for v in versions:
+                if v < enable_v:
+                    continue
+                t_ms = _commit_ict_ms(log_dir, v)
+                if t_ms is None:
+                    # PROTOCOL.md requires EVERY post-enablement commit to
+                    # carry an ICT; silently skipping one would resolve the
+                    # target to a wrong earlier version on a corrupt log —
+                    # refuse loudly instead (round-10 ADVICE fix, the same
+                    # discipline _ict_enablement applies to the enablement
+                    # commit itself)
+                    raise ValueError(
+                        f"commit {v} is at/after the inCommitTimestamp "
+                        f"enablement version ({enable_v}) but carries no "
+                        "commitInfo.inCommitTimestamp — the log violates "
+                        "PROTOCOL.md; refusing to resolve FOR TIMESTAMP AS "
+                        "OF against a corrupt ICT history"
+                    )
+                if t_ms <= ts * 1000:
+                    eligible.append(v)
             if eligible:
                 return max(eligible)
             raise ValueError(

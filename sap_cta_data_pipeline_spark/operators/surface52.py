@@ -130,10 +130,18 @@ def hudi_clean(base: str, retain_commits: int) -> dict:
         fence = commits[0] if commits else None
     else:
         fence = commits[-retain_commits]
+    # the cleaner plans against COMPLETED slices only (active commit or
+    # archived) — mirroring hudi_fs_state's completeness gate. A leftover
+    # inflight/crashed-writer slice must neither count as a group's kept
+    # "latest" (it serves no view) nor trigger deletion of the completed
+    # slice it would otherwise supersede — round-10 ADVICE fix.
+    completed = set(commits) | {a["instant"] for a in _archived_instants(tl)}
     deleted: list[str] = []
     if fence is not None:
         for fid, by_instant in _slices(base).items():
-            older = sorted(i for i in by_instant if i <= fence)
+            older = sorted(
+                i for i in by_instant if i <= fence and i in completed
+            )
             # keep the latest slice serving the fence view; delete the rest
             for i in older[:-1]:
                 deleted.append(by_instant[i])
@@ -176,7 +184,22 @@ def hudi_archive_timeline(base: str) -> list[str]:
             "the cleaner first so archived instants cannot describe the "
             "only copy of a live file slice"
         )
-    to_archive = [i for i in _completed_commits(tl) if i < fence]
+    # crash-atomic per instant: dedupe against what an earlier (possibly
+    # crashed) run already archived, then remove each .commit IMMEDIATELY
+    # after its archive line is durable. A crash between the flush and
+    # the remove leaves the instant both archived and active; the dedupe
+    # guard makes the re-run skip it instead of appending a duplicate
+    # JSONL record — round-10 ADVICE fix.
+    already = {a["instant"] for a in _archived_instants(tl)}
+    for i in _completed_commits(tl):
+        if i < fence and i in already:
+            # crash aftermath: the archive line is durable but the active
+            # file survived the interrupted run — finish the move without
+            # re-appending (and without re-reporting it as newly moved)
+            os.remove(os.path.join(tl, f"{i}.commit"))
+    to_archive = [
+        i for i in _completed_commits(tl) if i < fence and i not in already
+    ]
     arch_dir = os.path.join(tl, "archived")
     os.makedirs(arch_dir, exist_ok=True)
     with open(os.path.join(arch_dir, "commits.archived"), "a") as fh:
@@ -187,8 +210,9 @@ def hudi_archive_timeline(base: str) -> list[str]:
                 json.dumps({"instant": i, "action": "commit", "meta": meta})
                 + "\n"
             )
-    for i in to_archive:  # archive file is durable before actives go
-        os.remove(os.path.join(tl, f"{i}.commit"))
+            fh.flush()
+            os.fsync(fh.fileno())  # archive line durable before active goes
+            os.remove(os.path.join(tl, f"{i}.commit"))
     return to_archive
 
 

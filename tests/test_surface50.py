@@ -138,3 +138,21 @@ def test_legacy_tables_unchanged(spark, tmp_path):
     assert delta_version_at_timestamp(base, t0 + 10) == 1
     with pytest.raises(ValueError, match="earliest commit"):
         delta_version_at_timestamp(base, t0 - 5)
+
+
+def test_post_enablement_commit_missing_ict_refuses(spark, tmp_path):
+    """A POST-enablement commit with no inCommitTimestamp must refuse
+    resolution, not be silently skipped — skipping would resolve
+    FOR TIMESTAMP AS OF to a wrong EARLIER version on a corrupt log
+    (round-10 ADVICE fix; the enablement commit itself was already
+    guarded by _ict_enablement)."""
+    base = _fixture(spark, tmp_path)
+    _commit(
+        os.path.join(base, "_delta_log"),
+        3,
+        [{"commitInfo": {"operation": "WRITE"}}],  # no inCommitTimestamp
+    )
+    # a target far past every ICT would, under the old filter, land on
+    # v2 — the wrong earlier version; the fixed path refuses loudly
+    with pytest.raises(ValueError, match="corrupt ICT history"):
+        delta_version_at_timestamp(base, (_ICT_V2_MS + 9_000_000) / 1000)

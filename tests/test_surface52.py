@@ -117,3 +117,51 @@ def test_inflight_slice_invisible(spark, table):
     state = hudi_fs_state(base)
     assert "fg-ghost" not in state
     assert hudi_fs_snapshot(spark, base).count() == 25
+
+
+def test_clean_ignores_inflight_slice(spark, table):
+    """A crashed/inflight writer's slice below the fence must neither
+    become a group's kept 'latest' nor trigger deletion of the
+    completed slice it would supersede (round-10 ADVICE fix: the
+    cleaner now shares the reader's completeness gate)."""
+    import shutil
+
+    base, (i1, i2, i3, i4) = table
+    tl = _timeline_dir(base)
+    # ghost instant sorts BETWEEN i2 and the fence (i3) lexicographically
+    ghost = i2 + "5"
+    b_fid = f"fg-i{i2}"
+    b_slice = _slices(base)[b_fid][i2]
+    ghost_slice = f"{b_fid}_0-0-0_{ghost}.parquet"
+    shutil.copy(os.path.join(base, b_slice), os.path.join(base, ghost_slice))
+    open(os.path.join(tl, f"{ghost}.inflight"), "w").close()
+    before = sorted(map(tuple, hudi_fs_snapshot(spark, base).collect()))
+    meta = hudi_clean(base, retain_commits=2)
+    # group B's completed slice survives; only A's superseded i1 goes
+    assert os.path.exists(os.path.join(base, b_slice))
+    assert len(meta["deleted"]) == 1 and i1 in meta["deleted"][0]
+    # the ghost itself is untouched (its writer may still complete)
+    assert os.path.exists(os.path.join(base, ghost_slice))
+    after = sorted(map(tuple, hudi_fs_snapshot(spark, base).collect()))
+    assert before == after
+
+
+def test_archival_crash_rerun_does_not_duplicate(spark, table):
+    """Crash between 'archive line flushed' and '.commit removed':
+    the re-run must not append a duplicate JSONL record and must
+    finish the interrupted move (round-10 ADVICE fix)."""
+    base, (i1, i2, i3, i4) = table
+    tl = _timeline_dir(base)
+    hudi_clean(base, retain_commits=2)
+    assert hudi_archive_timeline(base) == [i1, i2]
+    # simulate the crash aftermath: i1's archive line is durable but its
+    # active .commit never got removed
+    arch = _archived_instants(tl)
+    open(os.path.join(tl, f"{i1}.commit"), "w").write(
+        json.dumps(arch[0]["meta"])
+    )
+    moved = hudi_archive_timeline(base)
+    assert moved == []  # nothing NEWLY archived
+    assert not os.path.exists(os.path.join(tl, f"{i1}.commit"))  # move done
+    after = _archived_instants(tl)
+    assert [a["instant"] for a in after] == [i1, i2]  # no duplicates
