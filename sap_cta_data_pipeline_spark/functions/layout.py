@@ -1,0 +1,64 @@
+"""Byte-targeted physical-layout sizing (round-10 verdict missing #3).
+
+The round-10 sf100 rung measured WHY fixed bucket counts rot: 32 buckets
+that were 1.42x at sf10 degraded to 3.32x at sf100 because 19M-row
+buckets make the within-bucket sort dominate (BASELINE.md round-10). The
+fix the rung itself named — size buckets to the split target — lived
+only in prose until this module: bucket count derives from the input's
+ON-DISK bytes and the same ~128 MB target `spark.sql.files.
+maxPartitionBytes` uses for scan splits, so a bucket stays one
+comfortable task at ANY scale and the count grows with the data instead
+of the data growing past the count.
+
+Used by ``join_bucketed_colocated`` / ``sink_bucketed_sized`` and
+``scripts/bucketed_rung.py``; pinned in tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+#: per-bucket on-disk byte target — matches Spark's default
+#: spark.sql.files.maxPartitionBytes (one bucket ≈ one scan split ≈ one
+#: comfortable task), the boundary the skew rung also calibrated against
+TARGET_BUCKET_BYTES = 128 * 1024 * 1024
+
+
+def parquet_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the parquet file(s)/dir(s) at ``paths`` —
+    the driver-side size estimate bucket sizing keys on (file stats
+    only, never a data read; at warehouse scale this is the table
+    metadata every catalog already carries)."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        else:
+            total += os.path.getsize(p)
+    return total
+
+
+def bucket_count(
+    est_bytes: int,
+    target_bytes: int = TARGET_BUCKET_BYTES,
+    min_buckets: int = 1,
+    max_buckets: int = 100_000,
+) -> int:
+    """``max(min_buckets, ceil(est_bytes / target_bytes))``, capped.
+
+    ``min_buckets``: keep at least the cluster's parallelism floor so a
+    small table still engages every executor. ``max_buckets``: a runaway
+    estimate must not produce a million tiny files — at the cap,
+    per-bucket size grows past the target and the caller should shard
+    by an additional key instead."""
+    if est_bytes < 0:
+        raise ValueError(f"est_bytes must be >= 0, got {est_bytes}")
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    return min(max_buckets, max(min_buckets, math.ceil(est_bytes / target_bytes)))

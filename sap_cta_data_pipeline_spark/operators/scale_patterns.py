@@ -327,15 +327,22 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free big-big join via bucketing: both sides are written
-    `bucketBy(8, orderkey)` into a scratch database, so at read time the
+    `bucketBy(n, orderkey)` into a scratch database, so at read time the
     join key's partitioning is already satisfied — the SortMergeJoin
     consumes both scans with NO Exchange on either side (asserted in
     tests/test_plans.py). This is THE pattern for a 100 TB fact⋈fact
     join that broadcast can't absorb: pay the bucketed layout once at
     ingest, then every keyed join/agg on that key is shuffle-free
-    forever. Bucket count scales with data (buckets ≈ data / target
-    partition size); both sides must agree on count and key. Oracled
-    against the plain (shuffled) join — layout never changes answers."""
+    forever. The bucket count is BYTE-TARGETED (round-11, the sf100
+    rung's own lesson made code): n = layout.bucket_count(on-disk bytes
+    of the larger side, 128 MB target, floor 8) — a fixed count rots as
+    data grows (32 buckets read 1.42x at sf10 but 3.32x at sf100, the
+    within-bucket sort dominating 19M-row buckets; BASELINE.md rounds
+    10-11). Both sides must agree on count and key. Oracled against the
+    plain (shuffled) join — layout never changes answers."""
+    from ..catalog import table_path
+    from ..functions.layout import bucket_count, parquet_bytes
+
     db = "bucketdb"
     loc = _scratch(sf_dir, "bucket_warehouse")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
@@ -343,15 +350,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # size from the LARGER side; both sides share the count (co-location
+    # requires equal bucketing) — the small side just gets thinner files
+    n_buckets = bucket_count(
+        parquet_bytes(table_path(sf_dir, "lineitem")), min_buckets=8
+    )
     (
         li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
+        .bucketBy(n_buckets, "l_orderkey")
         .sortBy("l_orderkey")
         .saveAsTable(f"{db}.lineitem_b")
     )
     (
         o.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
+        .bucketBy(n_buckets, "o_orderkey")
         .sortBy("o_orderkey")
         .saveAsTable(f"{db}.orders_b")
     )
@@ -369,6 +381,51 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             ),
         )
+    )
+
+
+@query(
+    "sink_bucketed_sized",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                 AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT)          AS key_sum,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    """,
+)
+def sink_bucketed_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-targeted bucketed-table sink (round-10 verdict missing #3
+    made a first-class operator): orders is written ``bucketBy(n,
+    o_orderkey)`` where n = layout.bucket_count(on-disk bytes, 128 MB
+    target) — the count DERIVES from the data so a bucket stays one
+    comfortable task at any scale, instead of a fixed count whose
+    buckets grow past the sort/memory envelope (the sf100 rung measured
+    the rot: 32 fixed buckets went 1.42x→3.32x from sf10 to sf100).
+    The aggregate round-trips the PERSISTED metastore table against the
+    source-identity oracle — layout never changes answers; the
+    bucket-file count == helper output and the sizing math itself are
+    pinned in tests/test_layout.py."""
+    from ..catalog import table_path
+    from ..functions.layout import bucket_count, parquet_bytes
+
+    db = "bucketdb_sized"
+    loc = _scratch(sf_dir, "bucket_sized_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n_buckets = bucket_count(
+        parquet_bytes(table_path(sf_dir, "orders")), min_buckets=4
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.orders_sized")
+    )
+    back = spark.table(f"{db}.orders_sized")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("o_custkey").alias("n_custs"),
     )
 
 

@@ -490,7 +490,10 @@ def sink_clustered_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. This is the layout under scan_dpp_partitioned /
     sink_compact_files' pruning claims: min/max row-group stats only
     prune when ranges don't overlap, and 'one file per bucket' is what
-    keeps file listings O(buckets) at 100 TB."""
+    keeps file listings O(buckets) at 100 TB. (The fixed key WIDTH here
+    is the oracle-pinned determinism contract; byte-targeted bucket
+    COUNTS — the round-11 sizing lane — live in functions/layout.py,
+    sink_bucketed_sized, and join_bucketed_colocated.)"""
     o = t(spark, sf_dir, "orders").select("o_orderkey")
     bucketed = o.withColumn(
         "bucket", F.floor(F.col("o_orderkey") / 2_000).cast("long")

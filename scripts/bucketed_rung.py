@@ -14,8 +14,15 @@ Reports, per scale dir:
   - duckdb_s  : the single-node pipelined hash join on identical parquet
 All Spark walls are min of 2 after a JVM warm job; DuckDB median of 3.
 
-Usage: python scripts/bucketed_rung.py [sf_dir ...]
+Usage: python scripts/bucketed_rung.py [--fixed N] [sf_dir ...]
        (default: /tmp/spark_graft_sf10 /tmp/spark_graft_sf30)
+
+Round-11: the bucket count is BYTE-TARGETED by default
+(layout.bucket_count over lineitem's on-disk bytes, 128 MB target,
+floor 32 to keep every core busy at small scale) — the round-10 rung
+measured 32 FIXED buckets degrading 1.42x -> 3.32x from sf10 to sf100
+as 19M-row buckets let the within-bucket sort dominate. --fixed N
+reproduces the old behavior for A/B.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
-_BUCKETS = 32  # match local[32]; at cluster scale buckets ~ data / target split
+_FIXED_FLOOR = 32  # parallelism floor: match local[32]
 
 
 def _wall(fn, n=2) -> float:
@@ -56,7 +63,13 @@ def main() -> int:
     from sap_cta_data_pipeline_spark.operators.sources import _scratch
     from sap_cta_data_pipeline_spark.session import get_spark
 
-    dirs = sys.argv[1:] or ["/tmp/spark_graft_sf10", "/tmp/spark_graft_sf30"]
+    argv = sys.argv[1:]
+    fixed = None
+    if "--fixed" in argv:
+        i = argv.index("--fixed")
+        fixed = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    dirs = argv or ["/tmp/spark_graft_sf10", "/tmp/spark_graft_sf30"]
     spark = get_spark("bucketed-rung")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000_000).count()  # JVM warm
@@ -91,10 +104,19 @@ def main() -> int:
         loc = _scratch(sf_dir, "bucket_rung_warehouse")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         t0 = time.time()
-        li.write.mode("overwrite").bucketBy(_BUCKETS, "l_orderkey").sortBy(
+        from sap_cta_data_pipeline_spark.functions.layout import (
+            bucket_count,
+            parquet_bytes,
+        )
+
+        n_buckets = fixed if fixed is not None else bucket_count(
+            parquet_bytes(os.path.join(sf_dir, "lineitem.parquet")),
+            min_buckets=_FIXED_FLOOR,
+        )
+        li.write.mode("overwrite").bucketBy(n_buckets, "l_orderkey").sortBy(
             "l_orderkey"
         ).saveAsTable(f"{db}.lineitem_b")
-        o.write.mode("overwrite").bucketBy(_BUCKETS, "o_orderkey").sortBy(
+        o.write.mode("overwrite").bucketBy(n_buckets, "o_orderkey").sortBy(
             "o_orderkey"
         ).saveAsTable(f"{db}.orders_b")
         layout_s = round(time.time() - t0, 3)
@@ -132,6 +154,7 @@ def main() -> int:
             "shuffle_ratio": round(shuffle_s / statistics.median(dd), 2),
             "exchange_cost_s": round(shuffle_s - bucketed_s, 3),
             "join_agg_exchanges_in_bucketed_plan": n_exchanges,
+            "n_buckets": n_buckets,
         }
         print(tag, out[tag], flush=True)
     print(json.dumps({"bucketed_rung": out}))

@@ -1,0 +1,94 @@
+"""Byte-targeted bucket sizing pins (round-10 verdict missing #3): the
+sizing math, the on-disk estimator, and the sized sink's physical
+layout actually carrying the computed count."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from sap_cta_data_pipeline_spark.functions.layout import (
+    TARGET_BUCKET_BYTES,
+    bucket_count,
+    parquet_bytes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucket_count_math():
+    assert bucket_count(0) == 1
+    assert bucket_count(1) == 1
+    assert bucket_count(TARGET_BUCKET_BYTES) == 1
+    assert bucket_count(TARGET_BUCKET_BYTES + 1) == 2
+    # the sf100 lesson in numbers: 13 GB of lineitem sizes to ~104
+    # buckets of ~128 MB, not 32 buckets of ~400 MB
+    assert bucket_count(13 * 1024**3) == 104
+    assert bucket_count(10, min_buckets=8) == 8
+    assert bucket_count(10**15, max_buckets=1000) == 1000
+    with pytest.raises(ValueError, match="est_bytes"):
+        bucket_count(-1)
+    with pytest.raises(ValueError, match="target_bytes"):
+        bucket_count(10, target_bytes=0)
+
+
+def test_parquet_bytes_files_and_dirs(tmp_path):
+    f = tmp_path / "a.parquet"
+    f.write_bytes(b"x" * 100)
+    sub = tmp_path / "d"
+    sub.mkdir()
+    (sub / "b.parquet").write_bytes(b"y" * 50)
+    (sub / "ignore.txt").write_bytes(b"z" * 999)
+    assert parquet_bytes(str(f)) == 100
+    assert parquet_bytes(str(tmp_path)) == 150  # recursive, parquet-only
+    assert parquet_bytes(str(f), str(sub)) == 150
+
+
+def test_sized_sink_layout_carries_computed_count(spark, tmp_path, monkeypatch):
+    """The metastore table's physical files carry exactly
+    bucket_count(bytes) buckets (bucket id is encoded in the file name
+    _0000N.c000); at fixture scale the floor dominates (orders << 128MB
+    -> 4)."""
+    import sap_cta_data_pipeline_spark.operators.scale_patterns as m
+    from sap_cta_data_pipeline_spark.catalog import table_path
+    from sap_cta_data_pipeline_spark.operators.scale_patterns import (
+        sink_bucketed_sized,
+    )
+
+    monkeypatch.setattr(
+        m, "_scratch", lambda sf, name: str(tmp_path / name)
+    )
+    n_expected = bucket_count(
+        parquet_bytes(table_path(SF, "orders")), min_buckets=4
+    )
+    assert n_expected == 4  # floor dominates below 512 MB of orders
+    row = sink_bucketed_sized.__wrapped__(spark, SF).collect()[0]
+    assert row.n_rows == 1500
+    loc = str(tmp_path / "bucket_sized_warehouse")
+    table_dir = os.path.join(loc, "orders_sized")
+    buckets = set()
+    for f in os.listdir(table_dir):
+        m_ = re.search(r"_(\d{5})\.c\d+", f)
+        if m_:
+            buckets.add(int(m_.group(1)))
+    assert buckets == set(range(n_expected))
+
+
+def test_colocated_join_uses_sized_count(spark, tmp_path, monkeypatch):
+    """join_bucketed_colocated derives its count from the larger side's
+    bytes (floor 8 at fixture scale) and stays exchange-free."""
+    import sap_cta_data_pipeline_spark.operators.scale_patterns as m
+    from sap_cta_data_pipeline_spark.operators.scale_patterns import (
+        join_bucketed_colocated,
+    )
+    from sap_cta_data_pipeline_spark.plans import digest
+
+    monkeypatch.setattr(m, "_scratch", lambda sf, name: str(tmp_path / name))
+    df = join_bucketed_colocated.__wrapped__(spark, SF)
+    d = digest(df)
+    # the join itself is exchange-free: the only exchange is the final
+    # groupBy's (and none feeds the SortMergeJoin)
+    assert d.n_sortmerge_joins == 1
+    assert d.n_exchanges <= 1
