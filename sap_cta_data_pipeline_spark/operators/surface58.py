@@ -45,11 +45,38 @@ from .lakehouse_interop import _stage_single_parquet, delta_append_commit
 from .sources import _scratch
 
 
+#: Delta ``typeWidening`` supported changes (spec: the feature allows
+#: exactly the LOSSLESS primitive widenings — a reader upcasts old
+#: files' values; nothing is rewritten). Keyed by Spark typeName().
+_WIDENINGS = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("byte", "double"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("short", "double"),
+    ("integer", "long"),
+    ("integer", "double"),
+    ("float", "double"),
+}
+
+
 def delta_append_merge_schema(
     spark: SparkSession, base: str, df: DataFrame, file_name: str
 ) -> None:
     """Append ``df`` with ``mergeSchema`` semantics (see module
-    docstring). One atomic commit: [widened metaData]? + add."""
+    docstring). One atomic commit: [widened metaData]? + add.
+
+    Batch GH: when the table enables ``delta.enableTypeWidening``, a
+    frame column whose type is a SUPPORTED LOSSLESS WIDENING of the
+    declared type (byte→short→int→long, int/float→double — the
+    typeWidening feature's matrix) updates the declared type instead of
+    refusing; the field's schemaString metadata records the change
+    (``delta.typeChanges``) and NO existing file is rewritten — readers
+    upcast old files' values under the widened read schema. Narrowings
+    and unrelated changes still refuse; without the feature EVERY type
+    change refuses (the batch GF rule)."""
     live, schema_string, part_cols, config, _dvs = delta_state(spark, base)
     if part_cols:
         raise NotImplementedError(
@@ -65,25 +92,47 @@ def delta_append_merge_schema(
             "approximates"
         )
     schema = T.StructType.fromJson(json.loads(schema_string))
+    widening_on = (
+        (config or {}).get("delta.enableTypeWidening", "false").lower()
+        == "true"
+    )
     by_name = {f.name: f for f in schema.fields}
     new_fields = []
+    widened: dict[str, T.StructField] = {}
     for f in df.schema.fields:
         tgt = by_name.get(f.name)
         if tgt is None:
             new_fields.append(T.StructField(f.name, f.dataType, True))
         elif tgt.dataType != f.dataType:
-            raise ValueError(
-                f"mergeSchema: appended column {f.name!r} has type "
-                f"{f.dataType.simpleString()} but the table declares "
-                f"{tgt.dataType.simpleString()} — mergeSchema adds "
-                "columns, it never rewrites a declared type; cast the "
-                "frame explicitly"
-            )
+            pair = (tgt.dataType.typeName(), f.dataType.typeName())
+            if widening_on and pair in _WIDENINGS:
+                meta = dict(tgt.metadata or {})
+                meta.setdefault("delta.typeChanges", []).append(
+                    {"fromType": pair[0], "toType": pair[1]}
+                )
+                widened[f.name] = T.StructField(
+                    f.name, f.dataType, tgt.nullable, meta
+                )
+            else:
+                hint = (
+                    " (not a typeWidening-supported lossless widening)"
+                    if widening_on
+                    else ""
+                )
+                raise ValueError(
+                    f"mergeSchema: appended column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the table declares "
+                    f"{tgt.dataType.simpleString()} — mergeSchema adds "
+                    "columns, it never rewrites a declared type"
+                    f"{hint}; cast the frame explicitly"
+                )
     actions: list[dict] = [
         {"commitInfo": {"operation": "WRITE", "mergeSchema": True}}
     ]
-    if new_fields:
-        schema = T.StructType(list(schema.fields) + new_fields)
+    if new_fields or widened:
+        schema = T.StructType(
+            [widened.get(f.name, f) for f in schema.fields] + new_fields
+        )
         actions.append(
             _meta_action([], schema_json=schema.jsonValue(),
                          configuration=config)
@@ -154,6 +203,64 @@ def delta_append_merge_schema_scan(
     base = _build_merge_schema_fixture(spark, sf_dir)
     return delta_snapshot(spark, base).select(
         "n_nationkey", "n_name", "n_regionkey", "n_name_len"
+    )
+
+
+def _build_type_widen_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v0: lo rows, n_regionkey INT; v1: ALTER enabling typeWidening;
+    v2: mergeSchema append of hi rows carrying n_regionkey as LONG —
+    the declared type widens int→long in the same commit as the add."""
+    base = _scratch(sf_dir, "delta_type_widen")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        delta_append_commit(
+            spark, base, n.filter("n_nationkey < 12"), "part-lo.parquet",
+            first=True,
+        )
+        _live, ss, _pc, _cfg, _dvs = delta_state(spark, base)
+        _commit(
+            os.path.join(base, "_delta_log"),
+            1,
+            [
+                {"commitInfo": {"operation": "SET TBLPROPERTIES"}},
+                _meta_action(
+                    [],
+                    schema_json=json.loads(ss),
+                    configuration={"delta.enableTypeWidening": "true"},
+                ),
+            ],
+        )
+        hi = n.filter("n_nationkey >= 12").withColumn(
+            "n_regionkey", F.col("n_regionkey").cast("long")
+        )
+        delta_append_merge_schema(spark, base, hi, "part-hi.parquet")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return base
+
+
+@query(
+    "delta_append_type_widen",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def delta_append_type_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typeWidening round-trip: with ``delta.enableTypeWidening`` set,
+    a mergeSchema append whose column arrived as LONG widens the
+    declared INT to LONG in the same atomic commit — NO existing file
+    is rewritten; the pre-widening int32 file upcasts under the widened
+    read schema (the feature's whole point: a type change on a 100 TB
+    table stays a metadata operation). Every cell value-oracled through
+    the repo's own reader. Narrowing refusal, feature-off refusal, and
+    the recorded ``delta.typeChanges`` field metadata are pinned in
+    tests/test_surface58.py."""
+    base = _build_type_widen_fixture(spark, sf_dir)
+    return delta_snapshot(spark, base).select(
+        "n_nationkey", "n_name", "n_regionkey"
     )
 
 
