@@ -283,6 +283,7 @@ def delta_merge_into(
     on: str,
     update_cols: list[str],
     schema_evolution: bool = False,
+    delete_col: str | None = None,
 ) -> tuple[int, int, int]:
     """``MERGE INTO target USING source ON target.on = source.on WHEN
     MATCHED THEN UPDATE SET update_cols WHEN NOT MATCHED THEN INSERT *``
@@ -329,6 +330,8 @@ def delta_merge_into(
         by_name = {f.name: f for f in schema.fields}
         new_fields = []
         for f in source.schema.fields:
+            if delete_col is not None and f.name == delete_col:
+                continue  # the CDC flag is never a table column
             tgt = by_name.get(f.name)
             if tgt is None:
                 new_fields.append(_T.StructField(f.name, f.dataType, True))
@@ -379,9 +382,16 @@ def delta_merge_into(
     phys_of = _phys_map(schema, config)
     tgt_cols = [f.name for f in schema.fields]
     data_cols = [f.name for f in data_schema.fields]
-    if set(source.columns) != set(tgt_cols):
+    src_data_cols = set(source.columns) - (
+        {delete_col} if delete_col is not None else set()
+    )
+    if delete_col is not None and delete_col not in source.columns:
         raise ValueError(
-            f"source columns {sorted(source.columns)} must equal target "
+            f"delete_col {delete_col!r} is not a source column"
+        )
+    if src_data_cols != set(tgt_cols):
+        raise ValueError(
+            f"source columns {sorted(src_data_cols)} must equal target "
             f"columns {sorted(tgt_cols)} for INSERT *"
         )
     if on not in data_cols or on in update_cols:
@@ -389,7 +399,13 @@ def delta_merge_into(
     abs_of = {os.path.abspath(os.path.join(base, p)): p for p in live}
     read_tip = _log_tip(base)
 
-    src = source.select(*tgt_cols)  # column order normalized to target
+    cdc_flag = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    # column order normalized to target; the CDC flag rides alongside
+    src = source.select(*tgt_cols, cdc_flag.alias("__cdc_del"))
     # Delta MERGE raises on multiple source rows matching one target row;
     # a duplicate-keyed source would silently multiply matched target rows
     # in the left join below. One keyed agg over the (small-side) source.
@@ -448,13 +464,23 @@ def delta_merge_into(
     src_upd = src.select(
         F.col(on),
         F.lit(True).alias("__matched"),
+        F.col("__cdc_del").alias("__del"),
         *[F.col(c).alias(f"__src_{c}") for c in update_cols],
     )
     for i, fp in enumerate(sorted(matched_files)):
         rel = abs_of[fp]
         rows = live_tagged.filter(F.col("__fp") == fp).drop("__fp", "__ri")
         type_of = {f.name: f.dataType for f in data_schema.fields}
-        rewritten = rows.join(src_upd, on, "left").select(
+        joined = rows.join(src_upd, on, "left")
+        # WHEN MATCHED AND delete-flag THEN DELETE: the row is dropped
+        # from the rewrite (unmatched rows and unflagged matches proceed)
+        joined = joined.filter(
+            ~(
+                F.coalesce(F.col("__matched"), F.lit(False))
+                & F.coalesce(F.col("__del"), F.lit(False))
+            )
+        )
+        rewritten = joined.select(
             *[
                 (
                     F.when(
@@ -500,7 +526,10 @@ def delta_merge_into(
     # partition value of the not-matched rows (the driver sees only the
     # distinct partition tuples — bounded by partitions touched, the
     # delta_append_partitioned discovery class).
-    inserts = src.join(target.select(on), on, "left_anti")
+    # a flagged (delete) row never inserts — matched or not
+    inserts = src.filter(~F.col("__cdc_del")).drop("__cdc_del").join(
+        target.select(on), on, "left_anti"
+    )
     n_insert = inserts.count()
     if n_insert and part_cols:
         pvs = sorted(

@@ -35,11 +35,19 @@ KEYS = [
     "text_lang_id",
     "text_tfidf_topk",
     "json_shred_materialized",
+    "json_extract_typed",
     "dedup_near_embedding",
     "sim_knn_cosine",
     "emb_centroid_by_label",
 ]
 WALL_ONLY = ["dedup_minhash_cluster"]
+#: per-(dir-tag, key) oracle skips: DuckDB's brute-force O(n^2) pair
+#: join for near-dup cosine is ~27 s at sf1 and ~quadratic in rows — at
+#: sf10 the oracle alone would run hours, measuring DuckDB's lack of an
+#: LSH plan, not ours. Record the Spark wall; the ratio story is already
+#: decided at sf1 (0.04x — the bucketed plan wins by 25x there and the
+#: gap widens quadratically).
+ORACLE_SKIP = {("spark_graft_sf10_text", "dedup_near_embedding")}
 
 
 def main() -> int:
@@ -71,7 +79,11 @@ def main() -> int:
                 )
         res = {}
         for key in KEYS + WALL_ONLY:
-            oracled = key in ORACLES and key not in WALL_ONLY
+            oracled = (
+                key in ORACLES
+                and key not in WALL_ONLY
+                and (tag, key) not in ORACLE_SKIP
+            )
             duck_times, spark_times = [], []
             try:
                 if oracled:
