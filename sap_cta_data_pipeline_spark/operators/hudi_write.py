@@ -118,6 +118,30 @@ def hudi_cow_upsert(
         f.endswith(".commit") for f in os.listdir(tl)
     ) else {}
     writes: list[tuple[str, str]] = []
+    if groups:
+        # additive schema evolution (round-11 batch GK, the Delta/Iceberg
+        # writer-evolution symmetry): NEW incoming columns are allowed —
+        # rewritten slices carry them (survivors take NULL via the
+        # allowMissingColumns union below) and untouched groups' slices
+        # simply lack them (the mergeSchema read serves typed NULLs). A
+        # TYPE conflict refuses loudly, exactly like the other two
+        # formats' writers: Hudi resolves promotions through Avro schema
+        # resolution, a surface this writer does not claim. Footer-only
+        # schema discovery — no data read.
+        cur = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(base, p) for p in sorted(groups.values())]
+        ).schema
+        cur_by_name = {f.name: f for f in cur.fields}
+        for f in incoming.schema.fields:
+            tgt = cur_by_name.get(f.name)
+            if tgt is not None and tgt.dataType != f.dataType:
+                raise ValueError(
+                    f"upsert schema evolution: incoming column {f.name!r} "
+                    f"has type {f.dataType.simpleString()} but the table's "
+                    f"slices carry {tgt.dataType.simpleString()} — additive "
+                    "evolution only (Avro-resolution promotions are not "
+                    "claimed); cast the frame explicitly"
+                )
 
     def _with_meta(d: DataFrame) -> DataFrame:
         cols = [c for c in d.columns if not c.startswith("_hoodie_")]
@@ -161,7 +185,12 @@ def hudi_cow_upsert(
                 "left_semi",
             )
             rel = f"{fid}_0-0-0_{instant}.parquet"
-            merged = survivors.unionByName(_with_meta(replaced))
+            # allowMissingColumns IS the additive-evolution union: a new
+            # incoming column reaches survivors as NULL; a dropped-from-
+            # frame column keeps survivor values and NULLs the new rows
+            merged = survivors.unionByName(
+                _with_meta(replaced), allowMissingColumns=True
+            )
             _stage_single_parquet(merged, os.path.join(base, rel))
             writes.append((fid, rel))
         inserts = incoming.join(

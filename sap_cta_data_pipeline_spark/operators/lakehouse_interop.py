@@ -417,7 +417,12 @@ def hudi_cow_snapshot(spark: SparkSession, base: str) -> DataFrame:
     (``_hoodie_*``, populated by every CoW writer) are dropped so the
     caller sees the logical schema."""
     groups = hudi_cow_state(base)
-    df = spark.read.parquet(*[os.path.join(base, p) for p in sorted(groups.values())])
+    # mergeSchema: slices written before an additive evolution lack the
+    # new columns — the union schema serves typed NULLs for them (footer
+    # reads only, bounded by live-slice count)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(base, p) for p in sorted(groups.values())]
+    )
     keep = [c for c in df.columns if not c.startswith("_hoodie_")]
     return df.select(keep)
 

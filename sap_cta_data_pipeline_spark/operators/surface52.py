@@ -115,7 +115,9 @@ def hudi_fs_snapshot(
     spark: SparkSession, base: str, as_of: str | None = None
 ) -> DataFrame:
     state = hudi_fs_state(base, as_of)
-    df = spark.read.parquet(*[os.path.join(base, p) for p in sorted(state.values())])
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(base, p) for p in sorted(state.values())]
+    )
     return df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
 
 
