@@ -120,7 +120,7 @@ HEADLINE = [
 #: summary line makes the inflation self-reporting: totals from a
 #: flagged run are load, not regression, until re-measured.
 _LOAD_CANARY = "scan_pushdown"
-_LOAD_CANARY_BAND = {"sf01": 0.153, "sf1": 0.254}  # medians, round-11 solo
+_LOAD_CANARY_BAND = {"sf01": 0.31, "sf1": 0.28}  # medians, round-11 solo
 _LOAD_CANARY_TOLERANCE = 1.3
 
 
