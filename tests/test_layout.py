@@ -66,8 +66,16 @@ def test_sized_sink_layout_carries_computed_count(spark, tmp_path, monkeypatch):
     assert n_expected == 4  # floor dominates below 512 MB of orders
     row = sink_bucketed_sized.__wrapped__(spark, SF).collect()[0]
     assert row.n_rows == 1500
-    loc = str(tmp_path / "bucket_sized_warehouse")
-    table_dir = os.path.join(loc, "orders_sized")
+    # resolve the PERSISTED location from the metastore: the derby
+    # catalog lives per-JVM, so a prior test/sweep may have created
+    # bucketdb_sized already — CREATE DATABASE IF NOT EXISTS keeps the
+    # first location and the tmp_path monkeypatch does not move it
+    loc_row = next(
+        r for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED bucketdb_sized.orders_sized"
+        ).collect() if r.col_name == "Location"
+    )
+    table_dir = loc_row.data_type.replace("file:", "")
     buckets = set()
     for f in os.listdir(table_dir):
         m_ = re.search(r"_(\d{5})\.c\d+", f)

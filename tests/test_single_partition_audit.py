@@ -206,6 +206,7 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
     "sim_ann_ivfpq": 2,  # k-row centroid/codebook builds (emb_ivf_kmeans_ann class)
     "sim_ann_ivfpq_rerank": 2,  # composes sim_ann_ivfpq — inherits its builds
     "sim_recall_eval": 2,  # composes sim_ann_ivf → inherits its centroid build
+    "sink_bucketed_sized": 1,  # 1-row round-trip audit final over the bucketed table
     "sink_parquet_bloomfilter": 1,
     "part_kmeans1d_exact": (
         "k-row",
