@@ -302,6 +302,15 @@ def delta_merge_into(
     (new fields need writer-allocated physical names + field ids, a
     protocol surface this writer does not claim).
 
+    No-op contract (deliberate asymmetry, round-11 advice —
+    documented): a MERGE that matches nothing and inserts nothing
+    returns without committing; but with ``schema_evolution=True`` and
+    NEW source columns it still commits the widened metaData as a
+    (metadata-only) version — the user asked for evolution, and the
+    widened schema is the durable effect the next writer depends on,
+    independent of whether this window carried rows. Pinned in
+    tests/test_delta_dml.py::test_merge_evolution_no_data_noop_commits_schema.
+
     Shape: (1) tag the live set with (file, position), apply DVs; (2) the
     matched-file set is a semi-join of tagged target rows against source
     keys, collected as DISTINCT PATHS (file-count bounded); (3) matched
@@ -497,9 +506,9 @@ def delta_merge_into(
             ]
         )
         new_rel = f"mrg-{uid}-{i}.parquet"
+        new_abs = os.path.join(base, new_rel)
         _stage_single_parquet(
-            _to_physical(rewritten, data_schema, phys_of),
-            os.path.join(base, new_rel),
+            _to_physical(rewritten, data_schema, phys_of), new_abs
         )
         actions.append(
             {
@@ -510,6 +519,16 @@ def delta_merge_into(
                 }
             }
         )
+        # when the delete branch dropped EVERY row of the file, commit
+        # remove-only — Delta never re-adds an empty data file, and
+        # repeated pure-delete windows must not accumulate zero-row
+        # parquets (round-11 advice). Emptiness read from the staged
+        # footer: a driver-side metadata read, no second job.
+        import pyarrow.parquet as _pq
+
+        if _pq.ParquetFile(new_abs).metadata.num_rows == 0:
+            os.remove(new_abs)
+            continue
         actions.append(
             {
                 "add": {

@@ -68,14 +68,10 @@ def iceberg_append_evolved(
             f"no Iceberg table under {base} — evolved append targets an "
             "existing table (create with iceberg_append first)"
         )
-    data_path = os.path.join(base, "data", file_name)
-    os.makedirs(os.path.dirname(data_path), exist_ok=True)
-    _stage_single_parquet(df, data_path)
-    n_rows = df.count()
 
     import re as _re
 
-    for _ in range(10):
+    def _read_tip() -> tuple[int, dict]:
         versions = [
             int(m.group(1))
             for f in os.listdir(meta_dir)
@@ -88,12 +84,17 @@ def iceberg_append_evolved(
             )
         cur_v = max(versions)
         with open(os.path.join(meta_dir, f"v{cur_v}.metadata.json")) as fh:
-            prev = json.load(fh)
+            return cur_v, json.load(fh)
+
+    frame_fields = _iceberg_fields_of(df.schema)
+
+    def _evolve_plan(prev: dict) -> tuple[list[dict], list[dict], int]:
+        """Validate the frame against ``prev``'s schema; the evolved
+        column list. Raises the type-conflict refusal."""
         fields = [dict(f) for f in _current_schema(prev)]
         by_name = {f["name"]: f for f in fields}
-        frame_fields = _iceberg_fields_of(df.schema)
         last_col = prev.get("last-column-id", len(fields))
-        new_cols = []
+        new_cols: list[dict] = []
         for ff in frame_fields:
             tgt = by_name.get(ff["name"])
             if tgt is None:
@@ -120,6 +121,32 @@ def iceberg_append_evolved(
                     f"Iceberg type {ff['type']} but the table declares "
                     f"{tgt['type']}{promo}; cast the frame explicitly"
                 )
+        return fields, new_cols, last_col
+
+    # validate against the current tip BEFORE staging any data (round-11
+    # advice: a refusal must not leave an orphaned file under data/ that
+    # no manifest references — the Delta and Hudi lanes validate first)
+    _evolve_plan(_read_tip()[1])
+    data_path = os.path.join(base, "data", file_name)
+    os.makedirs(os.path.dirname(data_path), exist_ok=True)
+    _stage_single_parquet(df, data_path)
+    n_rows = df.count()
+
+    def _unstage() -> None:
+        try:
+            os.remove(data_path)
+        except OSError:
+            pass
+
+    for _ in range(10):
+        cur_v, prev = _read_tip()
+        try:
+            fields, new_cols, last_col = _evolve_plan(prev)
+        except ValueError:
+            # schema changed under contention into a conflict: the
+            # staged file must not orphan (round-11 advice)
+            _unstage()
+            raise
 
         seq = prev.get("last-sequence-number", 0) + 1
         snap_id = 1000 + seq
@@ -181,6 +208,7 @@ def iceberg_append_evolved(
         with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
             fh.write(str(cur_v + 1))
         return cur_v + 1
+    _unstage()  # give-up path: no manifest references the staged file
     raise IcebergCommitConflict(
         f"gave up after 10 contended metadata versions under {meta_dir}"
     )

@@ -422,3 +422,56 @@ def test_merge_partitioned_routing_and_refusals(spark, sf_dir, tmp_path):
         delta_merge_into(spark, base, src, "n_regionkey", ["n_name"])
     with pytest.raises(NotImplementedError, match="moves rows"):
         delta_merge_into(spark, base, src, "n_nationkey", ["n_regionkey"])
+
+
+def test_merge_pure_delete_emits_remove_only(spark, sf_dir, tmp_path):
+    """Round-11 advice: when the CDC delete branch drops EVERY row of a
+    matched file, the commit carries the remove WITHOUT a zero-row
+    re-add — repeated pure-delete windows must not accumulate empty
+    parquet files (Delta never re-adds an empty file either)."""
+    base = _clone_sink(spark, sf_dir, tmp_path, "mrg_puredel")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src = n.withColumn("__drop", F.lit(True))
+    version, n_rewritten, n_inserted = delta_merge_into(
+        spark, base, src, "n_nationkey", ["n_name"], delete_col="__drop"
+    )
+    assert n_inserted == 0
+    acts = _read_commit(os.path.join(base, "_delta_log"), version)
+    removes = [a for a in acts if "remove" in a]
+    adds = [a for a in acts if "add" in a]
+    assert len(removes) == n_rewritten and n_rewritten > 0
+    assert adds == [], "pure-delete rewrite is remove-only"
+    assert delta_snapshot(spark, base).count() == 0
+    # and no orphaned zero-row parquet was left staged
+    data_files = [
+        f for f in os.listdir(base)
+        if f.endswith(".parquet") and f.startswith("mrg-")
+    ]
+    assert data_files == []
+
+
+def test_merge_evolution_no_data_noop_commits_schema(spark, sf_dir, tmp_path):
+    """The documented no-op asymmetry (round-11 advice): a MERGE that
+    matches nothing and inserts nothing normally does NOT commit, but
+    WITH SCHEMA EVOLUTION and new source columns it still commits the
+    widened metaData as a metadata-only version — the evolution is the
+    durable effect the user asked for."""
+    base = _clone_sink(spark, sf_dir, tmp_path, "mrg_evnoop")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    empty = n.withColumn("n_extra", F.lit(1).cast("int")).filter("1 = 0")
+    tip0 = _log_tip(base)
+    # non-evolution empty-source MERGE: no commit at all
+    v0, nr0, ni0 = delta_merge_into(
+        spark, base, empty.drop("n_extra"), "n_nationkey", ["n_name"]
+    )
+    assert (v0, nr0, ni0) == (tip0, 0, 0) and _commits(base)[-1] == tip0
+    # evolution: the widened schema commits even though no row changed
+    v1, nr1, ni1 = delta_merge_into(
+        spark, base, empty, "n_nationkey", ["n_name", "n_extra"],
+        schema_evolution=True,
+    )
+    assert (nr1, ni1) == (0, 0) and v1 == tip0 + 1
+    acts = _read_commit(os.path.join(base, "_delta_log"), v1)
+    assert any("metaData" in a for a in acts)
+    assert not [a for a in acts if "add" in a or "remove" in a]
+    assert "n_extra" in delta_snapshot(spark, base).columns

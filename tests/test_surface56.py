@@ -100,8 +100,13 @@ def test_null_valued_carryover_drops(spark):
 
 def test_duplicate_identifier_refuses(spark):
     """Two DELETEs (or INSERTs) sharing (identifier, commit) would
-    cross-multiply in the full-outer reconcile into phantom pairs —
-    the refusal names the key (round-10 verdict what's-wrong #2)."""
+    collapse/cross-multiply in the reconcile into phantom pairs — the
+    refusal names the key (round-10 verdict what's-wrong #2). Round-11
+    advice moved the check INTO the reconcile aggregate (the eager
+    pre-check re-computed the O(changed-data) feed lineage twice), so
+    it raises at emission time."""
+    from pyspark.errors.exceptions.base import PySparkException
+
     chg = _chg(
         spark,
         [
@@ -109,8 +114,8 @@ def test_duplicate_identifier_refuses(spark):
             (1, "c", "INSERT", 9), (1, "d", "INSERT", 9),
         ],
     )
-    with pytest.raises(ValueError, match="identifier uniqueness"):
-        changelog_updates(chg, ["k"], ["v"])
+    with pytest.raises(PySparkException, match="identifier uniqueness"):
+        changelog_updates(chg, ["k"], ["v"]).collect()
     # the same key in DIFFERENT commits is fine (per-commit scoping)
     ok = _chg(
         spark,

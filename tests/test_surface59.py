@@ -181,6 +181,12 @@ def test_iceberg_evolution_type_conflict_names_promotion(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cast the frame explicitly"):
         iceberg_append_evolved(spark, base, bad, "a2.parquet")
+    # round-11 advice: a refusal must not orphan a staged data file —
+    # validation now runs against the tip BEFORE staging, so neither
+    # refused append left anything under data/
+    import os
+
+    assert sorted(os.listdir(os.path.join(base, "data"))) == ["a0.parquet"]
 
 
 def test_iceberg_evolution_noop_when_schema_matches(spark, tmp_path):
