@@ -1,0 +1,276 @@
+"""§2 round-12 batch GO — streaming changelog tail.
+
+Round-11 verdict missing #2: ``stream_iceberg_snapshot_tail`` tails
+APPENDS only — a table whose window contains a delete or rewrite had
+no streaming lane even though the batch ``iceberg_changelog`` machinery
+exists. This batch is the §2-K twin that drives it per micro-batch:
+
+- offsets are SEQUENCE NUMBERS (the same lattice as the append tail);
+- each micro-batch walks the snapshots committed since the last offset
+  and drains each one as a changelog WINDOW (parent → snapshot) through
+  batch GA's changed-files plan — INSERTs AND DELETEs, tagged with the
+  committing snapshot id;
+- the first window (no parent) emits the initial snapshot's live rows
+  as INSERTs — a consumer bootstraps state and then applies deltas;
+- ``readBetweenOffsets`` replays any committed range EXACTLY because
+  snapshots are immutable and the plan is a pure function of the two
+  endpoint manifests — the checkpoint-recovery contract, pinned.
+
+Row materialization inside the reader is pyarrow, not Spark — stream
+readers run outside the session (the house rule every K twin follows);
+the FILE SCOPE is still ``iceberg_changelog_plan``'s changed-files
+bound, so a micro-batch reads only the window's added/removed files and
+the carried files its changed deletes reference, never the table.
+
+Scale: per micro-batch cost is O(window) — the plan is two manifest
+walks, emission reads only changed files. The SimpleDataSourceStream
+reader materializes via the driver (fine for CDC windows, which are
+metadata-to-GB scale); a partition-based reader shipping per-file
+splits to executors is the same offset contract at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from .iceberg_reader import _load_metadata, iceberg_state
+from .sources import _scratch
+from .surface54 import iceberg_changelog_plan
+
+
+def _norm(p: str) -> str:
+    return re.sub(r"^file:/+", "/", p)
+
+
+def _pa_positions(dels: list[dict]) -> set[tuple[str, int]]:
+    """Dead (path, pos) pairs of a delete-entry set, pyarrow/driver
+    materialized — O(deletes), the same envelope the batch reader has."""
+    import pyarrow.parquet as pq
+
+    from ..functions.puffin import deserialize_dv_blob, read_blob
+
+    out: set[tuple[str, int]] = set()
+    for d in dels:
+        if d.get("format") == "puffin":
+            blob = read_blob(d["path"], d["offset"], d["size"])
+            out.update((d["referenced"], int(p)) for p in deserialize_dv_blob(blob))
+        else:
+            t = pq.read_table(d["path"])
+            out.update(
+                (_norm(f), int(p))
+                for f, p in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                )
+            )
+    return out
+
+
+def _pa_rows_at(path: str, keep) -> list[tuple]:
+    """(n_nationkey, n_name, n_regionkey) rows of ``path`` at positions
+    where ``keep(pos)`` holds."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["n_nationkey", "n_name", "n_regionkey"])
+    cols = t.to_pydict()
+    return [
+        (cols["n_nationkey"][i], cols["n_name"][i], cols["n_regionkey"][i])
+        for i in range(t.num_rows)
+        if keep(i)
+    ]
+
+
+def _pa_changelog_rows(base: str, from_sid: int | None, to_sid: int) -> list[tuple]:
+    """The window's change rows as (n_nationkey, n_name, n_regionkey,
+    change_type, commit_snapshot_id) tuples. ``from_sid=None`` is the
+    bootstrap window: the snapshot's full live set as INSERTs."""
+    rows: list[tuple] = []
+
+    def _emit(files: list[dict], dels: dict, tag: str) -> None:
+        for f in files:
+            dead = _pa_positions(
+                [d for _dk, d in dels.items() if d["seq"] >= f["seq"]]
+            )
+            for r in _pa_rows_at(f["path"], lambda i, p=f["path"]: (p, i) not in dead):
+                rows.append((*r, tag, to_sid))
+
+    if from_sid is None:
+        _, data_files, pos_dels, eq = iceberg_state(base, to_sid)
+        if eq:
+            raise ValueError(
+                "changelog scan over equality deletes is not supported"
+            )
+        from .surface54 import _delete_key
+
+        _emit(data_files, {_delete_key(d): d for d in pos_dels}, "INSERT")
+        return rows
+    plan = iceberg_changelog_plan(base, from_sid, to_sid)
+    dels_a, dels_b = plan["dels_a"], plan["dels_b"]
+    _emit(plan["added"], dels_b, "INSERT")
+    _emit(plan["removed"], dels_a, "DELETE")
+    for (sa, sb), fs in plan["carried_delta"].items():
+        paths = {f["path"] for f in fs}
+        dead_a = _pa_positions([dels_a[dk] for dk in sorted(sa)])
+        dead_b = _pa_positions([dels_b[dk] for dk in sorted(sb)])
+        newly_dead = {
+            (fp, p)
+            for fp, p in _pa_positions([dels_b[dk] for dk in sorted(sb - sa)])
+            if fp in paths
+        } - dead_a
+        newly_live = {
+            (fp, p)
+            for fp, p in _pa_positions([dels_a[dk] for dk in sorted(sa - sb)])
+            if fp in paths
+        } - dead_b
+        for fp in sorted({fp for fp, _ in newly_dead}):
+            at = {p for f2, p in newly_dead if f2 == fp}
+            for r in _pa_rows_at(fp, lambda i: i in at):
+                rows.append((*r, "DELETE", to_sid))
+        for fp in sorted({fp for fp, _ in newly_live}):
+            at = {p for f2, p in newly_live if f2 == fp}
+            for r in _pa_rows_at(fp, lambda i: i in at):
+                rows.append((*r, "INSERT", to_sid))
+    return rows
+
+
+def _windows(base: str, after_seq: int, upto_seq: int | None):
+    """(from_sid-or-None, snapshot) pairs for snapshots with sequence
+    in (after_seq, upto_seq] — from_sid is the seq-ordered predecessor
+    (None for the table's first snapshot: the bootstrap window)."""
+    meta = _load_metadata(base)
+    snaps = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
+    prev = None
+    for s in snaps:
+        if s["sequence-number"] <= after_seq:
+            prev = s["snapshot-id"]
+            continue
+        if upto_seq is not None and s["sequence-number"] > upto_seq:
+            break
+        yield prev, s
+        prev = s["snapshot-id"]
+
+
+def _make_changelog_tail_datasource():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _ChangelogTailReader(SimpleDataSourceStreamReader):
+        """Offsets are {'seq': last-drained sequence-number}; snapshot
+        immutability + the plan being a pure function of the endpoint
+        manifests make readBetweenOffsets an exact replay (pinned in
+        tests/test_surface65.py)."""
+
+        def __init__(self, base: str):
+            self._base = base
+
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def read(self, start):
+            rows: list[tuple] = []
+            hi = start["seq"]
+            for from_sid, snap in _windows(self._base, start["seq"], None):
+                rows.extend(
+                    _pa_changelog_rows(self._base, from_sid, snap["snapshot-id"])
+                )
+                hi = snap["sequence-number"]
+            if hi == start["seq"]:
+                return iter([]), start
+            return iter(rows), {"seq": hi}
+
+        def readBetweenOffsets(self, start, end):
+            rows: list[tuple] = []
+            for from_sid, snap in _windows(
+                self._base, start["seq"], end["seq"]
+            ):
+                rows.extend(
+                    _pa_changelog_rows(self._base, from_sid, snap["snapshot-id"])
+                )
+            return iter(rows)
+
+    class IcebergChangelogTailDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "iceberg_changelog_tail"
+
+        def schema(self) -> str:
+            return (
+                "n_nationkey int, n_name string, n_regionkey int, "
+                "change_type string, commit_snapshot_id bigint"
+            )
+
+        def simpleStreamReader(self, schema):
+            return _ChangelogTailReader(self.options["path"])
+
+    return IcebergChangelogTailDataSource
+
+
+_CHG_STREAM_RUNS = iter(range(1_000_000))
+
+
+def _stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Built by the module's own writers: two appends (snapshots
+    1001/1002), then a position-delete commit (1003) killing
+    n_nationkey % 5 = 0 — the window the append tail cannot stream."""
+    from ..catalog import load_table
+    from .iceberg_reader import iceberg_append, iceberg_delete_where
+
+    base = _scratch(sf_dir, "iceberg_chg_stream")
+    if not os.path.exists(os.path.join(base, "_FIXTURE_READY")):
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        iceberg_append(spark, base, n.filter("n_nationkey < 12"), "a0.parquet")
+        iceberg_append(spark, base, n.filter("n_nationkey >= 12"), "a1.parquet")
+        iceberg_delete_where(spark, base, "n_nationkey % 5 = 0")
+        with open(os.path.join(base, "_FIXTURE_READY"), "w") as fh:
+            fh.write("ok")
+    return base
+
+
+@query(
+    "stream_iceberg_changelog_tail",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, 'INSERT' AS change_type,
+           CAST(CASE WHEN n_nationkey < 12 THEN 1001 ELSE 1002 END AS BIGINT)
+             AS commit_snapshot_id
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'DELETE', CAST(1003 AS BIGINT)
+    FROM nation WHERE n_nationkey % 5 = 0
+    """,
+)
+def stream_iceberg_changelog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL an Iceberg table's row-level CHANGES as a streaming source
+    (round-11 verdict missing #2): appends arrive as INSERT windows, the
+    position-delete commit arrives as a DELETE window — each row tagged
+    with its committing snapshot — where the append-only tail would
+    silently skip the delete. Value-oracled cell-by-cell; replay
+    exactness (readBetweenOffsets) and checkpoint recovery (restart
+    drains ONLY the post-stop window, no re-emit) are pinned in
+    tests/test_surface65.py."""
+    import shutil
+
+    base = _stream_fixture(spark, sf_dir)
+    spark.dataSource.register(_make_changelog_tail_datasource())
+    run = next(_CHG_STREAM_RUNS)
+    ckpt = _scratch(sf_dir, f"iceberg_chg_tail_ckpt_{run}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"iceberg_chg_tail_out_{run}"
+    q = (
+        spark.readStream.format("iceberg_changelog_tail")
+        .option("path", base)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
