@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as t
+from ..functions.jsonlane import json_field_arrow
 from ..functions.parity import bi, r2, r6
 from ..registry import query
 
@@ -31,16 +32,26 @@ from ..registry import query
 )
 def json_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string extraction with typing, then a bucketed rollup.
-    Extraction is ``from_json`` with an explicit minimal schema — the
-    one-parse typed path. Round-3 A/B at 1M rows (min of 3, warm):
-    from_json 1.19s, try_variant_get(parse_json) 1.23s, get_json_object
-    1.32s, a regexp skim 0.60s. The regexp wins but is rejected: it
-    silently misreads nested objects and quoted text (the sf1 scale
-    study shows this op as the one genuine throughput gap vs DuckDB's
-    SIMD JSON — the fix belongs in the JVM JSON reader, not in a
-    correctness trade)."""
+    Extraction is the Arrow-native parse lane (functions/jsonlane.py):
+    a scalar pandas UDF joins each Arrow batch into one NDJSON buffer
+    and parses it with pyarrow's C++ JSON reader — the per-row cost is
+    vectorized C++ work, not a JVM Jackson object tree. Lane history:
+    round-3 A/B at 1M rows picked from_json 1.19s over
+    try_variant_get(parse_json) 1.23s / get_json_object 1.32s / a
+    regexp skim 0.60s (regexp rejected: silently misreads nested
+    objects and quoted text); from_json then held the one NON-falling
+    ratio letter across three rounds (21.7x sf0.1 / 22.6x sf1 / 17.5x
+    sf10 — the JVM-parse floor). Round-12 A/B (scripts/json_rung.py,
+    canonical idle-box run, warm, median-of-3): this lane cuts the wall
+    1.3-2.7x at every scale (0.769/0.920/1.334/4.253 s vs from_json's
+    0.977/2.499/2.824/7.404 s at sf0.1/1/10/30) and the ratio FALLS
+    with scale — 27.3x -> 11.7x -> 11.5x -> 1.05x at sf30, where
+    DuckDB's count-DISTINCT working set leaves cache and its SIMD-parse
+    edge stops dominating — so it ships per the round-11 decision
+    protocol. Corrupt rows take a per-batch lenient fallback matching
+    from_json's null-on-bad-row semantics (tests/test_jsonlane.py)."""
     e = t(spark, sf_dir, "events")
-    k = F.from_json("props", "k long")["k"]
+    k = json_field_arrow("props", "k")
     return (
         e.withColumn("k_bucket", F.floor(k / 10).cast("long"))
         .groupBy("k_bucket")
