@@ -262,10 +262,32 @@ def iceberg_merge_into(
         new_files.append((ins_rel, n_insert))
     if not removed_paths and not new_files:
         return plan["read_version"], 0, 0  # full no-op: nothing to commit
+    new_v = _commit_cow_swap(
+        base, plan["meta"], plan["read_version"], removed_paths, new_files,
+        tag="mrg",
+    )
+    return new_v, n_rewritten, n_insert
 
+
+def _commit_cow_swap(
+    base: str,
+    prev: dict,
+    cur_v: int,
+    removed_paths: set[str],
+    new_files: list[tuple[str, int]],
+    tag: str = "cow",
+) -> int:
+    """The single-snapshot copy-on-write commit shared by the Iceberg
+    DML writers (MERGE, UPDATE): read-set validation against the
+    planned metadata version, affected-manifest rewrite (removed files
+    as status-2 DELETED, survivors status-0 EXISTING — schema and
+    manifest-level sequence numbers preserved so inherited entry
+    sequences stay correct), untouched manifests carried by pointer,
+    new data files on one content=0 manifest at the new sequence, one
+    put-if-absent metadata swap. Cleans up staged files and raises
+    ``IcebergCommitConflict`` if any commit landed since planning.
+    Returns the new metadata version."""
     meta_dir = os.path.join(base, "metadata")
-    prev = plan["meta"]
-    cur_v = plan["read_version"]
     # read-set validation (the Delta _commit_validated discipline): the
     # rewrite was planned against cur_v's live set — if ANY commit
     # landed since, the matched-file set may be stale; abort, never
@@ -282,8 +304,8 @@ def iceberg_merge_into(
             except OSError:
                 pass
         raise IcebergCommitConflict(
-            f"concurrent commit: MERGE planned against metadata v{cur_v} "
-            f"but the table is now at v{tip_now}; re-run the MERGE"
+            f"concurrent commit: {tag} rewrite planned against metadata "
+            f"v{cur_v} but the table is now at v{tip_now}; re-run it"
         )
     seq = prev.get("last-sequence-number", 0) + 1
     snap_id = 1000 + seq
@@ -317,7 +339,7 @@ def iceberg_merge_into(
             path = _resolve_path(base, e["data_file"]["file_path"])
             e2["status"] = 2 if path in removed_paths else 0
             new_entries.append(e2)
-        rrel = f"m-mrg-{snap_id}-rw{mi}.avro"
+        rrel = f"m-{tag}-{snap_id}-rw{mi}.avro"
         rpath = os.path.join(meta_dir, rrel)
         write_container(rpath, mschema, new_entries)
         m2 = dict(m)
@@ -325,7 +347,7 @@ def iceberg_merge_into(
         m2["manifest_length"] = os.path.getsize(rpath)
         out_manifests.append(m2)
     if new_files:
-        mrel = f"m-mrg-{snap_id}.avro"
+        mrel = f"m-{tag}-{snap_id}.avro"
         write_container(
             os.path.join(meta_dir, mrel),
             _MANIFEST_ENTRY_EQ_SCHEMA,
@@ -354,7 +376,7 @@ def iceberg_merge_into(
     _put_metadata_if_absent(meta_dir, cur_v + 1, md)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(cur_v + 1))
-    return cur_v + 1, n_rewritten, n_insert
+    return cur_v + 1
 
 
 def _build_merge_fixture(spark: SparkSession, sf_dir: str) -> str:
