@@ -207,7 +207,30 @@ def _run_headline(
     cold cost stays visible instead of polluting the estimator."""
     runs: dict[str, list[float]] = {}
     first: dict[str, float] = {}
-    for key in keys if keys is not None else HEADLINE:
+    todo = list(keys if keys is not None else HEADLINE)
+    # measured heap guard (functions/layout.py, round-12): the minhash
+    # CLUSTER lane's live set is storage-dominated and grows with the
+    # corpus — at the sf10 corpus it needs 32 g where the default heap
+    # is 16 g. Skip LOUDLY instead of OOMing the whole bench.
+    if "dedup_minhash_cluster" in todo:
+        from sap_cta_data_pipeline_spark.functions.layout import (
+            minhash_cluster_heap_gb,
+        )
+
+        docs = os.path.join(sf_dir, "documents.parquet")
+        need = minhash_cluster_heap_gb(docs) if os.path.exists(docs) else 0
+        have = int(
+            re.sub(r"[^0-9]", "", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        )
+        if need > have:
+            print(
+                f"dedup_minhash_cluster SKIPPED: needs ~{need}g heap for "
+                f"this corpus (measured sizing rule), have {have}g — set "
+                f"SPARK_GRAFT_DRIVER_MEM={need}g",
+                file=sys.stderr,
+            )
+            todo.remove("dedup_minhash_cluster")
+    for key in todo:
         if warm:
             t0 = time.perf_counter()
             _materialize(QUERIES[key](spark, sf_dir))

@@ -85,7 +85,12 @@ def get_spark(app_name: str = "sap-cta-data-pipeline-spark", master: str | None 
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); SPARK_GRAFT_UI=1 enables it
+        # for the status-API memory rungs (scripts/minhash_mem_rung.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         .config("spark.sql.shuffle.partitions", default_shuffle_partitions())
         # JVM unified logging writes to STDOUT (observed: a [gc,alloc]
         # GCLocker warning under memory pressure), which corrupts

@@ -100,3 +100,25 @@ def test_colocated_join_uses_sized_count(spark, tmp_path, monkeypatch):
     # groupBy's (and none feeds the SortMergeJoin)
     assert d.n_sortmerge_joins == 1
     assert d.n_exchanges <= 1
+
+
+def test_minhash_heap_rule_reproduces_measured_outcomes(tmp_path):
+    """The two-point fit's predictions match every observed run: 16 g
+    floor at the bench corpora, 32 g at the sf10 corpus whose peak
+    measured 29.5-29.8 GB (scripts/minhash_mem_rung.py)."""
+    from sap_cta_data_pipeline_spark.functions.layout import (
+        MINHASH_HEAP_FLOOR_GB,
+        minhash_cluster_heap_gb,
+    )
+
+    def fake(mb: float) -> str:
+        p = tmp_path / f"docs_{mb}.parquet"
+        p.write_bytes(b"\0" * int(mb * 2**20))
+        return str(p)
+
+    assert minhash_cluster_heap_gb(fake(0.6)) == MINHASH_HEAP_FLOOR_GB
+    assert minhash_cluster_heap_gb(fake(5.61)) == MINHASH_HEAP_FLOOR_GB
+    assert minhash_cluster_heap_gb(fake(56.86)) == 32
+    # monotone in corpus bytes; one decade further predicts ~220 g —
+    # i.e. past ~sf30 this is a CLUSTER job on this lane, by design
+    assert minhash_cluster_heap_gb(fake(568.6)) > 200
