@@ -76,7 +76,9 @@ from ..registry import query
 from .iceberg_reader import (
     _MANIFEST_ENTRY_EQ_SCHEMA,
     _MANIFEST_FILE_SCHEMA,
+    _current_schema,
     _eq_entry,
+    _iceberg_fields_of,
     _load_metadata,
     _manifest_file_rec,
     _put_metadata_if_absent,
@@ -164,10 +166,21 @@ def iceberg_merge_into(
     on: str,
     update_cols: list[str],
     delete_col: str | None = None,
+    schema_evolution: bool = False,
 ) -> tuple[int, int, int]:
     """Keyed CoW MERGE into an Iceberg v2 table (module docstring has
     the full contract). Returns (metadata version, files rewritten,
-    rows inserted)."""
+    rows inserted).
+
+    ``schema_evolution=True`` is MERGE WITH SCHEMA EVOLUTION (round-12
+    batch GQ, the Iceberg twin of delta_merge_schema_evolution): NEW
+    source columns evolve the schema additively — fresh field ids from
+    last-column-id, exactly surface59's append-evolution rule — in the
+    SAME metadata swap as the merge snapshot (one atomic version).
+    Rewritten matched files carry the new columns (source value where
+    the key matches, NULL elsewhere); untouched files predate the
+    column and the reader serves typed NULLs. Off by default: without
+    the flag, extra source columns refuse exactly as before."""
     from .lakehouse_interop import _stage_single_parquet
 
     plan = iceberg_merge_plan(spark, base, source, on)
@@ -177,11 +190,36 @@ def iceberg_merge_into(
     )
     if delete_col is not None and delete_col not in source.columns:
         raise ValueError(f"delete_col {delete_col!r} is not a source column")
-    if src_data_cols != set(cols):
+    new_fields: list[dict] = []
+    if schema_evolution:
+        if not set(cols) <= src_data_cols:
+            raise ValueError(
+                f"MERGE source is missing target columns "
+                f"{sorted(set(cols) - src_data_cols)}: evolution is "
+                "additive — INSERT * still needs every declared column"
+            )
+        declared = {f["name"]: f for f in _current_schema(plan["meta"])}
+        last_col = plan["meta"].get("last-column-id", len(declared))
+        for ff in _iceberg_fields_of(source.schema):
+            if ff["name"] == delete_col or ff["name"] in declared:
+                continue
+            last_col += 1
+            new_fields.append(
+                {
+                    "id": last_col,  # fresh id — never reuse a dropped one
+                    "name": ff["name"],
+                    "required": False,
+                    "type": ff["type"],
+                }
+            )
+        plan["evolved_last_col"] = last_col
+    elif src_data_cols != set(cols):
         raise ValueError(
             f"source columns {sorted(src_data_cols)} must equal target "
             f"columns {sorted(cols)} for INSERT *"
         )
+    new_names = [f["name"] for f in new_fields]
+    cols = cols + new_names
     if on in update_cols:
         raise ValueError(f"merge key {on!r} must be a non-updated column")
     cdc_flag = (
@@ -200,11 +238,18 @@ def iceberg_merge_into(
             "target row must match at most one source row"
         )
     type_of = {f.name: f.dataType for f in schema.fields}
+    for nf in new_names:  # evolved columns type from the source frame
+        type_of[nf] = source.schema[nf].dataType
     src_upd = src.select(
         F.col(on),
         F.lit(True).alias("__matched"),
         F.col("__cdc_del").alias("__del"),
-        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+        # evolved columns always transport source-side (matched rows
+        # take the source value whether or not they are in update_cols)
+        *[
+            F.col(c).alias(f"__src_{c}")
+            for c in dict.fromkeys([*update_cols, *new_names])
+        ],
     )
     uid = _uuid.uuid4().hex[:12]
     new_files: list[tuple[str, int]] = []  # (rel under data/, row count)
@@ -227,10 +272,14 @@ def iceberg_merge_into(
                         F.coalesce(F.col("__matched"), F.lit(False)),
                         F.col(f"__src_{c}"),
                     )
-                    .otherwise(F.col(c))
+                    # evolved columns do not exist on base rows: the
+                    # unmatched branch is a typed NULL, not a column ref
+                    .otherwise(
+                        F.lit(None) if c in new_names else F.col(c)
+                    )
                     .cast(type_of[c])
                     .alias(c)
-                    if c in update_cols
+                    if c in update_cols or c in new_names
                     else F.col(c)
                 )
                 for c in cols
@@ -262,9 +311,35 @@ def iceberg_merge_into(
         new_files.append((ins_rel, n_insert))
     if not removed_paths and not new_files:
         return plan["read_version"], 0, 0  # full no-op: nothing to commit
+
+    md_mutate = None
+    if new_fields:
+
+        def md_mutate(md: dict) -> int:
+            # the evolved schema is a NEW entry (old snapshots keep
+            # addressing their schema-id); current-schema-id moves in
+            # the SAME metadata swap as the merge snapshot (one atomic
+            # commit — surface59's append-evolution rule)
+            prev_schemas = md.get("schemas", [])
+            schema_id = (
+                max((s.get("schema-id", 0) for s in prev_schemas), default=0)
+                + 1
+            )
+            declared = _current_schema(plan["meta"])
+            md["schemas"] = list(prev_schemas) + [
+                {
+                    "type": "struct",
+                    "schema-id": schema_id,
+                    "fields": [dict(f) for f in declared] + new_fields,
+                }
+            ]
+            md["current-schema-id"] = schema_id
+            md["last-column-id"] = plan["evolved_last_col"]
+            return schema_id
+
     new_v = _commit_cow_swap(
         base, plan["meta"], plan["read_version"], removed_paths, new_files,
-        tag="mrg",
+        tag="mrg", md_mutate=md_mutate,
     )
     return new_v, n_rewritten, n_insert
 
@@ -276,6 +351,7 @@ def _commit_cow_swap(
     removed_paths: set[str],
     new_files: list[tuple[str, int]],
     tag: str = "cow",
+    md_mutate=None,
 ) -> int:
     """The single-snapshot copy-on-write commit shared by the Iceberg
     DML writers (MERGE, UPDATE): read-set validation against the
@@ -359,13 +435,19 @@ def _commit_cow_swap(
         os.path.join(meta_dir, mlrel), _MANIFEST_FILE_SCHEMA, out_manifests
     )
     md = dict(prev)
+    schema_id = prev.get("current-schema-id", 0)
+    if md_mutate is not None:
+        # writer-side evolution riding the same swap (MERGE WITH SCHEMA
+        # EVOLUTION): the mutator appends the evolved schema entry and
+        # returns the id the new snapshot addresses
+        schema_id = md_mutate(md)
     snap = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": 1700000000000 + seq,
         "manifest-list": "file://" + os.path.join(meta_dir, mlrel),
         "summary": {"operation": "overwrite"},
-        "schema-id": prev.get("current-schema-id", 0),
+        "schema-id": schema_id,
     }
     if "parent-snapshot-id" not in snap and prev.get("current-snapshot-id"):
         snap["parent-snapshot-id"] = prev["current-snapshot-id"]
