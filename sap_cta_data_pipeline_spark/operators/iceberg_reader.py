@@ -224,7 +224,12 @@ def iceberg_state(
                     f"unsupported Iceberg file format {df['file_format']!r}"
                 )
             if content == 0:
-                data_files.append({"path": path, "seq": seq})
+                # the entry's partition record rides along so DML
+                # rewrites can re-emit it (a CoW rewrite keeps every
+                # row in its file's partition — batch GS)
+                data_files.append(
+                    {"path": path, "seq": seq, "partition": part_rec}
+                )
             elif content == 1:
                 delete_files.append({"path": path, "seq": seq})
             else:  # content == 2: equality delete

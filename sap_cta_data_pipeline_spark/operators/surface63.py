@@ -44,10 +44,11 @@ Refusals, house style: duplicate source keys (Iceberg's
 MERGE-cardinality check: one target row must match at most one source
 row); equality deletes in the current state (their strictly-smaller-
 sequence application cannot be carried through a tagged rewrite —
-same refusal as the changelog); partitioned tables (rewriting a
-partition-spec'd manifest would need partition-record transport this
-writer does not claim — the Delta twin refuses partition-column
-updates for the same reason).
+same refusal as the changelog); NON-IDENTITY partition transforms
+(bucket/truncate/days/... would need transform re-evaluation to route
+rows — identity-partitioned tables are claimed since batch GS,
+surface69.py, with partition columns refused in ``update_cols``
+exactly as the Delta twin refuses partition-column updates).
 
 ``iceberg_merge_cdc_apply`` closes batch GJ's replication loop in the
 OTHER direction: a Delta CDF window (the delta_cdf_write fixture's
@@ -94,15 +95,13 @@ from .surface54 import _delete_key, _live_rows
 from ..functions.avro_codec import read_container, write_container
 
 
-def iceberg_merge_plan(
-    spark: SparkSession, base: str, source: DataFrame, on: str
-) -> dict:
-    """Planning half of the MERGE: validate the table + source, tag the
-    live set, and resolve the matched-file set (paths only to the
-    driver). Returned dict feeds ``iceberg_merge_into``; the plan pin
-    asserts ``matched_paths`` is exactly the set of files the rewrite
-    touches."""
-    meta = _load_metadata(base)
+def _partition_info(meta: dict, who: str) -> tuple[list[str], dict]:
+    """Resolve the default partition spec into (identity source column
+    names, spec). Identity transforms are the claimed DML surface —
+    every row of a data file stays in its partition through a
+    copy-on-write rewrite, so partition records transport verbatim. A
+    value-transforming spec (bucket/truncate/days/...) would need
+    transform re-evaluation on insert routing; refused in house style."""
     spec = next(
         (
             s
@@ -111,14 +110,55 @@ def iceberg_merge_plan(
         ),
         {"fields": []},
     )
-    if spec.get("fields"):
+    bad = [
+        f["transform"]
+        for f in spec.get("fields", [])
+        if f.get("transform") != "identity"
+    ]
+    if bad:
         raise NotImplementedError(
-            "iceberg_merge_into does not claim partitioned tables: the "
-            "copy-on-write manifest rewrite would need partition-record "
-            "transport across manifest schemas; unpartition or use "
+            f"{who} claims identity-partitioned tables only: transforms "
+            f"{bad} would need transform re-evaluation to route rewritten "
+            "and inserted rows to partition values; unpartition or use "
             "append+delete"
         )
-    schema, data_files, pos_dels, eq_dels = iceberg_state(base)
+    name_of_id = {f["id"]: f["name"] for f in _current_schema(meta)}
+    part_cols = [name_of_id[f["source-id"]] for f in spec.get("fields", [])]
+    return part_cols, spec
+
+
+def iceberg_merge_plan(
+    spark: SparkSession,
+    base: str,
+    source: DataFrame,
+    on: str,
+    partition_filter: dict | None = None,
+) -> dict:
+    """Planning half of the MERGE: validate the table + source, tag the
+    live set, and resolve the matched-file set (paths only to the
+    driver). Returned dict feeds ``iceberg_merge_into``; the plan pin
+    asserts ``matched_paths`` is exactly the set of files the rewrite
+    touches.
+
+    ``partition_filter`` (identity partition column -> value) prunes
+    the CANDIDATE file set driver-side from pure manifest metadata
+    before any data is scanned — the Iceberg way to price a keyed MERGE
+    on a partitioned table by the touched partitions, not the table.
+    The caller (``iceberg_merge_into``) validates that every source row
+    lands inside the filter; an unvalidated filter would silently turn
+    out-of-filter matches into duplicate inserts (lost updates)."""
+    meta = _load_metadata(base)
+    part_cols, _spec = _partition_info(meta, "iceberg_merge_into")
+    if partition_filter:
+        unknown = sorted(set(partition_filter) - set(part_cols))
+        if unknown:
+            raise ValueError(
+                f"partition_filter names non-partition columns {unknown}; "
+                f"identity partition columns are {part_cols}"
+            )
+    schema, data_files, pos_dels, eq_dels = iceberg_state(
+        base, partition_filter=partition_filter
+    )
     if eq_dels:
         raise ValueError(
             "MERGE over equality deletes is not supported — their "
@@ -151,6 +191,14 @@ def iceberg_merge_plan(
         "cols": cols,
         "live": live,
         "matched_paths": matched_paths,
+        "part_cols": part_cols,
+        # candidate set (post-filter) + per-path partition records: the
+        # partition-prune plan pin reads candidate_paths; rewrites
+        # re-emit part_of[path] verbatim
+        "candidate_paths": sorted(f["path"] for f in data_files),
+        "part_of": {
+            f["path"]: f.get("partition") or {} for f in data_files
+        },
         "read_version": max(
             int(f[1:].split(".")[0])
             for f in os.listdir(os.path.join(base, "metadata"))
@@ -167,6 +215,7 @@ def iceberg_merge_into(
     update_cols: list[str],
     delete_col: str | None = None,
     schema_evolution: bool = False,
+    partition_filter: dict | None = None,
 ) -> tuple[int, int, int]:
     """Keyed CoW MERGE into an Iceberg v2 table (module docstring has
     the full contract). Returns (metadata version, files rewritten,
@@ -183,8 +232,38 @@ def iceberg_merge_into(
     the flag, extra source columns refuse exactly as before."""
     from .lakehouse_interop import _stage_single_parquet
 
-    plan = iceberg_merge_plan(spark, base, source, on)
+    plan = iceberg_merge_plan(
+        spark, base, source, on, partition_filter=partition_filter
+    )
     schema, cols, live = plan["schema"], plan["cols"], plan["live"]
+    part_cols = plan["part_cols"]
+    bad_upd = sorted(set(update_cols) & set(part_cols))
+    if bad_upd:
+        raise ValueError(
+            f"MERGE cannot update partition columns {bad_upd}: a "
+            "copy-on-write file rewrite keeps every row in its file's "
+            "partition; delete + insert to move rows"
+        )
+    if partition_filter:
+        # lost-update guard: a source row OUTSIDE the filter would have
+        # its target match pruned away and re-insert as a duplicate key.
+        # One bounded aggregate over the (change-sized) source.
+        import functools as _ft
+
+        outside = _ft.reduce(
+            lambda a, b: a | b,
+            [
+                F.col(k).isNull() | (F.col(k) != F.lit(v))
+                for k, v in partition_filter.items()
+            ],
+        )
+        if source.filter(outside).limit(1).count() > 0:
+            raise ValueError(
+                f"MERGE source has rows outside partition_filter "
+                f"{partition_filter}: matches there were pruned from "
+                "planning and would re-insert as duplicates; widen the "
+                "filter or drop it"
+            )
     src_data_cols = set(source.columns) - (
         {delete_col} if delete_col is not None else set()
     )
@@ -252,7 +331,8 @@ def iceberg_merge_into(
         ],
     )
     uid = _uuid.uuid4().hex[:12]
-    new_files: list[tuple[str, int]] = []  # (rel under data/, row count)
+    # (rel under data/, row count, partition record)
+    new_files: list[tuple[str, int, dict]] = []
     removed_paths = set(plan["matched_paths"])
     import pyarrow.parquet as _pq
 
@@ -293,22 +373,51 @@ def iceberg_merge_into(
             # pure-delete rewrite: remove-only, never a zero-row re-add
             os.remove(abs_path)
             continue
-        new_files.append((rel, n))
+        # a CoW rewrite keeps rows in their file's partition (partition
+        # columns are refused in update_cols) — the record rides verbatim
+        new_files.append((rel, n, plan["part_of"][fp]))
     n_rewritten = len(removed_paths)
-    # not-matched unflagged source rows → one fresh insert file
+    # not-matched unflagged source rows → fresh insert files: ONE for an
+    # unpartitioned table, one PER TOUCHED PARTITION otherwise (each
+    # manifest entry needs its typed partition record for file skipping)
     inserts = src.filter(~F.col("__cdc_del")).drop("__cdc_del")
     if live is not None:
         inserts = inserts.join(live.select(on), on, "left_anti")
     inserts = inserts.select(*cols)
-    ins_rel = f"mrg-{uid}-ins.parquet"
-    ins_abs = os.path.join(base, "data", ins_rel)
-    os.makedirs(os.path.dirname(ins_abs), exist_ok=True)
-    _stage_single_parquet(inserts, ins_abs)
-    n_insert = _pq.ParquetFile(ins_abs).metadata.num_rows
-    if n_insert == 0:
-        os.remove(ins_abs)
+    os.makedirs(os.path.join(base, "data"), exist_ok=True)
+    n_insert = 0
+    if part_cols:
+        # bounded driver collect: one row per touched partition (the
+        # delta_dml partitioned-MERGE discipline — partition values,
+        # never data rows)
+        touched = inserts.select(*part_cols).distinct().collect()
+        for j, prow in enumerate(
+            sorted(touched, key=lambda r: tuple(str(r[c]) for c in part_cols))
+        ):
+            part_rec = {c: prow[c] for c in part_cols}
+            sub = inserts
+            for c in part_cols:
+                sub = sub.filter(
+                    F.col(c).eqNullSafe(F.lit(prow[c]))
+                )
+            ins_rel = f"mrg-{uid}-ins{j}.parquet"
+            ins_abs = os.path.join(base, "data", ins_rel)
+            _stage_single_parquet(sub, ins_abs)
+            n_j = _pq.ParquetFile(ins_abs).metadata.num_rows
+            if n_j == 0:
+                os.remove(ins_abs)
+                continue
+            n_insert += n_j
+            new_files.append((ins_rel, n_j, part_rec))
     else:
-        new_files.append((ins_rel, n_insert))
+        ins_rel = f"mrg-{uid}-ins.parquet"
+        ins_abs = os.path.join(base, "data", ins_rel)
+        _stage_single_parquet(inserts, ins_abs)
+        n_insert = _pq.ParquetFile(ins_abs).metadata.num_rows
+        if n_insert == 0:
+            os.remove(ins_abs)
+        else:
+            new_files.append((ins_rel, n_insert, {}))
     if not removed_paths and not new_files:
         return plan["read_version"], 0, 0  # full no-op: nothing to commit
 
@@ -344,12 +453,58 @@ def iceberg_merge_into(
     return new_v, n_rewritten, n_insert
 
 
+_AVRO_OF_ICEBERG = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "int",  # days since epoch, per the spec's avro mapping
+}
+
+
+def _part_entry_schema(meta: dict) -> dict:
+    """Manifest-entry Avro schema for NEW data files of an identity-
+    partitioned table: `_MANIFEST_ENTRY_EQ_SCHEMA` with the partition
+    record's fields filled from the default spec (field-id from the
+    spec, Avro type from the table schema's source column)."""
+    import copy
+
+    part_cols, spec = _partition_info(meta, "_part_entry_schema")
+    type_of = {f["id"]: f["type"] for f in _current_schema(meta)}
+    pfields = []
+    for f, name in zip(spec.get("fields", []), part_cols):
+        t = type_of[f["source-id"]]
+        if not isinstance(t, str) or t not in _AVRO_OF_ICEBERG:
+            raise ValueError(
+                f"identity partition column {name!r} has type {t!r} with "
+                "no claimed Avro manifest mapping"
+            )
+        pfields.append(
+            {
+                "name": name,
+                "type": ["null", _AVRO_OF_ICEBERG[t]],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+        )
+    schema = copy.deepcopy(_MANIFEST_ENTRY_EQ_SCHEMA)
+    for df_field in schema["fields"]:
+        if df_field["name"] != "data_file":
+            continue
+        for inner in df_field["type"]["fields"]:
+            if inner["name"] == "partition":
+                inner["type"]["fields"] = pfields
+    return schema
+
+
 def _commit_cow_swap(
     base: str,
     prev: dict,
     cur_v: int,
     removed_paths: set[str],
-    new_files: list[tuple[str, int]],
+    new_files: list[tuple[str, int] | tuple[str, int, dict]],
     tag: str = "cow",
     md_mutate=None,
 ) -> int:
@@ -363,6 +518,11 @@ def _commit_cow_swap(
     put-if-absent metadata swap. Cleans up staged files and raises
     ``IcebergCommitConflict`` if any commit landed since planning.
     Returns the new metadata version."""
+    # (rel, n) callers are unpartitioned; (rel, n, part_rec) callers
+    # transport the typed partition record into the new-files manifest
+    new_files = [
+        (t[0], t[1], t[2] if len(t) > 2 else {}) for t in new_files
+    ]
     meta_dir = os.path.join(base, "metadata")
     # read-set validation (the Delta _commit_validated discipline): the
     # rewrite was planned against cur_v's live set — if ANY commit
@@ -374,7 +534,7 @@ def _commit_cow_swap(
         if f.startswith("v") and f.endswith(".metadata.json")
     )
     if tip_now != cur_v:
-        for rel, _n in new_files:
+        for rel, _n, _p in new_files:
             try:
                 os.remove(os.path.join(base, "data", rel))
             except OSError:
@@ -424,12 +584,20 @@ def _commit_cow_swap(
         out_manifests.append(m2)
     if new_files:
         mrel = f"m-{tag}-{snap_id}.avro"
+        partitioned = any(p for _rel, _n, p in new_files)
+        entries = []
+        for rel, n, p in new_files:
+            e = _eq_entry(base, rel, 0, n, seq)
+            e["data_file"]["partition"] = p
+            entries.append(e)
         write_container(
             os.path.join(meta_dir, mrel),
-            _MANIFEST_ENTRY_EQ_SCHEMA,
-            [_eq_entry(base, rel, 0, n, seq) for rel, n in new_files],
+            _part_entry_schema(prev) if partitioned else _MANIFEST_ENTRY_EQ_SCHEMA,
+            entries,
         )
-        out_manifests.append(_manifest_file_rec(base, mrel, 0, snap_id, seq))
+        mrec = _manifest_file_rec(base, mrel, 0, snap_id, seq)
+        mrec["partition_spec_id"] = prev.get("default-spec-id", 0)
+        out_manifests.append(mrec)
     mlrel = f"snap-{snap_id}.avro"
     write_container(
         os.path.join(meta_dir, mlrel), _MANIFEST_FILE_SCHEMA, out_manifests

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from .sources import _scratch
-from .surface63 import _commit_cow_swap, iceberg_merge_plan
+from .surface63 import _commit_cow_swap
 
 
 # ---------------------------------------------------------------- Iceberg
@@ -63,25 +63,46 @@ def iceberg_update_cow(
     base: str,
     predicate: str,
     set_map: dict[str, str],
+    partition_filter: dict | None = None,
 ) -> tuple[int, int]:
     """Copy-on-write ``UPDATE <table> SET <set_map> WHERE <predicate>``
     as ONE snapshot commit. ``set_map`` maps column name → SQL
     expression (evaluated against the pre-update row, as SQL UPDATE
     does). Returns (new metadata version, files rewritten); a
     no-match UPDATE is a no-op that commits nothing. Refusals inherit
-    the MERGE plan's: partitioned tables, equality deletes."""
+    the MERGE plan's: non-identity partition transforms, equality
+    deletes; setting a partition column is refused (a CoW file rewrite
+    keeps rows in their file's partition).
+
+    ``partition_filter`` (identity partition column → value) prunes
+    candidate files driver-side from pure manifest metadata AND is
+    AND-composed into the row predicate, so semantics stay exact
+    whatever filter is passed: a row outside the filter partitions
+    never matches the effective predicate — unlike the MERGE's filter
+    (which needs the source-side guard), a wrong UPDATE filter can
+    only narrow the statement, never corrupt it. A date-partitioned
+    100 TB UPDATE prices by the touched partitions."""
     from .lakehouse_interop import _stage_single_parquet
     import pyarrow.parquet as _pq
 
-    # reuse the MERGE planner's validated live-set assembly with an
-    # empty source (its semi-join matched set is unused here)
-    plan = iceberg_merge_plan(
-        spark, base, spark.createDataFrame([], "x int").selectExpr("x"), "x"
-    ) if False else _update_plan(spark, base)
+    plan = _update_plan(spark, base, partition_filter=partition_filter)
     schema, cols, live = plan["schema"], plan["cols"], plan["live"]
     bad = sorted(set(set_map) - set(cols))
     if bad:
         raise ValueError(f"UPDATE SET names non-columns: {bad}")
+    bad_part = sorted(set(set_map) & set(plan["part_cols"]))
+    if bad_part:
+        raise ValueError(
+            f"UPDATE cannot set partition columns {bad_part}: a "
+            "copy-on-write file rewrite keeps every row in its file's "
+            "partition; delete + insert to move rows"
+        )
+    if partition_filter:
+        clauses = [f"({predicate})"]
+        for k, v in partition_filter.items():
+            lit = f"'{v}'" if isinstance(v, str) else repr(v)
+            clauses.append(f"({k} <=> {lit})")
+        predicate = " AND ".join(clauses)
     if live is None:
         return plan["read_version"], 0
     matched_paths = sorted(
@@ -93,7 +114,7 @@ def iceberg_update_cow(
     type_of = {f.name: f.dataType for f in schema.fields}
     pred = F.expr(predicate)
     uid = _uuid.uuid4().hex[:12]
-    new_files: list[tuple[str, int]] = []
+    new_files: list[tuple[str, int, dict]] = []
     for i, fp in enumerate(matched_paths):
         rows = live.filter(F.col("__fp") == fp).drop("__fp", "__pos")
         rewritten = rows.select(
@@ -112,7 +133,10 @@ def iceberg_update_cow(
         rel = f"upd-{uid}-{i}.parquet"
         abs_path = os.path.join(base, "data", rel)
         _stage_single_parquet(rewritten, abs_path)
-        new_files.append((rel, _pq.ParquetFile(abs_path).metadata.num_rows))
+        new_files.append(
+            (rel, _pq.ParquetFile(abs_path).metadata.num_rows,
+             plan["part_of"][fp])
+        )
     _commit_cow_swap(
         base, plan["meta"], plan["read_version"], set(matched_paths),
         new_files, tag="upd",
@@ -120,29 +144,30 @@ def iceberg_update_cow(
     return plan["read_version"] + 1, len(matched_paths)
 
 
-def _update_plan(spark: SparkSession, base: str) -> dict:
+def _update_plan(
+    spark: SparkSession, base: str, partition_filter: dict | None = None
+) -> dict:
     """The MERGE planner minus the source semi-join: validated metadata
-    + tagged live set (same refusals: partitioned tables, equality
-    deletes)."""
+    + tagged live set (same refusals: non-identity partition
+    transforms, equality deletes). ``partition_filter`` prunes the
+    candidate file set driver-side from the manifests."""
     from .iceberg_reader import _load_metadata, iceberg_state
+    from .surface63 import _partition_info
+
     from .surface54 import _delete_key, _live_rows
 
     meta = _load_metadata(base)
-    spec = next(
-        (
-            s
-            for s in meta.get("partition-specs", [])
-            if s.get("spec-id") == meta.get("default-spec-id", 0)
-        ),
-        {"fields": []},
+    part_cols, _spec = _partition_info(meta, "iceberg_update_cow")
+    if partition_filter:
+        unknown = sorted(set(partition_filter) - set(part_cols))
+        if unknown:
+            raise ValueError(
+                f"partition_filter names non-partition columns {unknown}; "
+                f"identity partition columns are {part_cols}"
+            )
+    schema, data_files, pos_dels, eq_dels = iceberg_state(
+        base, partition_filter=partition_filter
     )
-    if spec.get("fields"):
-        raise NotImplementedError(
-            "iceberg_update_cow does not claim partitioned tables: the "
-            "copy-on-write manifest rewrite would need partition-record "
-            "transport across manifest schemas"
-        )
-    schema, data_files, pos_dels, eq_dels = iceberg_state(base)
     if eq_dels:
         raise ValueError(
             "UPDATE over equality deletes is not supported — their "
@@ -159,6 +184,11 @@ def _update_plan(spark: SparkSession, base: str) -> dict:
         "schema": schema,
         "cols": [f.name for f in schema.fields],
         "live": live,
+        "part_cols": part_cols,
+        "candidate_paths": sorted(f["path"] for f in data_files),
+        "part_of": {
+            f["path"]: f.get("partition") or {} for f in data_files
+        },
         "read_version": max(
             int(f[1:].split(".")[0])
             for f in os.listdir(os.path.join(base, "metadata"))
