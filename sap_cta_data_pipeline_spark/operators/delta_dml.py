@@ -284,11 +284,19 @@ def delta_merge_into(
     update_cols: list[str],
     schema_evolution: bool = False,
     delete_col: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> tuple[int, int, int]:
     """``MERGE INTO target USING source ON target.on = source.on WHEN
     MATCHED THEN UPDATE SET update_cols WHEN NOT MATCHED THEN INSERT *``
     as ONE atomic commit. Returns (version, files rewritten, rows
     inserted).
+
+    ``txn=(app_id, version)`` rides a SetTransaction action on the merge
+    commit (Delta PROTOCOL.md 'Transaction Identifiers') — the
+    exactly-once hook streaming sinks key on (surface70's
+    ``delta_merge_batch_once``). A data no-op MERGE returns WITHOUT
+    committing, so the txn version is NOT recorded on that path — safe,
+    because replaying a no-op is itself a no-op.
 
     ``schema_evolution=True`` is ``MERGE WITH SCHEMA EVOLUTION`` (round-10
     verdict missing #1): NEW source columns are auto-added to the target
@@ -598,6 +606,8 @@ def delta_merge_into(
     n_preamble = 1 + (1 if evolve_meta is not None else 0)
     if len(actions) == n_preamble and evolve_meta is None:
         return read_tip, 0, 0  # no matches, no inserts: nothing to commit
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     version = _commit_validated(base, read_tip, actions)
     return version, len(matched_files), n_insert
 
