@@ -91,6 +91,10 @@ _ICEBERG_TO_SPARK = {
     "boolean": T.BooleanType(),
     "date": T.DateType(),
     "binary": T.BinaryType(),
+    # Iceberg "timestamp" is micros WITHOUT zone — exactly Spark's
+    # timestamp_ntz; "timestamptz" (zone-adjusted) stays unsupported so
+    # no read can depend on session time zone (the hostile-tz gate)
+    "timestamp": T.TimestampNTZType(),
 }
 
 
@@ -981,6 +985,7 @@ _SPARK_TO_ICEBERG = {
     "boolean": "boolean",
     "date": "date",
     "binary": "binary",
+    "timestamp_ntz": "timestamp",  # micros, no zone (spec "timestamp")
 }
 
 

@@ -95,13 +95,22 @@ from .surface54 import _delete_key, _live_rows
 from ..functions.avro_codec import read_container, write_container
 
 
-def _partition_info(meta: dict, who: str) -> tuple[list[str], dict]:
-    """Resolve the default partition spec into (identity source column
-    names, spec). Identity transforms are the claimed DML surface —
-    every row of a data file stays in its partition through a
-    copy-on-write rewrite, so partition records transport verbatim. A
-    value-transforming spec (bucket/truncate/days/...) would need
-    transform re-evaluation on insert routing; refused in house style."""
+def _partition_info(
+    meta: dict, who: str
+) -> tuple[list[str], dict, list[dict]]:
+    """Resolve the default partition spec into ``(source column names,
+    spec, pfields)`` where each pfield is ``{"pname": partition field
+    name, "src": source column, "transform": transform string}``.
+
+    Batch GS claimed identity transforms; batch GU extends DML to the
+    value transforms functions/transforms.py claims (year/month/day/
+    hour, truncate[W], bucket[N]) — a CoW rewrite still transports each
+    file's partition record VERBATIM (no row can change partition when
+    the transform's SOURCE columns are refused in update_cols/SET), and
+    insert routing re-evaluates the transform per row. An unclaimed
+    transform refuses here, at resolve time, in house style."""
+    from ..functions.transforms import result_iceberg_type
+
     spec = next(
         (
             s
@@ -110,21 +119,28 @@ def _partition_info(meta: dict, who: str) -> tuple[list[str], dict]:
         ),
         {"fields": []},
     )
-    bad = [
-        f["transform"]
-        for f in spec.get("fields", [])
-        if f.get("transform") != "identity"
-    ]
-    if bad:
-        raise NotImplementedError(
-            f"{who} claims identity-partitioned tables only: transforms "
-            f"{bad} would need transform re-evaluation to route rewritten "
-            "and inserted rows to partition values; unpartition or use "
-            "append+delete"
-        )
     name_of_id = {f["id"]: f["name"] for f in _current_schema(meta)}
-    part_cols = [name_of_id[f["source-id"]] for f in spec.get("fields", [])]
-    return part_cols, spec
+    pfields = []
+    for f in spec.get("fields", []):
+        tr = f.get("transform", "identity")
+        try:
+            result_iceberg_type(tr, "string")  # claim check only
+        except NotImplementedError:
+            raise NotImplementedError(
+                f"{who}: partition transform {tr!r} is not claimed — "
+                "routing rewritten and inserted rows needs an exact "
+                "transform evaluation; unpartition or use append+delete"
+            ) from None
+        pfields.append(
+            {
+                "pname": f["name"],
+                "src": name_of_id[f["source-id"]],
+                "transform": tr,
+                "field-id": f["field-id"],
+            }
+        )
+    part_cols = [pf["src"] for pf in pfields]
+    return part_cols, spec, pfields
 
 
 def iceberg_merge_plan(
@@ -148,13 +164,15 @@ def iceberg_merge_plan(
     lands inside the filter; an unvalidated filter would silently turn
     out-of-filter matches into duplicate inserts (lost updates)."""
     meta = _load_metadata(base)
-    part_cols, _spec = _partition_info(meta, "iceberg_merge_into")
+    part_cols, _spec, pfields = _partition_info(meta, "iceberg_merge_into")
+    pnames = [pf["pname"] for pf in pfields]
     if partition_filter:
-        unknown = sorted(set(partition_filter) - set(part_cols))
+        unknown = sorted(set(partition_filter) - set(pnames))
         if unknown:
             raise ValueError(
-                f"partition_filter names non-partition columns {unknown}; "
-                f"identity partition columns are {part_cols}"
+                f"partition_filter names non-partition fields {unknown}; "
+                f"partition fields are {pnames} (values are TRANSFORMED "
+                "partition values, e.g. epoch days for a day transform)"
             )
     schema, data_files, pos_dels, eq_dels = iceberg_state(
         base, partition_filter=partition_filter
@@ -192,6 +210,7 @@ def iceberg_merge_plan(
         "live": live,
         "matched_paths": matched_paths,
         "part_cols": part_cols,
+        "pfields": pfields,
         # candidate set (post-filter) + per-path partition records: the
         # partition-prune plan pin reads candidate_paths; rewrites
         # re-emit part_of[path] verbatim
@@ -247,13 +266,26 @@ def iceberg_merge_into(
     if partition_filter:
         # lost-update guard: a source row OUTSIDE the filter would have
         # its target match pruned away and re-insert as a duplicate key.
-        # One bounded aggregate over the (change-sized) source.
+        # One bounded aggregate over the (change-sized) source — each
+        # filter value compared against the TRANSFORMED source value
+        # (identity: the column itself; day/bucket/truncate: the
+        # re-evaluated partition value).
         import functools as _ft
 
+        from ..functions.transforms import transform_expr
+
+        pf_of = {pf["pname"]: pf for pf in plan["pfields"]}
+        src_type = {f.name: f.dataType for f in source.schema.fields}
         outside = _ft.reduce(
             lambda a, b: a | b,
             [
-                F.col(k).isNull() | (F.col(k) != F.lit(v))
+                (lambda e: e.isNull() | (e != F.lit(v)))(
+                    transform_expr(
+                        pf_of[k]["transform"],
+                        pf_of[k]["src"],
+                        src_type[pf_of[k]["src"]],
+                    )
+                )
                 for k, v in partition_filter.items()
             ],
         )
@@ -389,16 +421,31 @@ def iceberg_merge_into(
     if part_cols:
         # bounded driver collect: one row per touched partition (the
         # delta_dml partitioned-MERGE discipline — partition values,
-        # never data rows)
-        touched = inserts.select(*part_cols).distinct().collect()
+        # never data rows). Routing evaluates each pfield's TRANSFORM
+        # over the insert rows (identity: the column itself), so the
+        # collected values ARE the typed partition-record values.
+        from ..functions.transforms import transform_expr
+
+        pfs = plan["pfields"]
+        ins_type = {f.name: f.dataType for f in inserts.schema.fields}
+        texpr = {
+            pf["pname"]: transform_expr(
+                pf["transform"], pf["src"], ins_type[pf["src"]]
+            )
+            for pf in pfs
+        }
+        pnames_r = [pf["pname"] for pf in pfs]
+        touched = inserts.select(
+            *[texpr[p].alias(p) for p in pnames_r]
+        ).distinct().collect()
         for j, prow in enumerate(
-            sorted(touched, key=lambda r: tuple(str(r[c]) for c in part_cols))
+            sorted(touched, key=lambda r: tuple(str(r[c]) for c in pnames_r))
         ):
-            part_rec = {c: prow[c] for c in part_cols}
+            part_rec = {c: prow[c] for c in pnames_r}
             sub = inserts
-            for c in part_cols:
+            for c in pnames_r:
                 sub = sub.filter(
-                    F.col(c).eqNullSafe(F.lit(prow[c]))
+                    texpr[c].eqNullSafe(F.lit(prow[c]))
                 )
             ins_rel = f"mrg-{uid}-ins{j}.parquet"
             ins_abs = os.path.join(base, "data", ins_rel)
@@ -471,19 +518,29 @@ def _part_entry_schema(meta: dict) -> dict:
     spec, Avro type from the table schema's source column)."""
     import copy
 
-    part_cols, spec = _partition_info(meta, "_part_entry_schema")
+    from ..functions.transforms import result_iceberg_type
+
+    _part_cols, spec, pfs = _partition_info(meta, "_part_entry_schema")
     type_of = {f["id"]: f["type"] for f in _current_schema(meta)}
     pfields = []
-    for f, name in zip(spec.get("fields", []), part_cols):
-        t = type_of[f["source-id"]]
+    for f, pf in zip(spec.get("fields", []), pfs):
+        src_t = type_of[f["source-id"]]
+        t = (
+            result_iceberg_type(pf["transform"], src_t)
+            if isinstance(src_t, str)
+            else src_t
+        )
+        # timestamp/date sources under temporal transforms resolve to
+        # "int" regardless of source type; identity keeps the source
         if not isinstance(t, str) or t not in _AVRO_OF_ICEBERG:
             raise ValueError(
-                f"identity partition column {name!r} has type {t!r} with "
-                "no claimed Avro manifest mapping"
+                f"partition field {pf['pname']!r} "
+                f"({pf['transform']} over type {src_t!r}) has no claimed "
+                "Avro manifest mapping"
             )
         pfields.append(
             {
-                "name": name,
+                "name": pf["pname"],
                 "type": ["null", _AVRO_OF_ICEBERG[t]],
                 "default": None,
                 "field-id": f["field-id"],

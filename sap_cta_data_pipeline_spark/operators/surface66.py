@@ -97,22 +97,29 @@ def iceberg_update_cow(
             "copy-on-write file rewrite keeps every row in its file's "
             "partition; delete + insert to move rows"
         )
-    if partition_filter:
-        clauses = [f"({predicate})"]
-        for k, v in partition_filter.items():
-            lit = f"'{v}'" if isinstance(v, str) else repr(v)
-            clauses.append(f"({k} <=> {lit})")
-        predicate = " AND ".join(clauses)
     if live is None:
-        return plan["read_version"], 0
-    matched_paths = sorted(
-        r["__fp"]
-        for r in live.filter(predicate).select("__fp").distinct().collect()
-    )
-    if not matched_paths:
         return plan["read_version"], 0
     type_of = {f.name: f.dataType for f in schema.fields}
     pred = F.expr(predicate)
+    if partition_filter:
+        # AND-compose the filter into the row predicate through the
+        # TRANSFORM (identity: the column itself; day/bucket/truncate:
+        # the re-evaluated partition value) — pruning and semantics
+        # agree by construction whatever filter is passed.
+        from ..functions.transforms import transform_expr
+
+        pf_of = {pf["pname"]: pf for pf in plan["pfields"]}
+        for k, v in partition_filter.items():
+            pf = pf_of[k]
+            pred = pred & transform_expr(
+                pf["transform"], pf["src"], type_of[pf["src"]]
+            ).eqNullSafe(F.lit(v))
+    matched_paths = sorted(
+        r["__fp"]
+        for r in live.filter(pred).select("__fp").distinct().collect()
+    )
+    if not matched_paths:
+        return plan["read_version"], 0
     uid = _uuid.uuid4().hex[:12]
     new_files: list[tuple[str, int, dict]] = []
     for i, fp in enumerate(matched_paths):
@@ -157,13 +164,15 @@ def _update_plan(
     from .surface54 import _delete_key, _live_rows
 
     meta = _load_metadata(base)
-    part_cols, _spec = _partition_info(meta, "iceberg_update_cow")
+    part_cols, _spec, pfields = _partition_info(meta, "iceberg_update_cow")
+    pnames = [pf["pname"] for pf in pfields]
     if partition_filter:
-        unknown = sorted(set(partition_filter) - set(part_cols))
+        unknown = sorted(set(partition_filter) - set(pnames))
         if unknown:
             raise ValueError(
-                f"partition_filter names non-partition columns {unknown}; "
-                f"identity partition columns are {part_cols}"
+                f"partition_filter names non-partition fields {unknown}; "
+                f"partition fields are {pnames} (values are TRANSFORMED "
+                "partition values, e.g. epoch days for a day transform)"
             )
     schema, data_files, pos_dels, eq_dels = iceberg_state(
         base, partition_filter=partition_filter
@@ -185,6 +194,7 @@ def _update_plan(
         "cols": [f.name for f in schema.fields],
         "live": live,
         "part_cols": part_cols,
+        "pfields": pfields,
         "candidate_paths": sorted(f["path"] for f in data_files),
         "part_of": {
             f["path"]: f.get("partition") or {} for f in data_files

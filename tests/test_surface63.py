@@ -169,22 +169,23 @@ def test_merge_refusals_eq_deletes_and_partitioned(spark, tmp_path):
         iceberg_merge_into(
             spark, eq_base, _nation3(spark), "n_nationkey", ["n_name"]
         )
-    # identity-partitioned tables are CLAIMED since batch GS
-    # (tests/test_surface69.py); non-identity transforms still refuse
+    # identity-partitioned tables are CLAIMED since batch GS, value
+    # transforms (bucket/truncate/temporal) since batch GU — an
+    # UNCLAIMED transform still refuses at resolve time
     import json as _json
 
     part_base = _part_fixture(spark, SF)
-    bucket_base = str(tmp_path / "bucket_spec")
+    void_base = str(tmp_path / "void_spec")
     import shutil
 
-    shutil.copytree(part_base, bucket_base)
-    vpath = os.path.join(bucket_base, "metadata", "v1.metadata.json")
+    shutil.copytree(part_base, void_base)
+    vpath = os.path.join(void_base, "metadata", "v1.metadata.json")
     md = _json.load(open(vpath))
-    md["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    md["partition-specs"][0]["fields"][0]["transform"] = "void"
     _json.dump(md, open(vpath, "w"))
-    with pytest.raises(NotImplementedError, match="identity-partitioned"):
+    with pytest.raises(NotImplementedError, match="not claimed"):
         iceberg_merge_into(
-            spark, bucket_base, _nation3(spark), "n_nationkey", ["n_name"]
+            spark, void_base, _nation3(spark), "n_nationkey", ["n_name"]
         )
 
 

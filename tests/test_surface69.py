@@ -193,16 +193,16 @@ def test_update_refuses_partition_column_set_and_nonidentity(
         iceberg_update_cow(
             spark, base, "n_nationkey = 1", {"n_regionkey": "n_regionkey + 1"}
         )
-    with pytest.raises(ValueError, match="non-partition columns"):
+    with pytest.raises(ValueError, match="non-partition fields"):
         iceberg_update_cow(
             spark, base, "n_nationkey = 1", {"n_name": "'X'"},
             partition_filter={"n_name": "A"},
         )
-    bucket = str(tmp_path / "bucket")
-    shutil.copytree(base, bucket)
-    vpath = os.path.join(bucket, "metadata", "v1.metadata.json")
+    void = str(tmp_path / "void")
+    shutil.copytree(base, void)
+    vpath = os.path.join(void, "metadata", "v1.metadata.json")
     md = json.load(open(vpath))
-    md["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    md["partition-specs"][0]["fields"][0]["transform"] = "void"
     json.dump(md, open(vpath, "w"))
-    with pytest.raises(NotImplementedError, match="identity-partitioned"):
-        iceberg_update_cow(spark, bucket, "n_nationkey = 1", {"n_name": "'X'"})
+    with pytest.raises(NotImplementedError, match="not claimed"):
+        iceberg_update_cow(spark, void, "n_nationkey = 1", {"n_name": "'X'"})
