@@ -118,7 +118,7 @@ def stream_iceberg_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .iceberg_reader import iceberg_snapshot
 
     stage_dir, schema = _staged_event_chunks(spark, sf_dir, "ice_stream_src")
-    table = _scratch(sf_dir, "iceberg_stream_sink")
+    table = _scratch(sf_dir, "iceberg_append_sink_tbl")
     if not os.path.exists(os.path.join(table, "_FIXTURE_READY")):
         src = (
             spark.readStream.schema(schema)

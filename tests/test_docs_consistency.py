@@ -77,3 +77,37 @@ def test_every_batch_has_scale_notes():
         f"SURVEY §2 batches without SCALE.md scale notes: {missing} — "
         "write the batch's scale section before registering its keys"
     )
+
+
+#: scratch names deliberately shared by multiple modules (one builder,
+#: several readers — same schema by construction)
+_SHARED_SCRATCH = {
+    "delta_update_cow",
+    "events_shredded",
+    "iceberg_rewrite_manifests",
+    "iceberg_table",
+    "txnlog_table",
+}
+
+
+def test_scratch_names_unique_across_modules():
+    """Round-12 regression guard: surface68 reused the scratch name
+    ``iceberg_stream_sink`` already owned (with a different schema) by
+    stream_iceberg_snapshot_tail — invisible to per-key ``--only``
+    verification (per-pid scratch) but a full one-process sweep made
+    the tail read an events-schema table and crash. Every fixture name
+    must have ONE owning module unless listed as intentionally
+    shared."""
+    import collections
+    import re as _re
+
+    owners = collections.defaultdict(set)
+    for py in (REPO / "sap_cta_data_pipeline_spark" / "operators").glob("*.py"):
+        for m in _re.finditer(r'_scratch\(sf_dir, "([^"]+)"', py.read_text()):
+            owners[m.group(1)].add(py.name)
+    clashes = {
+        name: sorted(mods)
+        for name, mods in owners.items()
+        if len(mods) > 1 and name not in _SHARED_SCRATCH
+    }
+    assert not clashes, f"scratch-name collisions across modules: {clashes}"
