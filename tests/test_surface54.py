@@ -244,8 +244,18 @@ def test_changelog_leaves_no_cached_blocks(spark, tmp_path):
     NO cached RDD blocks survive."""
     base = _three_file_fixture(spark, tmp_path)
     spark.catalog.clearCache()
+    # delta-based: a shared test session may carry live localCheckpoint
+    # blocks from OTHER suites that clearCache cannot drop; the pin is
+    # that THIS call adds none
+    before = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     iceberg_changelog(spark, base, 3001, 3002).collect()
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    infos = [
+        i
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before
+    ]
     assert len(infos) == 0, [str(i) for i in infos]
 
 
