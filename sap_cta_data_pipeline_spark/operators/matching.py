@@ -40,6 +40,26 @@ from ..registry import query
 _JACCARD_T = 0.8
 _MAX_CC_ROUNDS = 25
 
+#: Per-task edge budget for the CC loops' shuffles (round 13, measured):
+#: every CC round is 5-7 tiny sequential AQE stages, so at small edge
+#: counts the wall is pure per-stage scheduling, not compute — the loop
+#: DOP is derived from the MEASURED edge count (the loop already counts
+#: edges every round via its convergence fingerprint) instead of running
+#: each stage at the session's full shuffle width. ~400k 16-byte edge
+#: rows per task keeps a task at a few MB / well under a second of hash
+#: work; the session's configured width stays the CEILING (we only
+#: shrink when the measured state is small — AQE-coalesce philosophy,
+#: applied where AQE's own coalescing cannot remove the per-stage
+#: replanning cost). Measured on the sf0.1 LSH graph (669k edges /
+#: 3.9k nodes): 4.72 s → 2.07 s; on the 10× dup-sparse graph (6.7M
+#: edges) DOP 16-32 stays optimal and the rule yields 17.
+_CC_EDGES_PER_TASK = 400_000
+
+
+def _cc_loop_dop(n_edges: int, session_parts: int) -> int:
+    return max(1, min((n_edges + _CC_EDGES_PER_TASK - 1) // _CC_EDGES_PER_TASK,
+                      session_parts))
+
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Hash-min connected components with pointer jumping: ``nodes`` has
@@ -55,35 +75,50 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
         eager=True
     )
-    for _ in range(_MAX_CC_ROUNDS):
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nc"))
+    # loop DOP from the measured edge count (round 13): every round is a
+    # chain of tiny sequential stages whose wall at small edge counts is
+    # per-stage scheduling, not compute — see _CC_EDGES_PER_TASK. Unlike
+    # the two-star loop the edge table here is constant across rounds,
+    # so one count at entry (the edges are cached by every caller and
+    # round 1 would materialize them anyway) sizes the whole loop.
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_cc_loop_dop(edges.count(), session_parts)),
         )
-        stepped = labels.join(prop, labels.node == prop.dst, "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
-        )
-        # pointer jump: replace my label by my label's label (comp is
-        # monotone non-increasing, so comp[comp] ≤ comp always holds)
-        parent = stepped.select(
-            F.col("node").alias("comp"), F.col("comp").alias("jump")
-        )
-        new_labels = (
-            stepped.join(parent, "comp", "left")
-            .select("node", F.coalesce(F.col("jump"), F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        for _ in range(_MAX_CC_ROUNDS):
+            prop = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nc"))
+            )
+            stepped = labels.join(prop, labels.node == prop.dst, "left").select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+            )
+            # pointer jump: replace my label by my label's label (comp is
+            # monotone non-increasing, so comp[comp] ≤ comp always holds)
+            parent = stepped.select(
+                F.col("node").alias("comp"), F.col("comp").alias("jump")
+            )
+            new_labels = (
+                stepped.join(parent, "comp", "left")
+                .select("node", F.coalesce(F.col("jump"), F.col("comp")).alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     return labels
 
 
@@ -263,59 +298,73 @@ def connected_components_twostar(
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
     fp = _fp(edges)
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        # large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
-        sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).unionAll(
-            edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
-        )
-        mins = sym.groupBy("src").agg(
-            F.least(F.min("dst"), F.col("src")).alias("m")
-        )
-        ls = (
-            sym.join(mins, "src")
-            .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-        )
-        # canonical large-star output doubles as small-star's ≤-neighbor
-        # view: (hi, lo) IS the (u, v ≤ u) directed edge set. The
-        # intermediate checkpoint exists because `down` feeds two
-        # sub-trees (mins2 and the join); once the graph has collapsed
-        # to a small edge set (count is free — it's in the fingerprint)
-        # recomputing the tiny subtree twice is cheaper than paying an
-        # extra materialization job per round, so the checkpoint is
-        # stat-gated exactly like the LSH lane's DOP gate.
-        down = ls.select(
-            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
-        ).distinct()
-        if fp[0] >= 100_000:
-            down = down.localCheckpoint(eager=True)
-        # small-star: for each u over its ≤-neighbors, m = min; emit
-        # (v, m) for every v ∈ Γ⁻(u) and (u, m)
-        mins2 = down.groupBy("hi").agg(F.min("lo").alias("m"))
-        ss_pairs = (
-            down.join(mins2, "hi")
-            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
-            .unionAll(
-                mins2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    converged = False
+    try:
+        for _ in range(max_rounds):
+            rounds += 1
+            # round DOP from the measured edge count (free: it's fp[0]) —
+            # re-derived every round because the edge set collapses
+            # geometrically, so round 1 may want the session width while
+            # round 3 wants a single task (see _CC_EDGES_PER_TASK)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_cc_loop_dop(fp[0], session_parts)),
             )
-            .where(F.col("a") != F.col("b"))
-        )
-        new_edges = (
-            ss_pairs.select(
+            # large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+            sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).unionAll(
+                edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            )
+            mins = sym.groupBy("src").agg(
+                F.least(F.min("dst"), F.col("src")).alias("m")
+            )
+            ls = (
+                sym.join(mins, "src")
+                .where(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+            )
+            # canonical large-star output doubles as small-star's ≤-neighbor
+            # view: (hi, lo) IS the (u, v ≤ u) directed edge set. `down`
+            # feeds two sub-trees (mins2 and the join), so it is always
+            # checkpointed — round 13 retired the old ≥100k stat gate:
+            # with the loop DOP now following the edge count, the extra
+            # materialization job is one tiny stage, strictly cheaper
+            # than re-running the whole large-star subtree (measured at
+            # sf0.1: 4.0 s → 3.3 s before the DOP change, still ahead
+            # after it).
+            down = ls.select(
                 F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+            ).distinct().localCheckpoint(eager=True)
+            # small-star: for each u over its ≤-neighbors, m = min; emit
+            # (v, m) for every v ∈ Γ⁻(u) and (u, m)
+            mins2 = down.groupBy("hi").agg(F.min("lo").alias("m"))
+            ss_pairs = (
+                down.join(mins2, "hi")
+                .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+                .unionAll(
+                    mins2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+                )
+                .where(F.col("a") != F.col("b"))
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        new_fp = _fp(new_edges)
-        edges = new_edges
-        if new_fp == fp:
-            break
-        fp = new_fp
-    else:
+            new_edges = (
+                ss_pairs.select(
+                    F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_fp = _fp(new_edges)
+            edges = new_edges
+            if new_fp == fp:
+                converged = True
+                break
+            fp = new_fp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+    if not converged:
         # exhausting max_rounds without a fixed point means the labels
         # below would be WRONG (a star forest was never reached) — fail
         # loudly rather than return silently-incorrect components

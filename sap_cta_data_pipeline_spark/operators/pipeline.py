@@ -249,26 +249,45 @@ _SWEEP_VALUES_SQL = ", ".join(f"({p}, {b})" for p, b in _SWEEP_GRID)
     """,
 )
 def pipe_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperparameter sweep (optimization-stage analogue): the threshold
-    grid broadcast-cross-joins the cell table, so the whole grid costs ONE
-    corpus pass — the reference re-ran the full pipeline per grid point.
-    A driver-side optimizer (e.g. differential evolution) would iterate
-    exactly this op on successive small grids."""
-    grid = spark.createDataFrame(_SWEEP_GRID, "t_pic double, t_bnd double")
-    keep = _tailcut_keep(F.col("t_pic"), F.col("t_bnd"))
-    per_vec = (
-        _cells(spark, sf_dir)
-        .crossJoin(F.broadcast(grid))
-        .groupBy("t_pic", "t_bnd", "vec_id")
-        .agg(
-            F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias("kept_energy"),
-            F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias("n_kept"),
+    """Hyperparameter sweep (optimization-stage analogue): the whole grid
+    costs ONE corpus pass — the reference re-ran the full pipeline per
+    grid point. Round 13 (guide §2.3 "aggregate before you shuffle"):
+    the grid rides as 2·|grid| conditional aggregate COLUMNS through one
+    vec-keyed aggregation instead of broadcast-cross-joining |grid|
+    copies of every cell row — the shuffled row count drops |grid|×
+    (5× here) and the 5-row grid reshape (a `stack`) runs on the one-row
+    global aggregate, where EXPAND is free. Per-vector sums and their
+    averages are the identical doubles, just never materialized as rows
+    (measured sf0.1 0.74 → 0.47 s, 10× scale 1.10 → 0.51 s; frames
+    byte-equal). A driver-side optimizer (e.g. differential evolution)
+    would iterate exactly this op on successive small grids
+    (pipe_optimize_threshold does)."""
+    aggs = []
+    for i, (p, b) in enumerate(_SWEEP_GRID):
+        keep = _tailcut_keep(F.lit(p), F.lit(b))
+        aggs.append(F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias(f"ke_{i}"))
+        aggs.append(F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias(f"nk_{i}"))
+    per_vec = _cells(spark, sf_dir).groupBy("vec_id").agg(*aggs)
+    final = per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.avg(f"ke_{i}").alias(f"ake_{i}") for i in range(len(_SWEEP_GRID))],
+        *[F.avg(f"nk_{i}").alias(f"ank_{i}") for i in range(len(_SWEEP_GRID))],
+    )
+    stack_expr = (
+        "stack({n}, {args}) as (t_pic, t_bnd, ake, ank)".format(
+            n=len(_SWEEP_GRID),
+            args=", ".join(
+                f"CAST({p} AS DOUBLE), CAST({b} AS DOUBLE), ake_{i}, ank_{i}"
+                for i, (p, b) in enumerate(_SWEEP_GRID)
+            ),
         )
     )
-    return per_vec.groupBy("t_pic", "t_bnd").agg(
-        r6(F.avg("kept_energy")).alias("avg_kept_energy"),
-        r6(F.avg("n_kept")).alias("avg_n_kept"),
-        F.count(F.lit(1)).alias("n_vectors"),
+    return final.select(F.expr(stack_expr), "n_vectors").select(
+        "t_pic",
+        "t_bnd",
+        r6(F.col("ake")).alias("avg_kept_energy"),
+        r6(F.col("ank")).alias("avg_n_kept"),
+        F.col("n_vectors"),
     )
 
 
@@ -344,44 +363,71 @@ def pipe_benchmark_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per cleaning algorithm config — kept energy, surviving cells, and
     cleaning MSE averaged over the corpus. The reference accumulated this
     as JSON per image file; here it is one declarative plan (and can be
-    written with df.write.json — sinks are covered in §2-A)."""
-    algos = spark.createDataFrame(_ALGO_GRID, "algo string, t_pic double, t_bnd double")
-    keep = _tailcut_keep(F.col("t_pic"), F.col("t_bnd"))
-    per_vec = (
-        _cells(spark, sf_dir)
-        .crossJoin(F.broadcast(algos))
-        .groupBy("algo", "t_pic", "t_bnd", "vec_id")
-        .agg(
-            F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias("kept_energy"),
-            F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias("n_kept"),
-            F.avg(F.when(keep, F.lit(0.0)).otherwise(F.col("x") * F.col("x"))).alias("mse"),
+    written with df.write.json — sinks are covered in §2-A). Round 13:
+    same column-form sweep as pipe_param_sweep (guide §2.3) — the algo
+    grid rides as 3·|algos| aggregate columns through one vec-keyed
+    pass; no |algos|× row expansion before the shuffle."""
+    aggs = []
+    for i, (_, p, b) in enumerate(_ALGO_GRID):
+        keep = _tailcut_keep(F.lit(p), F.lit(b))
+        aggs.append(F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias(f"ke_{i}"))
+        aggs.append(F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias(f"nk_{i}"))
+        aggs.append(
+            F.avg(F.when(keep, F.lit(0.0)).otherwise(F.col("x") * F.col("x"))).alias(f"mse_{i}")
         )
-    )
-    return per_vec.groupBy("algo", "t_pic", "t_bnd").agg(
-        r6(F.avg("kept_energy")).alias("avg_kept_energy"),
-        r6(F.avg("n_kept")).alias("avg_n_kept"),
-        r6(F.avg("mse")).alias("avg_mse"),
+    per_vec = _cells(spark, sf_dir).groupBy("vec_id").agg(*aggs)
+    final = per_vec.agg(
         F.count(F.lit(1)).alias("n_vectors"),
+        *[F.avg(f"ke_{i}").alias(f"ake_{i}") for i in range(len(_ALGO_GRID))],
+        *[F.avg(f"nk_{i}").alias(f"ank_{i}") for i in range(len(_ALGO_GRID))],
+        *[F.avg(f"mse_{i}").alias(f"amse_{i}") for i in range(len(_ALGO_GRID))],
+    )
+    stack_expr = "stack({n}, {args}) as (algo, t_pic, t_bnd, ake, ank, amse)".format(
+        n=len(_ALGO_GRID),
+        args=", ".join(
+            f"'{a}', CAST({p} AS DOUBLE), CAST({b} AS DOUBLE), ake_{i}, ank_{i}, amse_{i}"
+            for i, (a, p, b) in enumerate(_ALGO_GRID)
+        ),
+    )
+    return final.select(F.expr(stack_expr), "n_vectors").select(
+        "algo",
+        "t_pic",
+        "t_bnd",
+        r6(F.col("ake")).alias("avg_kept_energy"),
+        r6(F.col("ank")).alias("avg_n_kept"),
+        r6(F.col("amse")).alias("avg_mse"),
+        F.col("n_vectors"),
     )
 
 
 def _sweep_objective(spark: SparkSession, sf_dir: str, grid: list[tuple[float, float]]):
     """Evaluate the cleaning objective for a threshold grid in ONE corpus
     pass (the inner evaluation of the optimizer below). Objective: keep
-    energy, penalize kept-cell count — avg_kept_energy − 0.01·avg_n_kept."""
-    gdf = spark.createDataFrame(grid, "t_pic double, t_bnd double")
-    keep = _tailcut_keep(F.col("t_pic"), F.col("t_bnd"))
-    per_vec = (
-        _cells(spark, sf_dir)
-        .crossJoin(F.broadcast(gdf))
-        .groupBy("t_pic", "t_bnd", "vec_id")
-        .agg(
-            F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias("ke"),
-            F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias("nk"),
-        )
+    energy, penalize kept-cell count — avg_kept_energy − 0.01·avg_n_kept.
+    Round 13: column-form sweep (see pipe_param_sweep) — 2·|grid|
+    aggregate columns instead of a |grid|× cross-join row expansion, so
+    each optimizer iteration shuffles one row per vector."""
+    aggs = []
+    for i, (p, b) in enumerate(grid):
+        keep = _tailcut_keep(F.lit(p), F.lit(b))
+        aggs.append(F.sum(F.when(keep, F.col("x")).otherwise(0.0)).alias(f"ke_{i}"))
+        aggs.append(F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias(f"nk_{i}"))
+    per_vec = _cells(spark, sf_dir).groupBy("vec_id").agg(*aggs)
+    final = per_vec.agg(
+        *[F.avg(f"ke_{i}").alias(f"ake_{i}") for i in range(len(grid))],
+        *[F.avg(f"nk_{i}").alias(f"ank_{i}") for i in range(len(grid))],
     )
-    return per_vec.groupBy("t_pic", "t_bnd").agg(
-        r6(F.avg("ke") - 0.01 * F.avg("nk")).alias("objective")
+    stack_expr = "stack({n}, {args}) as (t_pic, t_bnd, ake, ank)".format(
+        n=len(grid),
+        args=", ".join(
+            f"CAST({p} AS DOUBLE), CAST({b} AS DOUBLE), ake_{i}, ank_{i}"
+            for i, (p, b) in enumerate(grid)
+        ),
+    )
+    return final.select(F.expr(stack_expr)).select(
+        "t_pic",
+        "t_bnd",
+        r6(F.col("ake") - 0.01 * F.col("ank")).alias("objective"),
     )
 
 

@@ -248,7 +248,19 @@ def iceberg_merge_into(
     Rewritten matched files carry the new columns (source value where
     the key matches, NULL elsewhere); untouched files predate the
     column and the reader serves typed NULLs. Off by default: without
-    the flag, extra source columns refuse exactly as before."""
+    the flag, extra source columns refuse exactly as before.
+
+    ``partition_filter`` SAFETY CONTRACT (round-13 advice): the guard
+    below validates that every SOURCE row transforms into the filter —
+    it cannot see a matched TARGET row living in a DIFFERENT partition
+    (partition columns are not updatable here, so a key's target
+    partition can legitimately differ from the source row's partition
+    value). Such a match is pruned from planning and the key re-inserts
+    into the filter partition: duplicate key + stale surviving row.
+    Pass partition_filter ONLY when the merge key functionally
+    determines the partition value (the usual layout: partition derived
+    from the key, e.g. bucket(key) or a key-prefix date); under any
+    other layout run the unfiltered MERGE."""
     from .lakehouse_interop import _stage_single_parquet
 
     plan = iceberg_merge_plan(

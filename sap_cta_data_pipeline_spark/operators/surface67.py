@@ -55,8 +55,12 @@ def hudi_mor_upsert(
     """Merge-on-read upsert of ``df`` keyed by ``key_col``; returns the
     completed instant. Existing keys become log-block records on their
     owning file group (tombstones where ``delete_col`` is true); new
-    keys start one fresh base file. The batch is deduped latest-wins on
-    the key first (one record per key per block)."""
+    keys start one fresh base file. The batch is deduped to one record
+    per key per block first; WHICH duplicate survives is arbitrary
+    (dropDuplicates keeps a nondeterministic row) — real Hudi resolves
+    intra-batch duplicates by the precombine field, so callers with
+    meaningful duplicates must pre-reduce the batch themselves (e.g. a
+    window max over their ordering column) before calling this."""
     from .hudi_mor import (
         _AVRO_DATA_BLOCK,
         _H_INSTANT_TIME,

@@ -50,6 +50,21 @@ _BAND_ROWS = 8
 #: still the faster, safe choice — measured ~2× end-to-end regression.
 _DOP_GATE = 15_000
 _SCORING_BROADCAST_MAX = 1_000_000
+#: Round-13 third scoring tier: below this the candidate filter +
+#: signature scoring run as numpy gathers inside Arrow-batched pandas
+#: UDFs over (doc_a, doc_b) key pairs — the signature/band matrices ride
+#: a SparkContext broadcast and ids resolve by searchsorted, so only two
+#: longs per pair cross the Python boundary. The JVM zip-compare HOFs
+#: they replace are interpreted per element (guide §4.2): 17.4M pairs ×
+#: (8+64) slots measured 9.5-10.1 s vs 4.2 s numpy at the 10× dup-sparse
+#: scale (frames byte-equal; sf0.1 at parity). The gate is MEMORY, not
+#: speed: every Python worker unpickles its own matrix copy (~584 B/doc
+#:  — 64+8 int64 slots + id), so 250k docs ≈ 146 MB/worker ≈ 4.7 GB
+#: across 32 local workers / ~1 GB on an 8-core executor (size
+#: spark.executor.memoryOverhead accordingly, guide §5). Past it the
+#: round-5/8 tiers stand unchanged: broadcast zip-compare to 1M docs,
+#: keyed shuffle-hash beyond.
+_SCORING_NUMPY_MAX = 250_000
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -371,13 +386,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification is signature-based on purpose: candidate scoring never
     re-touches the corpus text — unlike a token-level exact verify join,
     which re-shuffles the corpus (measured 2× slower here and unboundedly
-    worse at scale). HOW the signatures attach is gated (round 5): up to
-    _SCORING_BROADCAST_MAX distinct docs the table broadcasts (map-side
-    zip-compare, no shuffle — the faster AND safe choice while the table
-    fits an executor); past that ceiling broadcast would be the
-    scale-killer, so the scoring joins become keyed SHUFFLE_HASH joins
-    (signature side builds the hash table — always far smaller than the
-    quadratic pair stream). Exact Jaccard lives in dedup_near_jaccard;
+    worse at scale). HOW the pairs score is gated in three tiers
+    (rounds 5/8/13): up to _SCORING_NUMPY_MAX distinct docs the
+    signature/band matrices ship to the Python workers once and pairs
+    score by vectorized numpy gather (guide §4.2 — the interpreted JVM
+    zip-compare HOFs measured 2.2 billion lambda evaluations at the 10×
+    scale; see _SCORING_NUMPY_MAX for the A/B and the per-worker memory
+    bound); up to _SCORING_BROADCAST_MAX the table broadcasts and the
+    compare is a map-side zip (no shuffle — safe while the table fits an
+    executor); past that ceiling broadcast would be the scale-killer, so
+    the scoring joins become keyed SHUFFLE_HASH joins (signature side
+    builds the hash table — always far smaller than the quadratic pair
+    stream). Exact Jaccard lives in dedup_near_jaccard;
     this is the approximate lane. Round 5: the body lives in
     ``_lsh_pairs_from_groups`` so ``dedup_minhash_cluster`` can feed its
     own CACHED fingerprint groupBy — composed lanes were paying the
@@ -483,6 +503,59 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
     n_sigs = sigs.count()
     big_corpus = n_sigs > _DOP_GATE
     huge_corpus = n_sigs > _SCORING_BROADCAST_MAX
+    numpy_scoring = n_sigs <= _SCORING_NUMPY_MAX
+    if numpy_scoring:
+        # round 13 (guide §4.2): ship the signature/band matrices to the
+        # Python workers once and score pairs by vectorized numpy gather
+        # instead of per-element interpreted zip-compare HOFs — see
+        # _SCORING_NUMPY_MAX for the measured A/B and the memory gate.
+        # The driver-side collect is the same bytes the JVM broadcast
+        # build below would pull (bounded by the gate); ids sort so
+        # searchsorted resolves doc ids to matrix rows.
+        import numpy as np
+
+        srows = sigs.select("rep_id", "sig", "bh").collect()
+        srows.sort(key=lambda r: r["rep_id"])
+        sig_ids = np.array([r["rep_id"] for r in srows], dtype=np.int64)
+        sig_mat = np.array([r["sig"] for r in srows], dtype=np.int64).reshape(
+            len(srows), _N_HASHES
+        )
+        band_mat = np.array([r["bh"] for r in srows], dtype=np.int64).reshape(
+            len(srows), _N_BANDS
+        )
+        bc = spark.sparkContext.broadcast((sig_ids, sig_mat, band_mat))
+
+        @F.pandas_udf("bigint")
+        def _first_band_np(a: pd.Series, b: pd.Series) -> pd.Series:
+            if a.empty:
+                return pd.Series([], dtype="int64")
+            ids, _, bm = bc.value
+            eq = bm[np.searchsorted(ids, a.to_numpy())] == bm[
+                np.searchsorted(ids, b.to_numpy())
+            ]
+            return pd.Series(np.where(eq.any(axis=1), eq.argmax(axis=1), -1))
+
+        @F.pandas_udf("bigint")
+        def _n_match_np(a: pd.Series, b: pd.Series) -> pd.Series:
+            if a.empty:
+                return pd.Series([], dtype="int64")
+            ids, sm, _ = bc.value
+            return pd.Series(
+                (
+                    sm[np.searchsorted(ids, a.to_numpy())]
+                    == sm[np.searchsorted(ids, b.to_numpy())]
+                ).sum(axis=1)
+            )
+
+        # guide §4.4: both UDFs feed filters — deterministic, Catalyst
+        # collapses them into ONE eval node below BOTH filters (scoring
+        # every RAW pair) and then re-evaluates n_match above for the
+        # output column. Nondeterministic forbids the reorder/duplicate:
+        # first_band runs once over raw pairs, n_match once over
+        # first-band survivors.
+        _first_band_np = _first_band_np.asNondeterministic()
+        _n_match_np = _n_match_np.asNondeterministic()
+
     bands = sigs.select("rep_id", F.posexplode("bh").alias("band", "bucket"))
     if big_corpus:
         bands = bands.repartition(n_parts, "band", "bucket")
@@ -544,13 +617,42 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
     # rows are SLIM (two longs — the 64-long signatures attach after),
     # so the rebalance costs ~2 GB at the 10× scale vs the minutes a
     # skewed scoring tail costs. Same big-corpus gate as above.
-    unique_pairs = (
-        _attach(_attach(raw_pairs, bha, "doc_a"), bhb, "doc_b")
-        .filter(first_band == F.col("band"))
-        .select("doc_a", "doc_b")
-    )
+    if numpy_scoring:
+        unique_pairs = raw_pairs.filter(
+            _first_band_np("doc_a", "doc_b") == F.col("band")
+        ).select("doc_a", "doc_b")
+    else:
+        unique_pairs = (
+            _attach(_attach(raw_pairs, bha, "doc_a"), bhb, "doc_b")
+            .filter(first_band == F.col("band"))
+            .select("doc_a", "doc_b")
+        )
     if big_corpus:
         unique_pairs = unique_pairs.repartition(n_parts, "doc_a", "doc_b")
+
+    if numpy_scoring:
+        # numpy scoring lane: matches counted by matrix gather; only the
+        # two key longs cross the Python boundary per pair. n_members
+        # attaches from a SLIM (rep_id, n_members) broadcast — two longs
+        # per distinct doc, far under the signature table the non-numpy
+        # tiers must ship.
+        est_np = _n_match_np("doc_a", "doc_b").cast("double") / F.lit(
+            float(_N_HASHES)
+        )
+        nm = sigs.select("rep_id", "n_members")
+        nma = nm.select(
+            F.col("rep_id").alias("doc_a"), F.col("n_members").alias("n_members_a")
+        )
+        nmb = nm.select(
+            F.col("rep_id").alias("doc_b"), F.col("n_members").alias("n_members_b")
+        )
+        return (
+            unique_pairs.withColumn("est_jaccard", r6(est_np))
+            .filter(F.col("est_jaccard") >= 0.75)
+            .join(F.broadcast(nma), "doc_a")
+            .join(F.broadcast(nmb), "doc_b")
+            .select("doc_a", "doc_b", "est_jaccard", "n_members_a", "n_members_b")
+        )
 
     # signature-estimate scoring: broadcast the signature arrays to both
     # sides; similarity = fraction of matching slots (shuffle-free).

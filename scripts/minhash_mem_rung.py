@@ -13,7 +13,9 @@ functions/layout.py-style sizing can consume.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=32g python scripts/minhash_mem_rung.py \
            [sf_dir] [key]
-       (defaults: /tmp/spark_graft_sf10_text dedup_minhash_cluster)
+       (defaults: /tmp/spark_graft_sf10_text dedup_minhash_cluster;
+       the script force-enables the Spark UI itself — the status REST
+       API it reads lives there)
 
 Prints one JSON line: heap, wall, rows, top stages by peak execution
 memory, executor JVM peak.
@@ -36,6 +38,11 @@ def _get(url: str):
 
 
 def main() -> int:
+    # the status REST API read below lives on the Spark UI, which
+    # get_spark disables by default for bench hygiene — force it on
+    # BEFORE the session is built (round-13 advice fix: the documented
+    # invocation left uiWebUrl None and crashed after the measured run)
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf10_text"
     key = sys.argv[2] if len(sys.argv) > 2 else "dedup_minhash_cluster"
 

@@ -52,3 +52,16 @@ def test_simhash_pinned(spark):
     assert not pdf.duplicated(["doc_a", "doc_b"]).any()
     assert len(pdf) == 7166
     assert _digest(pdf) == "e60c290d0411410b"
+
+
+def test_minhash_scoring_lanes_agree(spark, monkeypatch):
+    """Round 13: the numpy scoring lane (matrix-gather pandas UDFs, the
+    default under _SCORING_NUMPY_MAX) must produce byte-identical pairs
+    to the broadcast zip-compare tier it replaced — forced here by
+    dropping the numpy gate to 0."""
+    from sap_cta_data_pipeline_spark.operators import text as tx
+
+    numpy_pdf = _frame(spark, "dedup_minhash_lsh")
+    monkeypatch.setattr(tx, "_SCORING_NUMPY_MAX", 0)
+    hof_pdf = _frame(spark, "dedup_minhash_lsh")
+    assert _digest(numpy_pdf) == _digest(hof_pdf)

@@ -57,6 +57,58 @@ def test_fallback_is_int_strict():
     assert all(v is None or pd.isna(v) for v in out[1:])
 
 
+def test_newline_fragment_rows_stay_aligned(spark):
+    # round-13 advice fix: a corrupt value containing a raw newline whose
+    # fragments are VALID JSON parses as extra NDJSON rows without
+    # tripping ArrowInvalid — the batch must route to the lenient path
+    # instead of misaligning its neighbours. from_json parses the FIRST
+    # value and ignores trailing content (measured), so parity is 2, not
+    # NULL, for the fragment row.
+    rows = [('{"k": 1}',), ('{"k": 2}\n{"k": 3}',), ('{"k": 4}',)]
+    df = spark.createDataFrame(rows, "props string").coalesce(1)
+    got = [r.k for r in df.select(
+        json_field_arrow("props", "k").alias("k")).collect()]
+    want = [r.k for r in df.select(
+        F.from_json("props", "k long")["k"].alias("k")).collect()]
+    assert got == want == [1, 2, 4]
+
+
+def test_trailing_garbage_matches_from_json(spark):
+    # from_json's first-value-wins semantics on one-line trailing content
+    rows = [('{"k": 2} trailing',), ('{"k": 3},',), ('{"k": 4}{"k": 9}',),
+            (' \n {"k": 5}',)]
+    df = spark.createDataFrame(rows, "props string").coalesce(1)
+    got = [r.k for r in df.select(
+        json_field_arrow("props", "k").alias("k")).collect()]
+    want = [r.k for r in df.select(
+        F.from_json("props", "k long")["k"].alias("k")).collect()]
+    assert got == want == [2, 3, 4, 5]
+
+
+def test_whitespace_row_and_fragment_cancellation():
+    # the adversarial cancellation: one fragment row (+1 NDJSON row) and
+    # one whitespace-only row (-1: pyarrow skips blank lines) keep the
+    # row COUNT matching while every value in between is misaligned —
+    # the pre-screen must catch it, not the count check
+    s = pd.Series([" ", '{"k": 2}\n{"k": 3}', '{"k": 4}', '{"k": 5}'])
+    out = _parse_long_batch(s, "k").tolist()
+    assert out[0] is None or pd.isna(out[0])
+    assert out[1:] == [2, 4, 5]  # first-value-wins, neighbours aligned
+
+
+def test_longs_stay_exact_alongside_nulls(spark):
+    # round-13 advice fix: a batch with >=1 null used to come back as
+    # float64, rounding |v| > 2^53 — 2^53+1 must survive exactly
+    big = 9007199254740993  # 2^53 + 1
+    rows = [(f'{{"k": {big}}}',), ('{"k": null}',)]
+    df = spark.createDataFrame(rows, "props string").coalesce(1)
+    got = [r.k for r in df.select(
+        json_field_arrow("props", "k").alias("k")).collect()]
+    want = [r.k for r in df.select(
+        F.from_json("props", "k long")["k"].alias("k")).collect()]
+    assert got == want == [big, None]
+
+
 def test_empty_partitions(spark):
     df = spark.createDataFrame([], "props string").repartition(4)
     assert df.select(json_field_arrow("props", "k").alias("k")).count() == 0

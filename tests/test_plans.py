@@ -638,7 +638,10 @@ def test_minhash_no_pair_stream_aggregate(q):
     there must be no distinct/hash-agg over the candidate pair stream
     (the band join feeds broadcast lookups + filter, then scoring)."""
     plan = plan_text(q("dedup_minhash_lsh"), "simple")
-    assert "array_position" in plan  # the first-band filter is present
+    # the first-band filter is present — either the numpy lane's pair
+    # UDF (round 13, corpora under _SCORING_NUMPY_MAX) or the broadcast
+    # zip-compare's array_position (the bigger-corpus tiers)
+    assert "_first_band_np" in plan or "array_position" in plan
     # at fixture scale the big-corpus gate is off: NO pair-stream
     # repartition/distinct exchange keyed on the pair columns may exist
     # (the round-3 plan had `Exchange hashpartitioning(doc_a, doc_b ...)`)
@@ -793,3 +796,17 @@ def test_skew_threshold_pin_and_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_grid_sweeps_have_no_row_expansion(q):
+    """Round 13: the pipeline sweeps carry their grids as aggregate
+    COLUMNS — the plan must contain no cross join of the cell table
+    against a grid relation (the old |grid|x row expansion before the
+    vec-keyed shuffle); the only generators are the cell posexplode and
+    the grid-reshape `stack`, which runs on the one-row global
+    aggregate where expansion is free."""
+    for key in ("pipe_param_sweep", "pipe_benchmark_report"):
+        plan = plan_text(q(key), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
+        assert plan.count("Generate") == 2, key

@@ -195,6 +195,11 @@ ALLOWED_SINGLE_PARTITION: dict[str, int | tuple[str, str]] = {
         "day-grain cumsum/min windows",
     ),
     "orders_seasonality_index": ("calendar", "month-grain windows"),
+    # round-13 column-form sweeps: the grid rides as aggregate columns,
+    # so the final avg-over-vectors is a 1-row global final stage (the
+    # stack reshape runs on that one row)
+    "pipe_benchmark_report": 1,
+    "pipe_param_sweep": 1,
     "profile_histogram_auto": 2,
     "profile_join_key_skew": 1,
     "profile_shuffle_balance": ("n_partitions", "P-row (32) partition-load windows"),

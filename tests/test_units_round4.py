@@ -119,6 +119,49 @@ def test_twostar_planted_chain_log_rounds(spark):
     assert rounds <= 7, f"two-star took {rounds} rounds on a 64-chain"
 
 
+def test_cc_loops_restore_session_shuffle_partitions(spark):
+    """Round-13: both CC loops derive their per-round shuffle width from
+    the measured edge count (matching._cc_loop_dop) by mutating
+    spark.sql.shuffle.partitions for the loop's plans — the session value
+    must be restored on every exit path, including the
+    non-convergence raise."""
+    from sap_cta_data_pipeline_spark.operators.matching import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], schema="src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], schema="node bigint")
+
+    labels, _ = connected_components_twostar(nodes, edges)
+    labels.collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    connected_components(nodes, edges).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # raise path: max_rounds=0 exhausts without converging
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_twostar(nodes, edges, max_rounds=0)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_cc_loop_dop_rule():
+    from sap_cta_data_pipeline_spark.operators.matching import _cc_loop_dop
+
+    assert _cc_loop_dop(0, 32) == 1          # empty graph still plans
+    assert _cc_loop_dop(1, 32) == 1
+    assert _cc_loop_dop(400_000, 32) == 1
+    assert _cc_loop_dop(400_001, 32) == 2
+    assert _cc_loop_dop(6_700_000, 32) == 17  # the measured sf1 graph
+    assert _cc_loop_dop(10**9, 32) == 32      # session width is the ceiling
+
+
 def test_twostar_isolated_and_pair(spark):
     edges = spark.createDataFrame(
         [(10, 11), (11, 10)], schema="src bigint, dst bigint"

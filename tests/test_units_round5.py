@@ -88,6 +88,9 @@ def test_minhash_scoring_swaps_past_broadcast_ceiling(spark, sf_dir, monkeypatch
     from sap_cta_data_pipeline_spark.operators import text as text_ops
 
     monkeypatch.setattr(text_ops, "_SCORING_BROADCAST_MAX", 0)
+    # round 13 added the numpy tier BELOW the broadcast tier — zero it
+    # too so the huge-corpus branch is the one exercised
+    monkeypatch.setattr(text_ops, "_SCORING_NUMPY_MAX", 0)
     plan = (
         QUERIES["dedup_minhash_lsh"](spark, sf_dir)
         ._jdf.queryExecution()
