@@ -1093,35 +1093,16 @@ def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- CDF as a STREAMING source
 
 
-def _cdf_rows_driver(base: str, v_from: int, v_to: int) -> list[tuple]:
-    """CDF rows for versions [v_from, v_to) as plain tuples
-    (n_nationkey, n_name, n_regionkey, _change_type, _commit_version) —
-    the driver-side row producer under the SimpleDataSourceStreamReader
-    (which yields rows directly; the partition-based DataSourceStreamReader
-    is the executor-shipping variant a 100 TB tail would use, same
-    offset contract). pyarrow reads, no SparkSession — stream readers
-    run outside the session."""
-    import pyarrow.parquet as pq
-
+def _cdf_file_plan(base: str, v_from: int, v_to: int) -> list[tuple]:
+    """Per-file CDF emission plan for versions [v_from, v_to): tuples of
+    (absolute file path, change_type-or-None, version). METADATA only —
+    reads the commit JSONs, never a data file; the driver-side planning
+    half of the partition-based stream reader (round 14: the old
+    SimpleDataSourceStreamReader produced every data ROW driver-side;
+    now the driver plans splits and executors read them — guide §4
+    boundary / §5 driver)."""
     log_dir = os.path.join(base, "_delta_log")
-    out: list[tuple] = []
-
-    def _emit(path: str, change_type: str | None, version: int) -> None:
-        tbl = pq.read_table(os.path.join(base, path))
-        cols = tbl.to_pydict()
-        n = tbl.num_rows
-        ct = cols.get("_change_type", [change_type] * n)
-        for i in range(n):
-            out.append(
-                (
-                    cols["n_nationkey"][i],
-                    cols["n_name"][i],
-                    cols["n_regionkey"][i],
-                    ct[i],
-                    version,
-                )
-            )
-
+    plan: list[tuple] = []
     for v in range(v_from, v_to):
         fp = os.path.join(log_dir, f"{v:020d}.json")
         if not os.path.exists(fp):
@@ -1130,26 +1111,44 @@ def _cdf_rows_driver(base: str, v_from: int, v_to: int) -> list[tuple]:
         cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
         if cdc:
             for p in sorted(cdc):
-                _emit(_decode_path(p), None, v)
+                plan.append((os.path.join(base, _decode_path(p)), None, v))
         else:
             for a in actions:
                 if "add" in a and a["add"].get("dataChange", True):
-                    _emit(_decode_path(a["add"]["path"]), "insert", v)
+                    plan.append(
+                        (os.path.join(base, _decode_path(a["add"]["path"])),
+                         "insert", v)
+                    )
             for a in actions:
                 if "remove" in a and a["remove"].get("dataChange", True):
-                    _emit(_decode_path(a["remove"]["path"]), "delete", v)
-    return out
+                    plan.append(
+                        (os.path.join(base, _decode_path(a["remove"]["path"])),
+                         "delete", v)
+                    )
+    return plan
 
 
 def _make_cdf_stream_datasource():
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
-    class _CdfTailReader(SimpleDataSourceStreamReader):
+    class _CdfSplit(InputPartition):
+        def __init__(self, path: str, change_type: str | None, version: int):
+            self.path, self.change_type, self.version = path, change_type, version
+
+    class _CdfTailReader(DataSourceStreamReader):
         """Offsets are {'version': next_unread}: each micro-batch drains
-        the commits that appeared since the last one — exactly-once per
-        version because readBetweenOffsets replays any committed range
-        verbatim (versions are immutable once written, the property that
-        makes a transaction log a valid streaming source)."""
+        the commits that appeared since the last one. partitions() plans
+        ONE split per emitted file from the commit JSONs (metadata);
+        read() runs on EXECUTORS — it loads the file with pyarrow and
+        yields Arrow record batches, so no data row ever transits the
+        driver (round 14; the TaskContext guard pins it). Exactly-once
+        per version because partitions(start, end) is a pure function of
+        the immutable log — replaying any committed range plans the
+        identical splits."""
 
         def __init__(self, base: str):
             self._base = base
@@ -1157,26 +1156,62 @@ def _make_cdf_stream_datasource():
         def initialOffset(self):
             return {"version": 0}
 
-        def _latest(self) -> int:
+        def latestOffset(self):
             log_dir = os.path.join(self._base, "_delta_log")
             vs = [
                 int(m.group(1))
                 for f in os.listdir(log_dir)
                 if (m := _COMMIT_RE.match(f))
             ]
-            return (max(vs) + 1) if vs else 0
+            return {"version": (max(vs) + 1) if vs else 0}
 
-        def read(self, start):
-            end = self._latest()
-            v0 = start["version"]
-            if end <= v0:
-                return iter([]), start
-            return iter(_cdf_rows_driver(self._base, v0, end)), {"version": end}
+        def partitions(self, start, end):
+            return [
+                _CdfSplit(path, ct, v)
+                for path, ct, v in _cdf_file_plan(
+                    self._base, start["version"], end["version"]
+                )
+            ]
 
-        def readBetweenOffsets(self, start, end):
-            return iter(
-                _cdf_rows_driver(self._base, start["version"], end["version"])
+        def commit(self, end):
+            pass  # offsets derive from the immutable log; nothing to ack
+
+        @staticmethod
+        def _read_partition(partition):
+            # self-contained (pyarrow + stdlib only): executes on Python
+            # workers, where package imports must not be assumed
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
+            n = tbl.num_rows
+            ct = (
+                tbl.column("_change_type")
+                if "_change_type" in tbl.schema.names
+                else pa.array([partition.change_type] * n, type=pa.string())
             )
+            out = pa.table(
+                {
+                    "n_nationkey": tbl.column("n_nationkey"),
+                    "n_name": tbl.column("n_name"),
+                    "n_regionkey": tbl.column("n_regionkey"),
+                    "_change_type": ct,
+                    "_commit_version": pa.array(
+                        [partition.version] * n, type=pa.int32()
+                    ),
+                }
+            )
+            return iter(out.to_batches())
+
+        def read(self, partition):
+            from pyspark import TaskContext
+
+            if TaskContext.get() is None:
+                raise RuntimeError(
+                    "delta_cdf_tail read() must run on an executor — "
+                    "batch rows must not transit the driver"
+                )
+            return self._read_partition(partition)
 
     class DeltaCdfTailDataSource(DataSource):
         @classmethod
@@ -1189,7 +1224,7 @@ def _make_cdf_stream_datasource():
                 "_change_type string, _commit_version int"
             )
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _CdfTailReader(self.options["path"])
 
     return DeltaCdfTailDataSource
@@ -1221,15 +1256,16 @@ def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Python DataSource whose offsets are LOG VERSIONS — each micro-batch
     drains the commits since the last, cdc files verbatim and derived
     insert/delete otherwise (the scan_delta_cdf semantics, incremental).
-    Versions are immutable once committed, so readBetweenOffsets replays
+    Versions are immutable once committed, so the partition plan replays
     any committed range exactly — the recovery contract that makes a
     transaction log a VALID streaming source (and the design reason
     'stream from a lakehouse table' works at all). Run to completion
     against the CDF fixture through a real readStream → memory sink;
-    the oracle is the full 40-row change history. The simple (driver-
-    row) reader is the fixture-scale variant; the partition-based
-    reader shipping file splits to executors is the same offset
-    contract at 100 TB."""
+    the oracle is the full 40-row change history. Round 14: the reader
+    is partition-based — the driver plans one split per emitted file
+    from the commit JSONs and EXECUTORS read them (Arrow batches), the
+    shape that holds at 100 TB; the TaskContext guard in read() pins
+    that no change row transits the driver."""
     import shutil
 
     from .sources import _scratch

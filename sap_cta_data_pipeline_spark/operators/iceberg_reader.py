@@ -1172,20 +1172,28 @@ def sink_iceberg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ snapshots as a STREAMING source
 
 
-def _iceberg_appended_rows(base: str, after_seq: int) -> tuple[list[tuple], int]:
-    """Rows appended by snapshots with sequence-number > after_seq, as
-    (n_nationkey, n_name, n_regionkey, snapshot_id) tuples, plus the new
-    high-water sequence. pyarrow reads — stream readers run outside the
-    session; the partition-based reader shipping file splits to
-    executors is the 100 TB variant of the same offset contract."""
-    import pyarrow.parquet as pq
-
+def _iceberg_appended_files(
+    base: str, after_seq: int, upto_seq: int | None = None
+) -> tuple[list[tuple], int]:
+    """Per-file append plan for snapshots with after_seq <
+    sequence-number (<= upto_seq when bounded): (absolute data-file
+    path, snapshot-id) tuples plus the new high-water sequence.
+    METADATA only — manifest list + manifests, never a data file; the
+    driver-side planning half of the partition-based stream reader
+    (round 14: the old SimpleDataSourceStreamReader materialized every
+    appended ROW driver-side; now executors read the file splits —
+    guide §4 boundary / §5 driver)."""
     meta = _load_metadata(base)
     snaps = sorted(
-        (s for s in meta.get("snapshots", []) if s["sequence-number"] > after_seq),
+        (
+            s
+            for s in meta.get("snapshots", [])
+            if s["sequence-number"] > after_seq
+            and (upto_seq is None or s["sequence-number"] <= upto_seq)
+        ),
         key=lambda s: s["sequence-number"],
     )
-    out: list[tuple] = []
+    plan: list[tuple] = []
     hi = after_seq
     for s in snaps:
         _, manifests = read_container(_resolve_path(base, s["manifest-list"]))
@@ -1196,31 +1204,36 @@ def _iceberg_appended_rows(base: str, after_seq: int) -> tuple[list[tuple], int]
             for e in entries:
                 if e["status"] == 2 or e["data_file"].get("content", 0) != 0:
                     continue
-                tbl = pq.read_table(
-                    _resolve_path(base, e["data_file"]["file_path"])
-                )
-                cols = tbl.to_pydict()
-                for i in range(tbl.num_rows):
-                    out.append(
-                        (
-                            cols["n_nationkey"][i],
-                            cols["n_name"][i],
-                            cols["n_regionkey"][i],
-                            s["snapshot-id"],
-                        )
+                plan.append(
+                    (
+                        _resolve_path(base, e["data_file"]["file_path"]),
+                        s["snapshot-id"],
                     )
+                )
         hi = s["sequence-number"]
-    return out, hi
+    return plan, hi
 
 
 def _make_iceberg_stream_datasource():
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
-    class _SnapTailReader(SimpleDataSourceStreamReader):
-        """Offsets are {'seq': last-read sequence-number} — snapshots are
-        immutable and sequence numbers only grow, so readBetweenOffsets
+    class _AppendSplit(InputPartition):
+        def __init__(self, path: str, snapshot_id: int):
+            self.path, self.snapshot_id = path, snapshot_id
+
+    class _SnapTailReader(DataSourceStreamReader):
+        """Offsets are {'seq': last-read sequence-number} — snapshots
+        are immutable and sequence numbers only grow, so
+        partitions(start, end) is a pure function of the manifests and
         replays any committed range exactly (the same argument as the
-        Delta-CDF tail, on Iceberg's snapshot lattice)."""
+        Delta-CDF tail, on Iceberg's snapshot lattice). The driver
+        plans one split per appended data file; read() runs on
+        EXECUTORS (pyarrow → Arrow record batches) — no appended row
+        transits the driver (round 14; TaskContext guard pins it)."""
 
         def __init__(self, base: str):
             self._base = base
@@ -1228,22 +1241,44 @@ def _make_iceberg_stream_datasource():
         def initialOffset(self):
             return {"seq": 0}
 
-        def read(self, start):
-            rows, hi = _iceberg_appended_rows(self._base, start["seq"])
-            if hi == start["seq"]:
-                return iter([]), start
-            return iter(rows), {"seq": hi}
-
-        def readBetweenOffsets(self, start, end):
-            rows, _ = _iceberg_appended_rows(self._base, start["seq"])
-            # bounded replay: keep only snapshots ≤ end
+        def latestOffset(self):
             meta = _load_metadata(self._base)
-            keep = {
-                s["snapshot-id"]
-                for s in meta.get("snapshots", [])
-                if start["seq"] < s["sequence-number"] <= end["seq"]
-            }
-            return iter([r for r in rows if r[3] in keep])
+            seqs = [s["sequence-number"] for s in meta.get("snapshots", [])]
+            return {"seq": max(seqs) if seqs else 0}
+
+        def partitions(self, start, end):
+            plan, _ = _iceberg_appended_files(
+                self._base, start["seq"], end["seq"]
+            )
+            return [_AppendSplit(p, sid) for p, sid in plan]
+
+        def commit(self, end):
+            pass  # offsets derive from immutable snapshots; nothing to ack
+
+        @staticmethod
+        def _read_partition(partition):
+            # self-contained (pyarrow only): executes on Python workers
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path, columns=["n_nationkey", "n_name", "n_regionkey"]
+            )
+            out = tbl.append_column(
+                "snapshot_id",
+                pa.array([partition.snapshot_id] * tbl.num_rows, type=pa.int64()),
+            )
+            return iter(out.to_batches())
+
+        def read(self, partition):
+            from pyspark import TaskContext
+
+            if TaskContext.get() is None:
+                raise RuntimeError(
+                    "iceberg_snapshot_tail read() must run on an executor — "
+                    "batch rows must not transit the driver"
+                )
+            return self._read_partition(partition)
 
     class IcebergSnapTailDataSource(DataSource):
         @classmethod
@@ -1256,7 +1291,7 @@ def _make_iceberg_stream_datasource():
                 "snapshot_id bigint"
             )
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _SnapTailReader(self.options["path"])
 
     return IcebergSnapTailDataSource
@@ -1282,8 +1317,12 @@ def stream_iceberg_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     is built by this module's own iceberg_append writer (two commits),
     so the lane certifies writer → streaming-reader end to end; the
     oracle pins every row to the snapshot that appended it. Snapshot
-    immutability makes readBetweenOffsets an exact replay — the
-    recovery contract. This is how production engines stream FROM
+    immutability makes the partition plan an exact replay — the
+    recovery contract. Round 14: the reader is partition-based — the
+    driver plans one split per appended data file from the manifests
+    and EXECUTORS read them (Arrow batches), the shape that holds at
+    100 TB; the TaskContext guard in read() pins that no appended row
+    transits the driver. This is how production engines stream FROM
     Iceberg (incremental append scan)."""
     import shutil
 

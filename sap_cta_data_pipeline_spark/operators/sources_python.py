@@ -220,26 +220,62 @@ _STREAM_RUNS = iter(range(1_000_000))
 
 def _make_stream_datasource():
     # deferred import: pyspark.sql.datasource exists only on Spark 4+
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
-    class _TelemetryStreamReader(SimpleDataSourceStreamReader):
+    class _RowRange(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class _TelemetryStreamReader(DataSourceStreamReader):
         """Offset-tracked micro-batch reader: offsets are {'i': next_row};
-        each read() returns up to _STREAM_BATCH rows and the advanced
-        offset; readBetweenOffsets() replays a committed range exactly —
-        the contract that makes the source REPLAYABLE, which is what
-        Structured Streaming's recovery model actually requires of a
-        source (same determinism discipline as the batch twin)."""
+        each micro-batch admits up to _STREAM_BATCH rows (latestOffset is
+        the admission-control point of the partition-based API) and its
+        row range ships to EXECUTORS as an InputPartition — the driver
+        plans offsets only; no batch row transits it (round 14, guide §4
+        boundary — the SimpleDataSourceStreamReader form produced every
+        row driver-side). Replay = partitions(start, end) re-derived from
+        the immutable offset arithmetic, the recovery contract
+        Structured Streaming requires of a source.
+
+        Recovery note: latestOffset() paces from the highest offset the
+        ENGINE has shown us (partitions()/commit() — i.e. the checkpoint
+        state after a restart), never an internal counter alone, so a
+        restarted query resumes at the checkpointed offset instead of
+        replaying from 0."""
+
+        def __init__(self) -> None:
+            self._seen = 0
 
         def initialOffset(self):
             return {"i": 0}
 
-        def read(self, start):
-            i = start["i"]
-            end = min(i + _STREAM_BATCH, _STREAM_N)
-            return iter([(j, j * j) for j in range(i, end)]), {"i": end}
+        def latestOffset(self):
+            nxt = min(self._seen + _STREAM_BATCH, _STREAM_N)
+            return {"i": nxt}
 
-        def readBetweenOffsets(self, start, end):
-            return iter([(j, j * j) for j in range(start["i"], end["i"])])
+        def partitions(self, start, end):
+            self._seen = max(self._seen, start["i"], end["i"])
+            if end["i"] <= start["i"]:
+                return []
+            return [_RowRange(start["i"], end["i"])]
+
+        def commit(self, end):
+            self._seen = max(self._seen, end["i"])
+
+        def read(self, partition):
+            from pyspark import TaskContext
+
+            if TaskContext.get() is None:
+                raise RuntimeError(
+                    "telemetry stream read() must run on an executor"
+                )
+            return iter(
+                [(j, j * j) for j in range(partition.start, partition.end)]
+            )
 
     class TelemetryStreamDataSource(DataSource):
         @classmethod
@@ -249,7 +285,7 @@ def _make_stream_datasource():
         def schema(self) -> str:
             return "reading_id bigint, reading_sq bigint"
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _TelemetryStreamReader()
 
     return TelemetryStreamDataSource
@@ -265,18 +301,20 @@ def _make_stream_datasource():
 )
 def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STREAMING source via the Spark 4 Python DataSource
-    SimpleDataSourceStreamReader — the third leg of the Python DataSource
-    surface (batch read: source_python_datasource; two-phase-commit
-    write: sink_python_datasource): a replayable offset-tracked source
-    ("consume a feed Spark has no connector for") producing {_STREAM_N}
-    deterministic rows over 3 micro-batches, drained to completion
-    through a real readStream → memory-sink query (fresh checkpoint per
-    run so the offset log replays from initialOffset) and returned as
-    the collected batch result against a full value oracle. The
-    readBetweenOffsets replay contract — not the happy-path read() — is
-    what makes the source recovery-safe at scale; checkpoint recovery
-    for this engine's streams is separately pinned in
-    tests/test_streaming_recovery.py."""
+    partition-based DataSourceStreamReader — the third leg of the Python
+    DataSource surface (batch read: source_python_datasource;
+    two-phase-commit write: sink_python_datasource): a replayable
+    offset-tracked source ("consume a feed Spark has no connector for")
+    producing {_STREAM_N} deterministic rows over 3 micro-batches —
+    the driver plans offset ranges, EXECUTORS generate the rows
+    (round 14: the Simple reader produced every row driver-side) —
+    drained to completion through a real readStream → memory-sink query
+    (fresh checkpoint per run so the offset log replays from
+    initialOffset) and returned as the collected batch result against a
+    full value oracle. The pure partitions(start, end) replay
+    contract — not the happy-path read() — is what makes the source
+    recovery-safe at scale; checkpoint recovery for this engine's
+    streams is separately pinned in tests/test_streaming_recovery.py."""
     import shutil
 
     from .sources import _scratch

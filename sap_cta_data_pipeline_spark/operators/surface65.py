@@ -12,13 +12,15 @@ exists. This batch is the §2-K twin that drives it per micro-batch:
   committing snapshot id;
 - the first window (no parent) emits the initial snapshot's live rows
   as INSERTs — a consumer bootstraps state and then applies deltas;
-- ``readBetweenOffsets`` replays any committed range EXACTLY because
-  snapshots are immutable and the plan is a pure function of the two
-  endpoint manifests — the checkpoint-recovery contract, pinned.
+- the pure ``partitions(start, end)`` split plan replays any committed
+  range EXACTLY because snapshots are immutable and the plan is a pure
+  function of the two endpoint manifests — the checkpoint-recovery
+  contract, pinned.
 
-Row materialization inside the reader is pyarrow, not Spark — stream
-readers run outside the session (the house rule every K twin follows);
-the FILE SCOPE is still ``iceberg_changelog_plan``'s changed-files
+Row materialization is pyarrow on EXECUTORS (round 14: the driver
+resolves delete metadata to per-file position lists and ships splits;
+the old Simple reader produced every change row driver-side); the FILE
+SCOPE is still ``iceberg_changelog_plan``'s changed-files
 bound, so a micro-batch reads only the window's added/removed files and
 the carried files its changed deletes reference, never the table.
 
@@ -70,33 +72,29 @@ def _pa_positions(dels: list[dict]) -> set[tuple[str, int]]:
     return out
 
 
-def _pa_rows_at(path: str, keep) -> list[tuple]:
-    """(n_nationkey, n_name, n_regionkey) rows of ``path`` at positions
-    where ``keep(pos)`` holds."""
-    import pyarrow.parquet as pq
+def _changelog_splits(base: str, from_sid: int | None, to_sid: int) -> list[tuple]:
+    """The window's change rows as per-file SPLITS: (data-file path,
+    mode, sorted positions, change_type, commit_snapshot_id) where mode
+    'skip' emits every row NOT at the listed positions and mode 'keep'
+    emits exactly the listed positions. ``from_sid=None`` is the
+    bootstrap window: the snapshot's full live set as INSERTs.
 
-    t = pq.read_table(path, columns=["n_nationkey", "n_name", "n_regionkey"])
-    cols = t.to_pydict()
-    return [
-        (cols["n_nationkey"][i], cols["n_name"][i], cols["n_regionkey"][i])
-        for i in range(t.num_rows)
-        if keep(i)
-    ]
+    Round 14: this is the driver-side planning half of the
+    partition-based stream reader — manifests and DELETE metadata
+    (position-delete files / DV blobs, KBs per data file by the puffin
+    module's scale contract) resolve to position lists here, and the
+    O(data) reads of the data files themselves happen on EXECUTORS
+    (guide §4 boundary / §5 driver; the old form materialized every
+    change row driver-side)."""
+    splits: list[tuple] = []
 
-
-def _pa_changelog_rows(base: str, from_sid: int | None, to_sid: int) -> list[tuple]:
-    """The window's change rows as (n_nationkey, n_name, n_regionkey,
-    change_type, commit_snapshot_id) tuples. ``from_sid=None`` is the
-    bootstrap window: the snapshot's full live set as INSERTs."""
-    rows: list[tuple] = []
-
-    def _emit(files: list[dict], dels: dict, tag: str) -> None:
+    def _plan(files: list[dict], dels: dict, tag: str) -> None:
         for f in files:
             dead = _pa_positions(
                 [d for _dk, d in dels.items() if d["seq"] >= f["seq"]]
             )
-            for r in _pa_rows_at(f["path"], lambda i, p=f["path"]: (p, i) not in dead):
-                rows.append((*r, tag, to_sid))
+            skip = sorted(p for fp, p in dead if fp == f["path"])
+            splits.append((f["path"], "skip", skip, tag, to_sid))
 
     if from_sid is None:
         _, data_files, pos_dels, eq = iceberg_state(base, to_sid)
@@ -106,12 +104,12 @@ def _pa_changelog_rows(base: str, from_sid: int | None, to_sid: int) -> list[tup
             )
         from .surface54 import _delete_key
 
-        _emit(data_files, {_delete_key(d): d for d in pos_dels}, "INSERT")
-        return rows
+        _plan(data_files, {_delete_key(d): d for d in pos_dels}, "INSERT")
+        return splits
     plan = iceberg_changelog_plan(base, from_sid, to_sid)
     dels_a, dels_b = plan["dels_a"], plan["dels_b"]
-    _emit(plan["added"], dels_b, "INSERT")
-    _emit(plan["removed"], dels_a, "DELETE")
+    _plan(plan["added"], dels_b, "INSERT")
+    _plan(plan["removed"], dels_a, "DELETE")
     for (sa, sb), fs in plan["carried_delta"].items():
         paths = {f["path"] for f in fs}
         dead_a = _pa_positions([dels_a[dk] for dk in sorted(sa)])
@@ -127,14 +125,12 @@ def _pa_changelog_rows(base: str, from_sid: int | None, to_sid: int) -> list[tup
             if fp in paths
         } - dead_b
         for fp in sorted({fp for fp, _ in newly_dead}):
-            at = {p for f2, p in newly_dead if f2 == fp}
-            for r in _pa_rows_at(fp, lambda i: i in at):
-                rows.append((*r, "DELETE", to_sid))
+            at = sorted(p for f2, p in newly_dead if f2 == fp)
+            splits.append((fp, "keep", at, "DELETE", to_sid))
         for fp in sorted({fp for fp, _ in newly_live}):
-            at = {p for f2, p in newly_live if f2 == fp}
-            for r in _pa_rows_at(fp, lambda i: i in at):
-                rows.append((*r, "INSERT", to_sid))
-    return rows
+            at = sorted(p for f2, p in newly_live if f2 == fp)
+            splits.append((fp, "keep", at, "INSERT", to_sid))
+    return splits
 
 
 def _windows(base: str, after_seq: int, upto_seq: int | None):
@@ -155,13 +151,26 @@ def _windows(base: str, after_seq: int, upto_seq: int | None):
 
 
 def _make_changelog_tail_datasource():
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
-    class _ChangelogTailReader(SimpleDataSourceStreamReader):
+    class _ChangeSplit(InputPartition):
+        def __init__(self, path, mode, positions, change_type, snapshot_id):
+            self.path, self.mode, self.positions = path, mode, positions
+            self.change_type, self.snapshot_id = change_type, snapshot_id
+
+    class _ChangelogTailReader(DataSourceStreamReader):
         """Offsets are {'seq': last-drained sequence-number}; snapshot
-        immutability + the plan being a pure function of the endpoint
-        manifests make readBetweenOffsets an exact replay (pinned in
-        tests/test_surface65.py)."""
+        immutability + the split plan being a pure function of the
+        endpoint manifests make partitions(start, end) an exact replay
+        (pinned in tests/test_surface65.py). The driver resolves delete
+        METADATA to per-file position lists (_changelog_splits); read()
+        runs on EXECUTORS — pyarrow loads the data file and applies the
+        keep/skip position filter there, so no change row transits the
+        driver (round 14; TaskContext guard pins it)."""
 
         def __init__(self, base: str):
             self._base = base
@@ -169,27 +178,68 @@ def _make_changelog_tail_datasource():
         def initialOffset(self):
             return {"seq": 0}
 
-        def read(self, start):
-            rows: list[tuple] = []
-            hi = start["seq"]
-            for from_sid, snap in _windows(self._base, start["seq"], None):
-                rows.extend(
-                    _pa_changelog_rows(self._base, from_sid, snap["snapshot-id"])
-                )
-                hi = snap["sequence-number"]
-            if hi == start["seq"]:
-                return iter([]), start
-            return iter(rows), {"seq": hi}
+        def latestOffset(self):
+            meta = _load_metadata(self._base)
+            seqs = [s["sequence-number"] for s in meta.get("snapshots", [])]
+            return {"seq": max(seqs) if seqs else 0}
 
-        def readBetweenOffsets(self, start, end):
-            rows: list[tuple] = []
+        def partitions(self, start, end):
+            splits: list[_ChangeSplit] = []
             for from_sid, snap in _windows(
                 self._base, start["seq"], end["seq"]
             ):
-                rows.extend(
-                    _pa_changelog_rows(self._base, from_sid, snap["snapshot-id"])
+                splits.extend(
+                    _ChangeSplit(*s)
+                    for s in _changelog_splits(
+                        self._base, from_sid, snap["snapshot-id"]
+                    )
                 )
-            return iter(rows)
+            return splits
+
+        def commit(self, end):
+            pass  # offsets derive from immutable snapshots
+
+        @staticmethod
+        def _read_partition(partition):
+            # self-contained (pyarrow only): executes on Python workers
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path,
+                columns=["n_nationkey", "n_name", "n_regionkey"],
+            )
+            if partition.mode == "keep":
+                tbl = tbl.take(partition.positions)
+            elif partition.positions:
+                skip = set(partition.positions)
+                tbl = tbl.take(
+                    [i for i in range(tbl.num_rows) if i not in skip]
+                )
+            out = pa.table(
+                {
+                    "n_nationkey": tbl.column("n_nationkey"),
+                    "n_name": tbl.column("n_name"),
+                    "n_regionkey": tbl.column("n_regionkey"),
+                    "change_type": pa.array(
+                        [partition.change_type] * tbl.num_rows, type=pa.string()
+                    ),
+                    "commit_snapshot_id": pa.array(
+                        [partition.snapshot_id] * tbl.num_rows, type=pa.int64()
+                    ),
+                }
+            )
+            return iter(out.to_batches())
+
+        def read(self, partition):
+            from pyspark import TaskContext
+
+            if TaskContext.get() is None:
+                raise RuntimeError(
+                    "iceberg_changelog_tail read() must run on an executor — "
+                    "batch rows must not transit the driver"
+                )
+            return self._read_partition(partition)
 
     class IcebergChangelogTailDataSource(DataSource):
         @classmethod
@@ -202,7 +252,7 @@ def _make_changelog_tail_datasource():
                 "change_type string, commit_snapshot_id bigint"
             )
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _ChangelogTailReader(self.options["path"])
 
     return IcebergChangelogTailDataSource

@@ -31,8 +31,10 @@ asymmetries a format-switching user hits next:
   Hudi incremental-query semantics: rows whose
   ``_hoodie_commit_time`` equals the instant, read from ONLY the
   slices that instant's commit metadata names (never the table).
-  Replay (``readBetweenOffsets``) is exact because completed instants
-  and their slices are immutable.
+  Replay (the pure ``partitions(start, end)`` split plan) is exact
+  because completed instants and their slices are immutable; slice
+  reads run on EXECUTORS (round 14 — the Simple reader produced every
+  row driver-side).
 
 Scale: all three are change-bounded. The UPDATE scans the predicate
 column once (Catalyst prunes the rest) and rewrites only files with
@@ -348,42 +350,24 @@ def hudi_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- Hudi streaming tail
 
 
-def _hudi_instant_rows(base: str, instant: str) -> list[tuple]:
-    """Rows WRITTEN at ``instant`` — Hudi incremental-query semantics:
-    read ONLY the slices the commit metadata names, keep rows stamped
-    with the instant (rewritten slices also carry survivor rows with
-    older commit times — excluded). pyarrow/driver materialized, the
-    house rule for stream readers (they run outside the session)."""
+def _hudi_instant_files(base: str, instant: str) -> list[tuple]:
+    """Slices WRITTEN at ``instant`` — Hudi incremental-query planning:
+    (absolute slice path, instant) for every slice the commit metadata
+    names. METADATA only (one commit JSON), never a data file; the
+    driver-side planning half of the partition-based stream reader
+    (round 14: the old SimpleDataSourceStreamReader materialized every
+    incremental ROW driver-side; now executors read the slices and
+    apply the commit-time stamp filter — guide §4 boundary / §5
+    driver)."""
     import json
-
-    import pyarrow.parquet as pq
 
     with open(os.path.join(base, ".hoodie", f"{instant}.commit")) as fh:
         meta = json.load(fh)
-    rows: list[tuple] = []
-    for _part, stats in meta["partitionToWriteStats"].items():
-        for ws in stats:
-            t = pq.read_table(
-                os.path.join(base, ws["path"]),
-                columns=[
-                    "_hoodie_commit_time",
-                    "n_nationkey",
-                    "n_name",
-                    "n_regionkey",
-                ],
-            )
-            d = t.to_pydict()
-            rows.extend(
-                (
-                    d["n_nationkey"][i],
-                    d["n_name"][i],
-                    d["n_regionkey"][i],
-                    instant,
-                )
-                for i in range(t.num_rows)
-                if d["_hoodie_commit_time"][i] == instant
-            )
-    return rows
+    return [
+        (os.path.join(base, ws["path"]), instant)
+        for _part, stats in meta["partitionToWriteStats"].items()
+        for ws in stats
+    ]
 
 
 def _completed_instants(base: str, after: str) -> list[str]:
@@ -396,13 +380,26 @@ def _completed_instants(base: str, after: str) -> list[str]:
 
 
 def _make_hudi_tail_datasource():
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
-    class _HudiTailReader(SimpleDataSourceStreamReader):
+    class _SliceSplit(InputPartition):
+        def __init__(self, path: str, instant: str):
+            self.path, self.instant = path, instant
+
+    class _HudiTailReader(DataSourceStreamReader):
         """Offsets are {'instant': last-drained commit time} — the
         timeline's lexicographic-equals-numeric instant names ARE the
         offset lattice. Completed instants and their slices are
-        immutable, so readBetweenOffsets replays exactly."""
+        immutable, so partitions(start, end) — one split per slice the
+        window's commit metadata names — replays any committed range
+        exactly. read() runs on EXECUTORS: pyarrow loads the slice and
+        the _hoodie_commit_time == instant stamp filter drops survivor
+        rows there, so no incremental row transits the driver
+        (round 14; TaskContext guard pins it)."""
 
         def __init__(self, base: str):
             self._base = base
@@ -410,23 +407,64 @@ def _make_hudi_tail_datasource():
         def initialOffset(self):
             return {"instant": ""}
 
-        def read(self, start):
-            rows: list[tuple] = []
-            hi = start["instant"]
-            for ins in _completed_instants(self._base, start["instant"]):
-                rows.extend(_hudi_instant_rows(self._base, ins))
-                hi = ins
-            if hi == start["instant"]:
-                return iter([]), start
-            return iter(rows), {"instant": hi}
+        def latestOffset(self):
+            done = _completed_instants(self._base, "")
+            return {"instant": done[-1] if done else ""}
 
-        def readBetweenOffsets(self, start, end):
-            rows: list[tuple] = []
+        def partitions(self, start, end):
+            splits: list[_SliceSplit] = []
             for ins in _completed_instants(self._base, start["instant"]):
                 if ins > end["instant"]:
                     break
-                rows.extend(_hudi_instant_rows(self._base, ins))
-            return iter(rows)
+                splits.extend(
+                    _SliceSplit(p, i)
+                    for p, i in _hudi_instant_files(self._base, ins)
+                )
+            return splits
+
+        def commit(self, end):
+            pass  # offsets derive from the immutable timeline
+
+        @staticmethod
+        def _read_partition(partition):
+            # self-contained (pyarrow only): executes on Python workers
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path,
+                columns=[
+                    "_hoodie_commit_time",
+                    "n_nationkey",
+                    "n_name",
+                    "n_regionkey",
+                ],
+            )
+            mine = tbl.filter(
+                pc.equal(tbl.column("_hoodie_commit_time"), partition.instant)
+            )
+            out = pa.table(
+                {
+                    "n_nationkey": mine.column("n_nationkey"),
+                    "n_name": mine.column("n_name"),
+                    "n_regionkey": mine.column("n_regionkey"),
+                    "commit_instant": pa.array(
+                        [partition.instant] * mine.num_rows, type=pa.string()
+                    ),
+                }
+            )
+            return iter(out.to_batches())
+
+        def read(self, partition):
+            from pyspark import TaskContext
+
+            if TaskContext.get() is None:
+                raise RuntimeError(
+                    "hudi_incremental_tail read() must run on an executor — "
+                    "batch rows must not transit the driver"
+                )
+            return self._read_partition(partition)
 
     class HudiIncrementalTailDataSource(DataSource):
         @classmethod
@@ -439,7 +477,7 @@ def _make_hudi_tail_datasource():
                 "commit_instant string"
             )
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _HudiTailReader(self.options["path"])
 
     return HudiIncrementalTailDataSource

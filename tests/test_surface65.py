@@ -13,12 +13,27 @@ from sap_cta_data_pipeline_spark.operators.iceberg_reader import (
     iceberg_delete_where,
 )
 from sap_cta_data_pipeline_spark.operators.surface65 import (
+    _changelog_splits,
     _make_changelog_tail_datasource,
-    _pa_changelog_rows,
     _windows,
 )
 
 SF = "/root/testdata/sf0.001"
+
+
+def _drain(reader, start, end) -> list[tuple]:
+    """Materialize a window exactly the way a micro-batch would: the
+    driver-side split plan (partitions) + the executor-side read body
+    (_read_partition — the TaskContext-guarded read() wraps it)."""
+    rows: list[tuple] = []
+    for p in reader.partitions(start, end):
+        for batch in reader._read_partition(p):
+            d = batch.to_pydict()
+            names = list(d)
+            rows.extend(
+                tuple(d[n][i] for n in names) for i in range(batch.num_rows)
+            )
+    return rows
 
 
 def _build(spark, base, with_delete: bool) -> None:
@@ -31,27 +46,43 @@ def _build(spark, base, with_delete: bool) -> None:
         iceberg_delete_where(spark, base, "n_nationkey % 5 = 0")
 
 
-def test_read_between_offsets_is_exact_replay(spark, tmp_path):
-    """readBetweenOffsets over any committed range returns exactly the
-    rows read() emitted for it — snapshot immutability + the pure
-    endpoint plan make recovery deterministic."""
+def test_partition_plan_is_exact_replay(spark, tmp_path):
+    """partitions(start, end) over any committed range plans exactly the
+    rows the original run emitted for it — snapshot immutability + the
+    pure endpoint plan make recovery deterministic (round 14: the
+    replay surface moved from readBetweenOffsets to the partition plan
+    when the reader became executor-based)."""
     base = str(tmp_path / "replay")
     _build(spark, base, with_delete=True)
-    reader = _make_changelog_tail_datasource()(
-        {"path": base}
-    ).simpleStreamReader(None)
-    rows_all, off = reader.read({"seq": 0})
-    rows_all = sorted(rows_all)
+    reader = _make_changelog_tail_datasource()({"path": base}).streamReader(None)
+    off = reader.latestOffset()
     assert off == {"seq": 3}
+    rows_all = sorted(_drain(reader, {"seq": 0}, off))
     # full-range replay == the original read
-    assert sorted(reader.readBetweenOffsets({"seq": 0}, {"seq": 3})) == rows_all
+    assert sorted(_drain(reader, {"seq": 0}, {"seq": 3})) == rows_all
     # partial ranges compose: (0,2] + (2,3] == (0,3]
-    first = sorted(reader.readBetweenOffsets({"seq": 0}, {"seq": 2}))
-    second = sorted(reader.readBetweenOffsets({"seq": 2}, {"seq": 3}))
+    first = sorted(_drain(reader, {"seq": 0}, {"seq": 2}))
+    second = sorted(_drain(reader, {"seq": 2}, {"seq": 3}))
     assert sorted(first + second) == rows_all
     assert all(r[3] == "INSERT" for r in first)
     assert {r[3] for r in second} == {"DELETE"}
     assert sorted(r[0] for r in second) == [0, 5, 10, 15, 20]
+
+
+def test_read_refuses_to_run_on_the_driver(spark, tmp_path):
+    """Round-14 pin: batch rows must NOT transit the driver — read() is
+    TaskContext-guarded, so invoking it outside an executor task (as the
+    old SimpleDataSourceStreamReader effectively did for every row)
+    raises instead of silently producing rows driver-side."""
+    import pytest
+
+    base = str(tmp_path / "guard")
+    _build(spark, base, with_delete=False)
+    reader = _make_changelog_tail_datasource()({"path": base}).streamReader(None)
+    splits = reader.partitions({"seq": 0}, {"seq": 1})
+    assert splits
+    with pytest.raises(RuntimeError, match="must run on an executor"):
+        reader.read(splits[0])
 
 
 def test_restart_drains_only_post_stop_window(spark, tmp_path):
@@ -100,7 +131,17 @@ def test_bootstrap_window_applies_existing_deletes(spark, tmp_path):
     # pretend the stream attaches at seq 3: bootstrap = full snapshot
     wins = list(_windows(base, 0, None))
     assert [w[0] for w in wins] == [None, 1001, 1002]
-    rows = _pa_changelog_rows(base, None, 1003)
+    reader = _make_changelog_tail_datasource()({"path": base}).streamReader(None)
+    rows = [
+        row
+        for s in _changelog_splits(base, None, 1003)
+        for batch in reader._read_partition(
+            type("S", (), dict(zip(
+                ("path", "mode", "positions", "change_type", "snapshot_id"), s
+            )))()
+        )
+        for row in zip(*batch.to_pydict().values())
+    ]
     assert sorted(r[0] for r in rows) == sorted(
         k for k in range(25) if k % 5 != 0
     )

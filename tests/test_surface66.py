@@ -24,11 +24,26 @@ from sap_cta_data_pipeline_spark.operators.lakehouse_interop import (
     hudi_cow_state,
 )
 from sap_cta_data_pipeline_spark.operators.surface66 import (
-    _hudi_instant_rows,
+    _hudi_instant_files,
     _make_hudi_tail_datasource,
     hudi_delete,
     iceberg_update_cow,
 )
+
+
+def _drain(reader, start, end) -> list[tuple]:
+    """Materialize a window the way a micro-batch would: driver-side
+    split plan (partitions) + executor-side read body (_read_partition —
+    the TaskContext-guarded read() wraps it)."""
+    rows: list[tuple] = []
+    for p in reader.partitions(start, end):
+        for batch in reader._read_partition(p):
+            d = batch.to_pydict()
+            names = list(d)
+            rows.extend(
+                tuple(d[n][i] for n in names) for i in range(batch.num_rows)
+            )
+    return rows
 
 SF = "/root/testdata/sf0.001"
 
@@ -233,31 +248,43 @@ def test_incremental_window_excludes_survivor_rows(spark, tmp_path):
     the incremental read emits only the 3 upserted ones."""
     base = str(tmp_path / "inc")
     _hudi_three_commits(spark, base)
-    rows = _hudi_instant_rows(base, "00000000000003")
+    reader = _make_hudi_tail_datasource()({"path": base}).streamReader(None)
+    rows = _drain(
+        reader,
+        {"instant": "00000000000002"},
+        {"instant": "00000000000003"},
+    )
     assert sorted(r[0] for r in rows) == [0, 1, 2]
     assert all(r[1].endswith("-U3") for r in rows)
+    # the window's slice plan is metadata-only: one rewritten slice
+    assert len(_hudi_instant_files(base, "00000000000003")) == 1
 
 
 def test_tail_replay_is_exact(spark, tmp_path):
     base = str(tmp_path / "replay")
     _hudi_three_commits(spark, base)
-    reader = _make_hudi_tail_datasource()({"path": base}).simpleStreamReader(None)
-    rows_all, off = reader.read({"instant": ""})
-    rows_all = sorted(rows_all)
+    reader = _make_hudi_tail_datasource()({"path": base}).streamReader(None)
+    off = reader.latestOffset()
     assert off == {"instant": "00000000000003"}
+    rows_all = sorted(_drain(reader, {"instant": ""}, off))
     assert len(rows_all) == 28  # 12 + 13 + 3
-    assert (
-        sorted(reader.readBetweenOffsets({"instant": ""}, off)) == rows_all
-    )
+    # partial ranges compose and replay exactly (pure plan of the timeline)
     first = sorted(
-        reader.readBetweenOffsets({"instant": ""}, {"instant": "00000000000002"})
+        _drain(reader, {"instant": ""}, {"instant": "00000000000002"})
     )
     second = sorted(
-        reader.readBetweenOffsets(
-            {"instant": "00000000000002"}, {"instant": "00000000000003"}
+        _drain(
+            reader,
+            {"instant": "00000000000002"},
+            {"instant": "00000000000003"},
         )
     )
     assert sorted(first + second) == rows_all
+    # round-14 pin: rows must not transit the driver — read() refuses
+    # outside an executor task
+    splits = reader.partitions({"instant": ""}, off)
+    with pytest.raises(RuntimeError, match="must run on an executor"):
+        reader.read(splits[0])
 
 
 def test_tail_restart_drains_only_new_instants(spark, tmp_path):
