@@ -22,13 +22,15 @@ EVOLUTION for Iceberg.
 Scale: a MOR upsert's write cost is O(change batch) — per hit group
 one log block append; the deferred merge cost moves to readers and is
 reclaimed by compaction (hudi_mor_compact), the classic write-
-amplification trade. The incoming batch routes to groups via one
-distributed semi-probe (DISTINCT fileIds to the driver); per-group
-block encoding materializes only the batch's own rows (change-sized,
-never table-sized — the same envelope every log-format writer pays;
-an executor-side mapPartitions writer is the same block format when
-one batch outgrows the driver). The evolved MERGE adds zero data
-cost: evolution is one schemas-list entry in the metadata JSON.
+amplification trade. Round 14: the hit batch never reaches the driver —
+it rides one groupBy(fileId) shuffle into an applyInArrow group writer
+that encodes and publishes each group's log block EXECUTOR-side
+(temp-then-replace, retry-idempotent because block content is
+key-sorted) and returns only (fileId, log path) commit messages; the
+driver's share is the metadata envelope (routing maps and the
+deltacommit), the standard executor-writes/driver-commits split every
+real sink implements. The evolved MERGE adds zero data cost:
+evolution is one schemas-list entry in the metadata JSON.
 """
 
 from __future__ import annotations
@@ -118,9 +120,6 @@ def hudi_mor_upsert(
         routed = incoming.join(
             owner, incoming[key_col].cast("string") == owner["__k"], "left"
         )
-        # per hit group: ONE log block with the group's records — the
-        # collect is CHANGE-sized (the upsert batch), never table-sized
-        hits = routed.filter(F.col("__fid").isNotNull()).collect()
         spark_schema = T.StructType(
             [T.StructField("_hoodie_record_key", T.StringType(), True)]
             + [
@@ -130,33 +129,77 @@ def hudi_mor_upsert(
             + [T.StructField("_hoodie_is_deleted", T.BooleanType(), True)]
         )
         avro_schema = _log_record_schema(spark_schema)
-        by_fid: dict[str, list[dict]] = {}
-        for r in hits:
-            by_fid.setdefault(r["__fid"], []).append(
-                {
-                    "_hoodie_record_key": str(r[key_col]),
-                    **{c: (None if r["__del"] else r[c]) for c in data_cols},
-                    **{key_col: r[key_col]},  # key survives tombstones
-                    "_hoodie_is_deleted": bool(r["__del"]),
-                }
-            )
         hdr = {_H_INSTANT_TIME: instant, _H_SCHEMA: json.dumps(avro_schema)}
-        for fid in sorted(by_fid):
-            n_logs = len(slices[fid][1])
-            log_rel = f"{fid}_0-0-0.log.{n_logs + 1}_{instant}"
-            with open(os.path.join(base, log_rel), "wb") as fh:
-                write_log_block(
-                    fh,
-                    _AVRO_DATA_BLOCK,
-                    hdr,
-                    encode_avro_data_block(
-                        avro_schema,
-                        sorted(
-                            by_fid[fid], key=lambda d: d["_hoodie_record_key"]
-                        ),
-                    ),
-                )
-            writes.append((fid, log_rel))
+        # per hit group: ONE log block with the group's records, written
+        # EXECUTOR-SIDE (round 14, guide §5 driver): the hit batch rides
+        # one groupBy(__fid) shuffle (change-sized) into applyInArrow —
+        # each group's task encodes and writes its own block under
+        # temp-then-replace atomicity (idempotent across task retries:
+        # the content is key-sorted, so every attempt produces identical
+        # bytes) and returns only (fid, log_rel) as its commit message;
+        # the driver collects just those commit messages for the
+        # deltacommit envelope. The old form collected every routed
+        # record group to the driver and wrote the blocks serially —
+        # O(batch) driver memory and a serial write tail.
+        log_rel_by_fid = {
+            fid: f"{fid}_0-0-0.log.{len(slices[fid][1]) + 1}_{instant}"
+            for fid in slices
+        }
+        log_rel_map = F.create_map(
+            *[F.lit(x) for kv in sorted(log_rel_by_fid.items()) for x in kv]
+        )
+        hits = routed.filter(F.col("__fid").isNotNull()).withColumn(
+            "__log_rel", log_rel_map[F.col("__fid")]
+        )
+
+        def _write_block(tbl):
+            # runs on Python workers; package import verified available
+            # there (workers start with the repo root on sys.path)
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+
+            from sap_cta_data_pipeline_spark.operators.hudi_mor import (
+                _AVRO_DATA_BLOCK as _BLK,
+                encode_avro_data_block as _enc,
+                write_log_block as _wlb,
+            )
+
+            rows = tbl.to_pylist()
+            fid, log_rel = rows[0]["__fid"], rows[0]["__log_rel"]
+            records = sorted(
+                (
+                    {
+                        "_hoodie_record_key": str(r[key_col]),
+                        **{
+                            c: (None if r["__del"] else r[c])
+                            for c in data_cols
+                        },
+                        **{key_col: r[key_col]},  # key survives tombstones
+                        "_hoodie_is_deleted": bool(r["__del"]),
+                    }
+                    for r in rows
+                ),
+                key=lambda d: d["_hoodie_record_key"],
+            )
+            final = _os.path.join(base, log_rel)
+            tmp = f"{final}.__tmp_{_uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                _wlb(fh, _BLK, hdr, _enc(avro_schema, records))
+            _os.replace(tmp, final)  # atomic publish, retry-idempotent
+            return _pa.table(
+                {"fid": _pa.array([fid]), "log_rel": _pa.array([log_rel])}
+            )
+
+        commit_msgs = (
+            hits.groupBy("__fid")
+            .applyInArrow(_write_block, "fid string, log_rel string")
+            .collect()
+        )
+        writes.extend(
+            sorted((m.fid, m.log_rel) for m in commit_msgs)
+        )
         inserts = routed.filter(
             F.col("__fid").isNull() & ~F.col("__del")
         ).select(*data_cols)
