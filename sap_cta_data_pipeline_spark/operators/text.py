@@ -66,6 +66,31 @@ _SCORING_BROADCAST_MAX = 1_000_000
 #: keyed shuffle-hash beyond.
 _SCORING_NUMPY_MAX = 250_000
 
+#: Matrix broadcasts created by the numpy scoring tiers (pair lane +
+#: incremental lane). Round 14 (guide §5, ADVICE r13): left to the
+#: ContextCleaner they accumulate across invocations (~2.3 MB each at
+#: sf0.1, 146 MB each at the gate ceiling — bench measured
+#: broadcast_blocks 6 → 39 over one run), so each lane RETIRES the
+#: previous invocations' broadcasts at entry. Contract this relies on
+#: (holds for every registered caller, the bench, and the test sweeps):
+#: a frame returned by a minhash lane is materialized before the next
+#: minhash-lane invocation on the same SparkContext — the cluster lane
+#: checkpoints its edges eagerly inside the invocation, and the
+#: pair/incremental frames are consumed by their callers before any
+#: re-invocation. destroy (not unpersist) because in local mode the
+#: driver IS the only block manager and unpersist(false) removes
+#: nothing there.
+_NUMPY_TIER_BCS: list = []
+
+
+def _retire_numpy_tier_broadcasts() -> None:
+    while _NUMPY_TIER_BCS:
+        b = _NUMPY_TIER_BCS.pop()
+        try:
+            b.destroy(blocking=False)
+        except Exception:  # noqa: BLE001 — context stopped / already gone
+            pass
+
 
 def _tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, term) with empty tokens dropped — one row per token
@@ -514,6 +539,7 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
         # searchsorted resolves doc ids to matrix rows.
         import numpy as np
 
+        _retire_numpy_tier_broadcasts()  # bound lifecycle, see registry
         srows = sigs.select("rep_id", "sig", "bh").collect()
         srows.sort(key=lambda r: r["rep_id"])
         sig_ids = np.array([r["rep_id"] for r in srows], dtype=np.int64)
@@ -524,15 +550,28 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
             len(srows), _N_BANDS
         )
         bc = spark.sparkContext.broadcast((sig_ids, sig_mat, band_mat))
+        _NUMPY_TIER_BCS.append(bc)
+
+        def _rows_of(ids, s):
+            # membership-checked id → matrix-row resolution (ADVICE r13):
+            # a foreign id must FAIL, not silently gather a neighbor
+            v = s.to_numpy()
+            ix = np.searchsorted(ids, v)
+            ok = (ix < ids.size) & (ids[np.minimum(ix, ids.size - 1)] == v)
+            if not ok.all():
+                raise KeyError(
+                    f"{int((~ok).sum())} pair doc id(s) absent from the "
+                    "signature matrix — pairs must derive from the same "
+                    "sigs table the matrices were built from"
+                )
+            return ix
 
         @F.pandas_udf("bigint")
         def _first_band_np(a: pd.Series, b: pd.Series) -> pd.Series:
             if a.empty:
                 return pd.Series([], dtype="int64")
             ids, _, bm = bc.value
-            eq = bm[np.searchsorted(ids, a.to_numpy())] == bm[
-                np.searchsorted(ids, b.to_numpy())
-            ]
+            eq = bm[_rows_of(ids, a)] == bm[_rows_of(ids, b)]
             return pd.Series(np.where(eq.any(axis=1), eq.argmax(axis=1), -1))
 
         @F.pandas_udf("bigint")
@@ -541,10 +580,7 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
                 return pd.Series([], dtype="int64")
             ids, sm, _ = bc.value
             return pd.Series(
-                (
-                    sm[np.searchsorted(ids, a.to_numpy())]
-                    == sm[np.searchsorted(ids, b.to_numpy())]
-                ).sum(axis=1)
+                (sm[_rows_of(ids, a)] == sm[_rows_of(ids, b)]).sum(axis=1)
             )
 
         # guide §4.4: both UDFs feed filters — deterministic, Catalyst
@@ -686,8 +722,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids) exists only as its persisted signature store (rep_id, 64
     minima, band buckets — kilobytes per thousand docs, written once);
     the NEW batch (odd doc_ids) computes signatures for ITS docs only,
-    joins its band buckets against the store's, and scores candidates by
-    broadcast signature zip-compare. The corpus TEXT is never re-read,
+    joins its band buckets against the store's, and scores candidates
+    through the same measured scoring tiers as the pair lane (numpy
+    matrix gather under _SCORING_NUMPY_MAX, broadcast zip-compare, then
+    keyed shuffle-hash). The corpus TEXT is never re-read,
     re-tokenized, or re-hashed — per-day cost scales with the batch, not
     the corpus, which is the whole point (dedup_incremental_exact is the
     exact-duplicate analogue; this is the near-dup one). Per batch rep:
@@ -747,32 +785,89 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # batch is bounded by contract (one day's arrivals) → broadcast; the
-    # STORE is corpus-scale, so its attach carries the measured gate
-    # (round-8 sweep, SCALE.md S17): broadcast under the shared ceiling,
-    # keyed shuffle_hash above (signature side builds the hash table).
-    store_sigs = store.select(
-        F.col("rep_id").alias("corpus_id"), F.col("sig").alias("sig_c")
-    )
-    store_side = (
-        F.broadcast(store_sigs)
-        if store.count() <= _SCORING_BROADCAST_MAX
-        else store_sigs.hint("shuffle_hash")
-    )
-    est = (
-        cands.join(
-            F.broadcast(batch.select(F.col("rep_id").alias("batch_id"), F.col("sig").alias("sig_b"))),
-            "batch_id",
+    # STORE is corpus-scale, so scoring carries the measured gates
+    # (round-8 sweep, SCALE.md S17; round-14 numpy tier — VERDICT r13
+    # ask #5): under _SCORING_NUMPY_MAX total signatures the candidate
+    # scoring is the same matrix-gather pandas UDF as the pair lane
+    # (guide §4.2 — the zip-compare HOF it replaces is 64 interpreted
+    # lambda evaluations per candidate; only the two id longs cross the
+    # Python boundary), sharing the gate's per-worker memory bound and
+    # the retire-at-entry broadcast lifecycle. Above it: broadcast
+    # zip-compare under the shared ceiling, keyed shuffle_hash beyond
+    # (signature side builds the hash table).
+    n_store, n_batch = store.count(), batch.count()
+    if n_store + n_batch <= _SCORING_NUMPY_MAX:
+        import numpy as np
+
+        _retire_numpy_tier_broadcasts()  # bound lifecycle, see registry
+        srows = (
+            store.select("rep_id", "sig").collect()
+            + batch.select("rep_id", "sig").collect()
         )
-        .join(store_side, "corpus_id")
-        .select(
+        srows.sort(key=lambda r: r["rep_id"])
+        sig_ids = np.array([r["rep_id"] for r in srows], dtype=np.int64)
+        sig_mat = np.array([r["sig"] for r in srows], dtype=np.int64).reshape(
+            len(srows), _N_HASHES
+        )
+        bc = spark.sparkContext.broadcast((sig_ids, sig_mat))
+        _NUMPY_TIER_BCS.append(bc)
+
+        @F.pandas_udf("bigint")
+        def _n_match_inc(a: pd.Series, b: pd.Series) -> pd.Series:
+            if a.empty:
+                return pd.Series([], dtype="int64")
+            ids, sm = bc.value
+
+            def rows_of(s):
+                # membership-checked resolution (ADVICE r13): a foreign
+                # id must FAIL, not silently gather a neighbor
+                v = s.to_numpy()
+                ix = np.searchsorted(ids, v)
+                ok = (ix < ids.size) & (
+                    ids[np.minimum(ix, ids.size - 1)] == v
+                )
+                if not ok.all():
+                    raise KeyError(
+                        f"{int((~ok).sum())} candidate id(s) absent from "
+                        "the store/batch signature matrix"
+                    )
+                return ix
+
+            return pd.Series(
+                (sm[rows_of(a)] == sm[rows_of(b)]).sum(axis=1)
+            )
+
+        est = cands.select(
             "batch_id",
             "corpus_id",
-            (
-                F.size(F.filter(F.zip_with("sig_b", "sig_c", lambda a, b: a == b), lambda x: x))
-                / F.lit(64.0)
-            ).alias("est_jaccard"),
+            (_n_match_inc("batch_id", "corpus_id") / F.lit(64.0)).alias(
+                "est_jaccard"
+            ),
         )
-    )
+    else:
+        store_sigs = store.select(
+            F.col("rep_id").alias("corpus_id"), F.col("sig").alias("sig_c")
+        )
+        store_side = (
+            F.broadcast(store_sigs)
+            if n_store <= _SCORING_BROADCAST_MAX
+            else store_sigs.hint("shuffle_hash")
+        )
+        est = (
+            cands.join(
+                F.broadcast(batch.select(F.col("rep_id").alias("batch_id"), F.col("sig").alias("sig_b"))),
+                "batch_id",
+            )
+            .join(store_side, "corpus_id")
+            .select(
+                "batch_id",
+                "corpus_id",
+                (
+                    F.size(F.filter(F.zip_with("sig_b", "sig_c", lambda a, b: a == b), lambda x: x))
+                    / F.lit(64.0)
+                ).alias("est_jaccard"),
+            )
+        )
     w = Window.partitionBy("batch_id").orderBy(
         F.desc("est_jaccard"), F.asc("corpus_id")
     )

@@ -65,3 +65,31 @@ def test_minhash_scoring_lanes_agree(spark, monkeypatch):
     monkeypatch.setattr(tx, "_SCORING_NUMPY_MAX", 0)
     hof_pdf = _frame(spark, "dedup_minhash_lsh")
     assert _digest(numpy_pdf) == _digest(hof_pdf)
+
+
+def test_minhash_incremental_scoring_lanes_agree(spark, monkeypatch):
+    """Round 14: the incremental lane's numpy scoring tier (same gate
+    and matrix-gather UDF family as the pair lane) must produce
+    byte-identical best-match verdicts to the broadcast zip-compare
+    tier — forced by dropping the numpy gate to 0."""
+    from sap_cta_data_pipeline_spark.operators import text as tx
+
+    numpy_pdf = _frame(spark, "dedup_minhash_incremental")
+    monkeypatch.setattr(tx, "_SCORING_NUMPY_MAX", 0)
+    hof_pdf = _frame(spark, "dedup_minhash_incremental")
+    assert _digest(numpy_pdf) == _digest(hof_pdf)
+
+
+def test_numpy_tier_broadcasts_are_retired(spark):
+    """Round 14 (ADVICE r13): the numpy tiers' matrix broadcasts must
+    not accumulate across invocations — each lane entry retires the
+    previous invocations' broadcasts, so the registry stays bounded and
+    the driver block manager holds at most the LIVE lane's matrices."""
+    from sap_cta_data_pipeline_spark.operators import text as tx
+
+    for _ in range(3):
+        QUERIES["dedup_minhash_lsh"](spark, SF0001).count()
+    assert len(tx._NUMPY_TIER_BCS) <= 1
+    for _ in range(2):
+        QUERIES["dedup_minhash_incremental"](spark, SF0001).count()
+    assert len(tx._NUMPY_TIER_BCS) <= 1
