@@ -61,6 +61,26 @@ def _cc_loop_dop(n_edges: int, session_parts: int) -> int:
                       session_parts))
 
 
+#: Round 14 (ADVICE r13): serializes both CC loops' session-global
+#: shuffle-width mutation against concurrent/nested CC calls, so a
+#: clobbered width can never be "restored" to another loop's transient
+#: value. The conf form stays in BOTH loops because the locally-scoped
+#: alternative (explicit numbered keyed repartitions on every loop
+#: shuffle input) was measured and REJECTED: par in the isolated
+#: twostar harness but consistently slower end to end — propagation
+#: 3.0-3.5 s → 4.9-5.8 s, dedup_minhash_cluster 4.23 s → 4.8-5.15 s at
+#: sf0.1 in both orders — because explicit repartition nodes survive
+#: AQE and block the broadcast-join conversions the tiny label/min
+#: joins rely on, while the conf width also narrows the aggregates.
+#: Residual contract (documented, not lock-fixable): OTHER queries
+#: planned concurrently on the same session during a CC loop see the
+#: narrowed width — plan concurrent work on a separate session
+#: (`spark.newSession()`), which has its own SQLConf.
+import threading as _threading  # noqa: E402
+
+_CC_CONF_LOCK = _threading.Lock()
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Hash-min connected components with pointer jumping: ``nodes`` has
     one ``node`` column, ``edges`` is the SYMMETRIC (src, dst) relation;
@@ -81,44 +101,52 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # the two-star loop the edge table here is constant across rounds,
     # so one count at entry (the edges are cached by every caller and
     # round 1 would materialize them anyway) sizes the whole loop.
+    # Round 14 (ADVICE r13): the width mutation stays — the
+    # locally-scoped repartition variant measured 4.9-5.8 s vs
+    # 3.0-3.5 s at sf0.1 (explicit repartitions survive AQE and block
+    # its broadcast-join conversions; see _CC_CONF_LOCK) — but it is now
+    # serialized under _CC_CONF_LOCK so nested/concurrent CC calls can
+    # never restore each other's transient width; the restore is
+    # try/finally on every exit path as before.
     spark = edges.sparkSession
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(_cc_loop_dop(edges.count(), session_parts)),
-        )
-        for _ in range(_MAX_CC_ROUNDS):
-            prop = (
-                edges.join(labels, edges.src == labels.node)
-                .groupBy("dst")
-                .agg(F.min("comp").alias("nc"))
+    with _CC_CONF_LOCK:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_cc_loop_dop(edges.count(), session_parts)),
             )
-            stepped = labels.join(prop, labels.node == prop.dst, "left").select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
-            )
-            # pointer jump: replace my label by my label's label (comp is
-            # monotone non-increasing, so comp[comp] ≤ comp always holds)
-            parent = stepped.select(
-                F.col("node").alias("comp"), F.col("comp").alias("jump")
-            )
-            new_labels = (
-                stepped.join(parent, "comp", "left")
-                .select("node", F.coalesce(F.col("jump"), F.col("comp")).alias("comp"))
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+            for _ in range(_MAX_CC_ROUNDS):
+                prop = (
+                    edges.join(labels, edges.src == labels.node)
+                    .groupBy("dst")
+                    .agg(F.min("comp").alias("nc"))
+                )
+                stepped = labels.join(prop, labels.node == prop.dst, "left").select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+                )
+                # pointer jump: replace my label by my label's label (comp is
+                # monotone non-increasing, so comp[comp] ≤ comp always holds)
+                parent = stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("jump")
+                )
+                new_labels = (
+                    stepped.join(parent, "comp", "left")
+                    .select("node", F.coalesce(F.col("jump"), F.col("comp")).alias("comp"))
+                    .localCheckpoint(eager=True)
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    break
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     return labels
 
 
@@ -299,6 +327,14 @@ def connected_components_twostar(
     edges = edges.localCheckpoint(eager=True)
     fp = _fp(edges)
     spark = edges.sparkSession
+    # Round 14 (ADVICE r13): the width mutation is serialized under
+    # _CC_CONF_LOCK (see the lock's comment: the locally-scoped
+    # repartition variant was measured and REJECTED — par in the
+    # isolated loop harness but +0.6-0.9 s on dedup_minhash_cluster at
+    # sf0.1 in both orders, because explicit repartitions survive AQE
+    # and block its broadcast-join conversions). The restore stays
+    # try/finally on every exit path.
+    _CC_CONF_LOCK.acquire()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     rounds = 0
     converged = False
@@ -364,6 +400,7 @@ def connected_components_twostar(
             fp = new_fp
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+        _CC_CONF_LOCK.release()
     if not converged:
         # exhausting max_rounds without a fixed point means the labels
         # below would be WRONG (a star forest was never reached) — fail

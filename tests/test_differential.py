@@ -3,6 +3,18 @@
 This mirrors the driver's t2 gate (rows + schema + values) so failures are
 caught before driver runs. Rows-only queries (no oracle) get a non-empty
 sanity check instead.
+
+Round 14 (VERDICT r13 ask #3 — fit the suite in the verification time
+budget): this sweep is ~45% of the suite's wall (13:36 of ~29 min) and is
+the one family the round pipeline already runs INDEPENDENTLY, twice — the
+driver's own correctness gate re-runs every declared query against the
+DuckDB oracle, and scripts/driver_sim.py is the pre-submission sweep at
+two SFs. It is therefore marked ``oracle_sweep`` and DESELECTED from the
+default ``pytest tests/`` run (pytest.ini addopts); run it explicitly with
+``python -m pytest tests/ -m oracle_sweep`` or everything with
+``python -m pytest tests/ --override-ini=addopts=``. The unit/property/
+plan pins — the coverage nothing else provides — all stay in the default
+run.
 """
 
 from __future__ import annotations
@@ -13,6 +25,8 @@ import sap_cta_data_pipeline_spark.operators  # noqa: F401
 from sap_cta_data_pipeline_spark.registry import ORACLES, QUERIES
 
 from .differential import compare_query, duckdb_con
+
+pytestmark = pytest.mark.oracle_sweep
 
 KEYS = sorted(QUERIES)
 
