@@ -282,7 +282,12 @@ def pipe_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return final.select(F.expr(stack_expr), "n_vectors").select(
+    # empty-corpus guard (ADVICE r13): the global agg always yields one
+    # row, so an empty corpus would stack into |grid| NULL-avg rows where
+    # the old groupBy form returned an empty frame — filter restores that
+    return final.where(F.col("n_vectors") > 0).select(
+        F.expr(stack_expr), "n_vectors"
+    ).select(
         "t_pic",
         "t_bnd",
         r6(F.col("ake")).alias("avg_kept_energy"),
@@ -389,7 +394,10 @@ def pipe_benchmark_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, p, b) in enumerate(_ALGO_GRID)
         ),
     )
-    return final.select(F.expr(stack_expr), "n_vectors").select(
+    # empty-corpus guard (ADVICE r13) — see pipe_param_sweep
+    return final.where(F.col("n_vectors") > 0).select(
+        F.expr(stack_expr), "n_vectors"
+    ).select(
         "algo",
         "t_pic",
         "t_bnd",
@@ -414,6 +422,7 @@ def _sweep_objective(spark: SparkSession, sf_dir: str, grid: list[tuple[float, f
         aggs.append(F.sum(F.when(keep, F.lit(1.0)).otherwise(0.0)).alias(f"nk_{i}"))
     per_vec = _cells(spark, sf_dir).groupBy("vec_id").agg(*aggs)
     final = per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
         *[F.avg(f"ke_{i}").alias(f"ake_{i}") for i in range(len(grid))],
         *[F.avg(f"nk_{i}").alias(f"ank_{i}") for i in range(len(grid))],
     )
@@ -424,7 +433,11 @@ def _sweep_objective(spark: SparkSession, sf_dir: str, grid: list[tuple[float, f
             for i, (p, b) in enumerate(grid)
         ),
     )
-    return final.select(F.expr(stack_expr)).select(
+    # empty-corpus guard (ADVICE r13): without it an empty corpus stacks
+    # into |grid| NULL objectives and pipe_optimize_threshold's
+    # driver-side max() raises TypeError comparing None — the old
+    # groupBy form returned an empty frame, restored here
+    return final.where(F.col("n_vectors") > 0).select(F.expr(stack_expr)).select(
         "t_pic",
         "t_bnd",
         r6(F.col("ake") - 0.01 * F.col("ank")).alias("objective"),

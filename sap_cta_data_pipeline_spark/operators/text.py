@@ -529,6 +529,7 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
     big_corpus = n_sigs > _DOP_GATE
     huge_corpus = n_sigs > _SCORING_BROADCAST_MAX
     numpy_scoring = n_sigs <= _SCORING_NUMPY_MAX
+    _retire_numpy_tier_broadcasts()  # bound lifecycle regardless of tier
     if numpy_scoring:
         # round 13 (guide §4.2): ship the signature/band matrices to the
         # Python workers once and score pairs by vectorized numpy gather
@@ -539,7 +540,6 @@ def _lsh_pairs_from_groups(spark: SparkSession, groups: DataFrame) -> DataFrame:
         # searchsorted resolves doc ids to matrix rows.
         import numpy as np
 
-        _retire_numpy_tier_broadcasts()  # bound lifecycle, see registry
         srows = sigs.select("rep_id", "sig", "bh").collect()
         srows.sort(key=lambda r: r["rep_id"])
         sig_ids = np.array([r["rep_id"] for r in srows], dtype=np.int64)
@@ -796,10 +796,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zip-compare under the shared ceiling, keyed shuffle_hash beyond
     # (signature side builds the hash table).
     n_store, n_batch = store.count(), batch.count()
+    _retire_numpy_tier_broadcasts()  # bound lifecycle regardless of tier
     if n_store + n_batch <= _SCORING_NUMPY_MAX:
         import numpy as np
 
-        _retire_numpy_tier_broadcasts()  # bound lifecycle, see registry
         srows = (
             store.select("rep_id", "sig").collect()
             + batch.select("rep_id", "sig").collect()

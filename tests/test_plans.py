@@ -810,3 +810,29 @@ def test_grid_sweeps_have_no_row_expansion(q):
         assert "BroadcastNestedLoopJoin" not in plan, key
         assert "CartesianProduct" not in plan, key
         assert plan.count("Generate") == 2, key
+
+
+def test_grid_sweeps_empty_corpus_returns_empty(spark, tmp_path):
+    """Round 14 (ADVICE r13): the column-form sweeps' global aggregate
+    always yields one row, so an empty corpus used to stack into |grid|
+    NULL-average rows (and a NULL objective broke
+    pipe_optimize_threshold's driver-side max with a TypeError); the
+    n_vectors guard must restore the old groupBy-form behavior — an
+    empty frame in, an empty frame out."""
+    import os
+
+    from sap_cta_data_pipeline_spark.operators import pipeline
+    from sap_cta_data_pipeline_spark.registry import QUERIES
+
+    empty_sf = str(tmp_path / "sf_empty")
+    os.makedirs(empty_sf)
+    (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(0)
+        .write.parquet(os.path.join(empty_sf, "embeddings.parquet"))
+    )
+    assert QUERIES["pipe_param_sweep"](spark, empty_sf).count() == 0
+    assert QUERIES["pipe_benchmark_report"](spark, empty_sf).count() == 0
+    assert (
+        pipeline._sweep_objective(spark, empty_sf, [(0.2, 0.1)]).count() == 0
+    )
